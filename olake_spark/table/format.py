@@ -1,0 +1,434 @@
+"""Iceberg-semantics table layer in pure PySpark + JSON (SURVEY.md §7 P1).
+
+The reference declares an ``S3_ICEBERG`` destination but ships no
+implementation (/root/reference/types/adapter.go:6-8, README.md:60-71) —
+this layer fills that gap from scratch, mirroring the public Iceberg spec
+shape without the runtime jar:
+
+    <root>/VERSION                     -> current metadata version number
+    <root>/metadata/v<N>.json          -> schema(s), partition spec, snapshot log
+    <root>/manifests/manifest-*.json   -> immutable lists of data-file entries
+                                          (path, partition, record_count, bytes,
+                                          per-column min/max/null stats)
+    <root>/data/<commit-uuid>/*.parquet-> immutable data files
+
+Commit protocol (atomic, single-writer with optimistic conflict check):
+write v<N+1>.json via tmp+rename, then flip VERSION via tmp+rename —
+mirrors the reference's ack-after-write ordering
+(/root/reference/drivers/postgres/internal/cdc.go:102-120).
+
+Scale notes: manifests are sharded (<= MANIFEST_MAX_ENTRIES files each)
+and immutable — a commit carries over untouched manifests and rewrites
+only those that lose files, so metadata work is O(changed files), not
+O(table). File stats are collected from parquet footers with a
+distributed mapInPandas (table/stats.py), never a data scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olake_spark.schema import SEQUENCES_SCHEMA, STATS_COLUMNS
+from olake_spark.table.stats import collect_file_stats
+
+MANIFEST_MAX_ENTRIES = 5000
+
+
+class CommitConflict(Exception):
+    """Another writer advanced VERSION since this Table was loaded."""
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+@dataclass
+class DataFile:
+    """One immutable parquet data file tracked by a manifest.
+
+    ``partition`` is the identity-partition value (source) when the file
+    is partition-pure, else None (stats-based pruning still applies —
+    Iceberg's model: data files can live anywhere; partition info lives
+    in the manifest, not the directory layout)."""
+
+    path: str  # relative to table root
+    record_count: int
+    file_size_bytes: int
+    partition: str | None = None
+    stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
+
+    def to_dict(self) -> dict:
+        return {
+            "path": self.path,
+            "record_count": self.record_count,
+            "file_size_bytes": self.file_size_bytes,
+            "partition": self.partition,
+            "stats": self.stats,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> DataFile:
+        return cls(
+            path=d["path"],
+            record_count=d["record_count"],
+            file_size_bytes=d["file_size_bytes"],
+            partition=d.get("partition"),
+            stats=d.get("stats", {}),
+        )
+
+    def may_contain(self, col: str, value) -> bool:
+        """Min/max pruning check; conservative (True) when stats absent."""
+        st = self.stats.get(col)
+        if not st or st.get("min") is None:
+            return True
+        return st["min"] <= value <= st["max"]
+
+    def overlaps(self, col: str, lo, hi) -> bool:
+        st = self.stats.get(col)
+        if not st or st.get("min") is None:
+            return True
+        return not (st["max"] < lo or st["min"] > hi)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | replace | overwrite | delete | expire
+    manifests: list[str]  # paths relative to table root
+    summary: dict[str, Any] = field(default_factory=dict)
+    schema_id: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "timestamp_ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifests": self.manifests,
+            "summary": self.summary,
+            "schema_id": self.schema_id,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> Snapshot:
+        return cls(**d)
+
+
+class Table:
+    """A snapshot-isolated, manifest-tracked parquet table."""
+
+    def __init__(self, spark: SparkSession, root: str, metadata: dict, version: int):
+        self.spark = spark
+        self.root = os.path.abspath(root)
+        self.metadata = metadata
+        self.version = version
+        self._manifest_cache: dict[str, list[DataFile]] = {}
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType = SEQUENCES_SCHEMA,
+        partition_col: str = "source",
+    ) -> Table:
+        root = os.path.abspath(root)
+        for sub in ("metadata", "manifests", "data", "jobs"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+        metadata = {
+            "format_version": 1,
+            "table_uuid": uuid.uuid4().hex,
+            "location": root,
+            "schemas": {"0": schema.json()},
+            "current_schema_id": 0,
+            "partition_col": partition_col,
+            "current_snapshot_id": None,
+            "snapshots": [],
+            "last_updated_ms": int(time.time() * 1000),
+        }
+        _atomic_write_json(os.path.join(root, "metadata", "v1.json"), metadata)
+        _atomic_write_text(os.path.join(root, "VERSION"), "1")
+        return cls(spark, root, metadata, 1)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> Table:
+        root = os.path.abspath(root)
+        with open(os.path.join(root, "VERSION")) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(root, "metadata", f"v{version}.json")) as f:
+            metadata = json.load(f)
+        return cls(spark, root, metadata, version)
+
+    def refresh(self) -> Table:
+        t = Table.load(self.spark, self.root)
+        self.metadata, self.version = t.metadata, t.version
+        self._manifest_cache.clear()
+        return self
+
+    # ------------------------------------------------------------- accessors
+    @property
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata["current_snapshot_id"]
+
+    @property
+    def partition_col(self) -> str:
+        return self.metadata["partition_col"]
+
+    def schema(self, schema_id: int | None = None) -> T.StructType:
+        sid = self.metadata["current_schema_id"] if schema_id is None else schema_id
+        return T.StructType.fromJson(
+            json.loads(self.metadata["schemas"][str(sid)])
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_dict(d) for d in self.metadata["snapshots"]]
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot | None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            return None
+        for d in self.metadata["snapshots"]:
+            if d["snapshot_id"] == sid:
+                return Snapshot.from_dict(d)
+        raise KeyError(f"snapshot {sid} not found (expired?)")
+
+    def _read_manifest(self, rel: str) -> list[DataFile]:
+        if rel not in self._manifest_cache:
+            with open(os.path.join(self.root, rel)) as f:
+                self._manifest_cache[rel] = [
+                    DataFile.from_dict(d) for d in json.load(f)
+                ]
+        return self._manifest_cache[rel]
+
+    def files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        out: list[DataFile] = []
+        for m in snap.manifests:
+            out.extend(self._read_manifest(m))
+        return out
+
+    def abs_path(self, rel: str) -> str:
+        return os.path.join(self.root, rel)
+
+    # ------------------------------------------------------------------ scan
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        sources: list[str] | None = None,
+        doc_id_range: tuple[str, str] | None = None,
+        n_tok_range: tuple[int, int] | None = None,
+        files: list[DataFile] | None = None,
+    ) -> DataFrame:
+        """Snapshot-pinned read with manifest-level file pruning.
+
+        Pruning here skips whole files via manifest min/max (the analog of
+        Iceberg manifest filtering); Catalyst/parquet then push the same
+        predicates down to row groups within the surviving files.
+        """
+        snap = self.snapshot(snapshot_id)
+        schema = self.schema(snap.schema_id if snap else None)
+        cand = files if files is not None else self.files(snapshot_id)
+        if sources is not None:
+            cand = [
+                f
+                for f in cand
+                if (f.partition in sources)
+                or (f.partition is None and any(f.may_contain("source", s) for s in sources))
+            ]
+        if doc_id_range is not None:
+            cand = [f for f in cand if f.overlaps("doc_id", *doc_id_range)]
+        if n_tok_range is not None:
+            cand = [f for f in cand if f.overlaps("n_tok", *n_tok_range)]
+        if not cand:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[self.abs_path(f.path) for f in cand]
+        )
+        # re-apply the prune predicates as row filters so results are exact
+        if sources is not None:
+            df = df.filter(F.col("source").isin(sources))
+        if doc_id_range is not None:
+            df = df.filter(F.col("doc_id").between(*doc_id_range))
+        if n_tok_range is not None:
+            df = df.filter(F.col("n_tok").between(*n_tok_range))
+        return df
+
+    # ----------------------------------------------------------------- write
+    def write_data_files(
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+    ) -> list[DataFile]:
+        """Write ``df`` (already partitioned/sorted as the caller wants —
+        one task produces one file) into an immutable commit directory and
+        return stats-annotated DataFile entries. Does NOT commit."""
+        commit_dir = f"data/{uuid.uuid4().hex[:16]}"
+        out_dir = self.abs_path(commit_dir)
+        writer = df.write.mode("errorifexists")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(out_dir)
+        paths = [
+            os.path.join(out_dir, name)
+            for name in sorted(os.listdir(out_dir))
+            if name.endswith(".parquet")
+        ]
+        stats = collect_file_stats(self.spark, paths, STATS_COLUMNS)
+        # GC zero-record files instead of registering them — mirrors the
+        # reference's empty-file cleanup (writers/parquet/parquet.go:223-226)
+        for s in stats:
+            if s["record_count"] == 0:
+                os.remove(s["path"])
+        stats = [s for s in stats if s["record_count"] > 0]
+        out = []
+        for s in stats:
+            st = s["stats"]
+            src = st.get("source", {})
+            partition = (
+                src.get("min") if src and src.get("min") == src.get("max") else None
+            )
+            out.append(
+                DataFile(
+                    path=os.path.relpath(s["path"], self.root),
+                    record_count=s["record_count"],
+                    file_size_bytes=s["file_size_bytes"],
+                    partition=partition,
+                    stats=st,
+                )
+            )
+        return out
+
+    # ---------------------------------------------------------------- commit
+    def commit(
+        self,
+        operation: str,
+        added: list[DataFile] | None = None,
+        removed_paths: set[str] | None = None,
+        new_schema: T.StructType | None = None,
+        summary_extra: dict | None = None,
+    ) -> int:
+        """Create snapshot N+1 = parent snapshot ± files, atomically.
+
+        Untouched manifests are referenced as-is; manifests containing a
+        removed file are rewritten without it; added files go into fresh
+        manifests of <= MANIFEST_MAX_ENTRIES entries.
+        """
+        added = added or []
+        removed_paths = removed_paths or set()
+        # optimistic concurrency: fail if someone advanced VERSION
+        with open(os.path.join(self.root, "VERSION")) as f:
+            disk_version = int(f.read().strip())
+        if disk_version != self.version:
+            raise CommitConflict(
+                f"table at version {disk_version}, loaded at {self.version}"
+            )
+
+        parent = self.snapshot()
+        new_manifests: list[str] = []
+        removed_rows = 0
+        if parent is not None:
+            for m in parent.manifests:
+                entries = self._read_manifest(m)
+                hit = [e for e in entries if e.path in removed_paths]
+                if not hit:
+                    new_manifests.append(m)
+                    continue
+                removed_rows += sum(e.record_count for e in hit)
+                survivors = [e for e in entries if e.path not in removed_paths]
+                if survivors:
+                    new_manifests.append(self._write_manifest(survivors))
+
+        for i in range(0, len(added), MANIFEST_MAX_ENTRIES):
+            new_manifests.append(
+                self._write_manifest(added[i : i + MANIFEST_MAX_ENTRIES])
+            )
+
+        snap_id = (parent.snapshot_id + 1) if parent else 1
+        schema_id = self.metadata["current_schema_id"]
+        if new_schema is not None:
+            schema_id += 1
+            self.metadata["schemas"][str(schema_id)] = new_schema.json()
+            self.metadata["current_schema_id"] = schema_id
+
+        total_rows = sum(
+            e.record_count for m in new_manifests for e in self._read_manifest(m)
+        )
+        total_files = sum(len(self._read_manifest(m)) for m in new_manifests)
+        summary = {
+            "added-files": len(added),
+            "removed-files": len(removed_paths),
+            "added-rows": sum(f.record_count for f in added),
+            "removed-rows": removed_rows,
+            "total-files": total_files,
+            "total-rows": total_rows,
+            **(summary_extra or {}),
+        }
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            parent_id=parent.snapshot_id if parent else None,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            manifests=new_manifests,
+            summary=summary,
+            schema_id=schema_id,
+        )
+        self.metadata["snapshots"].append(snap.to_dict())
+        self.metadata["current_snapshot_id"] = snap_id
+        self.metadata["last_updated_ms"] = int(time.time() * 1000)
+
+        new_version = self.version + 1
+        _atomic_write_json(
+            os.path.join(self.root, "metadata", f"v{new_version}.json"), self.metadata
+        )
+        _atomic_write_text(os.path.join(self.root, "VERSION"), str(new_version))
+        self.version = new_version
+        return snap_id
+
+    def _write_manifest(self, entries: list[DataFile]) -> str:
+        rel = f"manifests/manifest-{uuid.uuid4().hex[:16]}.json"
+        _atomic_write_json(
+            os.path.join(self.root, rel), [e.to_dict() for e in entries]
+        )
+        self._manifest_cache[rel] = list(entries)
+        return rel
+
+    # ------------------------------------------------------------ convenience
+    def append(
+        self, df: DataFrame, max_records_per_file: int | None = None
+    ) -> int:
+        files = self.write_data_files(df, max_records_per_file)
+        return self.commit("append", added=files)
+
+    def total_bytes(self, snapshot_id: int | None = None) -> int:
+        return sum(f.file_size_bytes for f in self.files(snapshot_id))
+
+    def total_rows(self, snapshot_id: int | None = None) -> int:
+        return sum(f.record_count for f in self.files(snapshot_id))

@@ -1,0 +1,115 @@
+"""Table-layer tests: create/append/scan, stats pruning, snapshot
+isolation, atomic commit (SURVEY.md §5 items 1-3)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.datagen import SOURCES, generate_sequences
+from olake_spark.table import Table
+from olake_spark.table.format import CommitConflict
+
+N_ROWS = 3000
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    df = generate_sequences(spark, N_ROWS, seed=42, max_tok=64)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return Table.create(spark, str(tmp_path / "tbl"))
+
+
+def test_generate_deterministic(spark):
+    a = generate_sequences(spark, 500, seed=42, max_tok=64).orderBy("doc_id").collect()
+    b = generate_sequences(spark, 500, seed=42, max_tok=64).orderBy("doc_id").collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert [r.tokens for r in a] == [r.tokens for r in b]
+    for r in a[:50]:
+        assert r.n_tok == len(r.tokens)
+        assert r.source in SOURCES
+        assert r.doc_id.startswith(r.source + "-")
+
+
+def test_append_scan_roundtrip(spark, table, seq_df):
+    table.append(seq_df.repartition(20))
+    assert table.current_snapshot_id == 1
+    files = table.files()
+    assert 15 <= len(files) <= 25
+    assert sum(f.record_count for f in files) == N_ROWS
+    got = table.scan()
+    assert got.count() == N_ROWS
+    # byte-exact token equality vs the in-memory source
+    diff = (
+        got.select("doc_id", "tokens")
+        .exceptAll(seq_df.select("doc_id", "tokens"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_partition_pure_files_and_pruning(spark, table, seq_df):
+    # source-pure layout: repartition by source -> each file single-source
+    table.append(seq_df.repartition(len(SOURCES), "source"))
+    files = table.files()
+    pure = [f for f in files if f.partition is not None]
+    assert len(pure) >= 1
+    web_count_true = seq_df.filter(F.col("source") == "web").count()
+    scanned = table.scan(sources=["web"])
+    assert scanned.count() == web_count_true
+    # pruning must actually skip files: candidate set < total set
+    cand = [
+        f
+        for f in files
+        if f.partition == "web"
+        or (f.partition is None and f.may_contain("source", "web"))
+    ]
+    assert len(cand) < len(files)
+
+
+def test_stats_min_max_recorded(table, seq_df):
+    table.append(seq_df.repartition(4))
+    f = table.files()[0]
+    assert "doc_id" in f.stats and "n_tok" in f.stats
+    assert f.stats["n_tok"]["min"] >= 8
+    assert f.stats["doc_id"]["min"] <= f.stats["doc_id"]["max"]
+
+
+def test_snapshot_isolation_reader_pinned(spark, table, seq_df):
+    table.append(seq_df.repartition(10))
+    v1 = table.current_snapshot_id
+    v1_files = {f.path for f in table.files(v1)}
+    pinned = table.scan(snapshot_id=v1)
+
+    # second commit replaces everything with a differently-laid-out copy
+    rewritten = table.write_data_files(table.scan(v1).repartition(3))
+    table.commit("replace", added=rewritten, removed_paths=v1_files)
+    v2 = table.current_snapshot_id
+    assert v2 != v1
+    assert {f.path for f in table.files(v2)}.isdisjoint(v1_files)
+    # pinned reader still sees the old files and full row count
+    assert pinned.count() == N_ROWS
+    assert table.scan(snapshot_id=v1).count() == N_ROWS
+    assert {f.path for f in table.files(v1)} == v1_files
+
+
+def test_commit_conflict_detected(spark, table, seq_df):
+    table.append(seq_df.limit(100).repartition(1))
+    stale = Table.load(spark, table.root)
+    table.append(seq_df.limit(50).repartition(1))  # advances VERSION
+    files = stale.write_data_files(seq_df.limit(10).repartition(1))
+    with pytest.raises(CommitConflict):
+        stale.commit("append", added=files)
+
+
+def test_load_roundtrip(spark, table, seq_df):
+    table.append(seq_df.repartition(2))
+    t2 = Table.load(spark, table.root)
+    assert t2.current_snapshot_id == table.current_snapshot_id
+    assert t2.total_rows() == N_ROWS
+    assert os.path.isfile(os.path.join(table.root, "VERSION"))
