@@ -1,0 +1,186 @@
+"""Z-order / Hilbert clustering rewrite (SURVEY.md P3).
+
+Generalizes the reference's key-ordered chunk locality
+(/root/reference/drivers/mongodb/internal/backfill.go:61-64) to
+multi-dimensional curve clustering, which Catalyst has no native syntax
+for. The curve key is computed by a vectorized Arrow/pandas UDF
+(olake_spark/functions/zorder.py) — the *only* Python compute in the hot
+path, per input_hint — then the rewrite is a single
+``repartitionByRange(n, _ckey)`` + ``sortWithinPartitions(_ckey)``:
+a sampled range exchange, so skewed key densities still yield even
+output files, followed by target-size file writes.
+
+Column→curve-space mapping is planned from manifest stats (numeric
+min/max aggregated across files — zero scans), mirroring how the
+reference derives chunk bounds from server statistics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from olake_spark.functions.zorder import ClusterCol, make_cluster_key_udf
+from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES, _job_id
+from olake_spark.plans.ledger import Ledger
+from olake_spark.table.format import DataFile, Table
+
+CKEY = "_ckey"
+
+
+@dataclass
+class ClusterResult:
+    job_id: str
+    snapshot_id: int | None
+    curve: str
+    input_files: int = 0
+    output_files: int = 0
+    bytes_in: int = 0
+    rows: int = 0
+    skipped: bool = False
+    details: dict = field(default_factory=dict)
+
+
+def default_cluster_specs(table: Table, snapshot_id: int | None = None) -> list[ClusterCol]:
+    """Build curve-column specs from manifest stats (no data scan).
+
+    (source categorical-rank, n_tok min/max-scaled, doc_id hashed) —
+    source first so curve locality groups hot sources, n_tok so
+    length-bucketed training reads prune well."""
+    files = table.files(snapshot_id)
+    cats = sorted(
+        {f.partition for f in files if f.partition is not None}
+        | {
+            s["min"]
+            for f in files
+            if (s := f.stats.get("source")) and s.get("min") is not None
+        }
+        | {
+            s["max"]
+            for f in files
+            if (s := f.stats.get("source")) and s.get("max") is not None
+        }
+    )
+    n_lo = min(
+        (f.stats["n_tok"]["min"] for f in files if "n_tok" in f.stats), default=0
+    )
+    n_hi = max(
+        (f.stats["n_tok"]["max"] for f in files if "n_tok" in f.stats), default=1
+    )
+    return [
+        ClusterCol("source", "categorical", categories=cats),
+        ClusterCol("n_tok", "numeric", lo=n_lo, hi=n_hi),
+        ClusterCol("doc_id", "hash"),
+    ]
+
+
+def cluster(
+    table: Table,
+    curve: str = "zorder",
+    specs: list[ClusterCol] | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    snapshot_id: int | None = None,
+    job_id: str | None = None,
+    max_group_bytes: int | None = None,
+) -> ClusterResult:
+    """Rewrite the whole snapshot clustered by a space-filling curve.
+
+    Resumable: the input file set is range-split into ledger groups by
+    cumulative bytes; each group is clustered and written independently
+    (global ordering emerges because group boundaries follow the sorted
+    file list and each group is internally curve-sorted — same contract
+    as Iceberg's sort-order rewrite with multiple file groups).
+    """
+    table.refresh()
+    snap = table.snapshot(snapshot_id)
+    if snap is None:
+        return ClusterResult(job_id="none", snapshot_id=None, curve=curve, skipped=True)
+    if max_group_bytes is None:
+        max_group_bytes = 256 * target_file_bytes
+
+    specs = specs or default_cluster_specs(table, snap.snapshot_id)
+    spec_sig = "|".join(f"{s.name}:{s.kind}" for s in specs)
+    jid = job_id or _job_id(
+        "cluster", snap.snapshot_id, f"{curve}:{spec_sig}:{target_file_bytes}"
+    )
+    ledger = Ledger.for_job(table.root, jid)
+    if ledger.committed_snapshot_id is not None:
+        t = ledger.totals()
+        return ClusterResult(
+            job_id=jid,
+            snapshot_id=ledger.committed_snapshot_id,
+            curve=curve,
+            bytes_in=t["bytes_in"],
+            rows=t["rows"],
+            skipped=True,
+        )
+
+    files = sorted(table.files(snap.snapshot_id), key=lambda f: f.path)
+    if not files:
+        return ClusterResult(job_id=jid, snapshot_id=None, curve=curve, skipped=True)
+
+    # split the file list into byte-bounded resumable groups
+    groups: list[list[DataFile]] = [[]]
+    acc = 0
+    for f in files:
+        if acc + f.file_size_bytes > max_group_bytes and groups[-1]:
+            groups.append([])
+            acc = 0
+        groups[-1].append(f)
+        acc += f.file_size_bytes
+    keyed = []
+    for g in groups:
+        key = hashlib.md5("|".join(f.path for f in g).encode()).hexdigest()[:12]
+        keyed.append((f"g-{key}", g))
+    by_path = {f.path: f for f in files}
+    for key, g in keyed:
+        ledger.plan(key, [f.path for f in g])
+
+    key_udf, in_cols = make_cluster_key_udf(specs, curve=curve)
+    for key in sorted(ledger.pending_keys()):
+        gfiles = [by_path[p] for p in ledger.entry(key)["inputs"]]
+        gbytes = sum(f.file_size_bytes for f in gfiles)
+        grows = sum(f.record_count for f in gfiles)
+        n_bins = max(1, math.ceil(gbytes / target_file_bytes))
+        df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+        clustered = (
+            df.withColumn(CKEY, key_udf(*[F.col(c) for c in in_cols]))
+            .repartitionByRange(n_bins, F.col(CKEY))
+            .sortWithinPartitions(CKEY)
+            .drop(CKEY)
+        )
+        outputs = table.write_data_files(clustered)
+        ledger.mark_done(
+            key,
+            [o.to_dict() for o in outputs],
+            {"rows": grows, "bytes_in": gbytes, "files_out": len(outputs)},
+        )
+
+    added = [DataFile.from_dict(d) for d in ledger.all_outputs()]
+    removed = set(ledger.all_inputs())
+    live = {f.path for f in table.refresh().files()}
+    missing = removed - live
+    if missing:
+        raise RuntimeError(
+            f"cluster inputs vanished from current snapshot: {sorted(missing)[:3]}..."
+        )
+    new_snap = table.commit(
+        "replace",
+        added=added,
+        removed_paths=removed,
+        summary_extra={"job-id": jid, "kind": f"cluster-{curve}"},
+    )
+    ledger.mark_committed(new_snap)
+    t = ledger.totals()
+    return ClusterResult(
+        job_id=jid,
+        snapshot_id=new_snap,
+        curve=curve,
+        input_files=len(removed),
+        output_files=len(added),
+        bytes_in=t["bytes_in"],
+        rows=t["rows"],
+    )

@@ -1,0 +1,200 @@
+"""Bin-pack compaction of small files (SURVEY.md P2).
+
+Spark-first re-expression of the reference's chunked rewrite pipeline
+(chunk planners at /root/reference/drivers/postgres/internal/backfill.go:102-192
+and /root/reference/drivers/mongodb/internal/backfill.go:126-217; sorted
+chunk locality at backfill.go:61-64):
+
+- *planning* uses manifest metadata only (file sizes), never a scan —
+  the analog of the reference's reltuples/relpages/splitVector planning;
+- *execution* is one ``repartitionByRange(bins, source, doc_id)`` +
+  ``sortWithinPartitions`` per task group: the range exchange samples
+  boundaries, so a Zipf-hot ``source`` is split across exactly as many
+  output files as its bytes require — skew handling falls out of the
+  composite (source, doc_id) range key, no manual salting needed, and
+  output files end up source-pure and doc_id-clustered (good min/max
+  stats for later pruning and MERGE candidate selection);
+- *resumability* is the lineage ledger: groups of sources are planned
+  as pending before any read, flipped to done per group, and the table
+  commit (remove inputs, add outputs) happens once at the end
+  (chunk-state semantics of /root/reference/types/state.go:94-149).
+
+At 100 TB: task-group size bounds the blast radius of a retry; within a
+group the shuffle is one range exchange whose reduce tasks write
+target-size files — AQE handles stragglers, and file count scales with
+data, not with executor count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from olake_spark.plans.ledger import Ledger
+from olake_spark.table.format import DataFile, Table
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+_MIXED = "__mixed__"
+
+
+@dataclass
+class CompactionResult:
+    job_id: str
+    snapshot_id: int | None  # new snapshot (None if nothing to do)
+    groups: int = 0
+    input_files: int = 0
+    output_files: int = 0
+    bytes_in: int = 0
+    rows: int = 0
+    skipped: bool = False
+    details: dict = field(default_factory=dict)
+
+
+def _job_id(kind: str, snapshot_id: int, params: str) -> str:
+    h = hashlib.md5(params.encode()).hexdigest()[:10]
+    return f"{kind}-s{snapshot_id}-{h}"
+
+
+def plan_groups(
+    files: list[DataFile],
+    small_file_bytes: int,
+    min_group_files: int,
+    max_group_bytes: int,
+) -> list[tuple[str, list[DataFile]]]:
+    """Group small files into resumable task groups.
+
+    Files are bucketed by identity partition (source; mixed files
+    together), partitions needing work are packed into groups of at most
+    ``max_group_bytes`` — a greedy first-fit-decreasing bin pack over
+    manifest metadata only.
+    """
+    by_part: dict[str, list[DataFile]] = {}
+    for f in files:
+        if f.file_size_bytes < small_file_bytes:
+            by_part.setdefault(f.partition or _MIXED, []).append(f)
+    work = {
+        p: fs
+        for p, fs in by_part.items()
+        if len(fs) >= min_group_files or p == _MIXED
+    }
+    # pack partitions (descending bytes) into groups
+    parts = sorted(
+        work.items(), key=lambda kv: -sum(f.file_size_bytes for f in kv[1])
+    )
+    groups: list[list[tuple[str, list[DataFile]]]] = []
+    sizes: list[int] = []
+    for p, fs in parts:
+        b = sum(f.file_size_bytes for f in fs)
+        placed = False
+        for i in range(len(groups)):
+            if sizes[i] + b <= max_group_bytes:
+                groups[i].append((p, fs))
+                sizes[i] += b
+                placed = True
+                break
+        if not placed:
+            groups.append([(p, fs)])
+            sizes.append(b)
+    out = []
+    for g in groups:
+        names = sorted(p for p, _ in g)
+        key = hashlib.md5("|".join(names).encode()).hexdigest()[:12]
+        out.append((f"g-{key}", [f for _, fs in g for f in fs]))
+    return sorted(out)
+
+
+def compact(
+    table: Table,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    small_file_ratio: float = 0.75,
+    min_group_files: int = 2,
+    max_group_bytes: int | None = None,
+    snapshot_id: int | None = None,
+    job_id: str | None = None,
+) -> CompactionResult:
+    """Rewrite small files into ~``target_file_bytes`` files.
+
+    Idempotently resumable: re-invoking with the same (snapshot, params)
+    reuses the ledger; finished groups are never re-executed.
+    """
+    table.refresh()
+    snap = table.snapshot(snapshot_id)
+    if snap is None:
+        return CompactionResult(job_id="none", snapshot_id=None, skipped=True)
+    if max_group_bytes is None:
+        max_group_bytes = 64 * target_file_bytes
+
+    jid = job_id or _job_id(
+        "compact",
+        snap.snapshot_id,
+        f"{target_file_bytes}:{small_file_ratio}:{min_group_files}:{max_group_bytes}",
+    )
+    ledger = Ledger.for_job(table.root, jid)
+    if ledger.committed_snapshot_id is not None:
+        t = ledger.totals()
+        return CompactionResult(
+            job_id=jid,
+            snapshot_id=ledger.committed_snapshot_id,
+            groups=t["groups"],
+            bytes_in=t["bytes_in"],
+            rows=t["rows"],
+            skipped=True,
+        )
+
+    files = table.files(snap.snapshot_id)
+    small_bytes = int(target_file_bytes * small_file_ratio)
+    groups = plan_groups(files, small_bytes, min_group_files, max_group_bytes)
+    if not groups:
+        return CompactionResult(job_id=jid, snapshot_id=None, skipped=True)
+
+    by_path = {f.path: f for f in files}
+    for key, gfiles in groups:
+        ledger.plan(key, [f.path for f in gfiles])
+
+    for key in sorted(ledger.pending_keys()):
+        gfiles = [by_path[p] for p in ledger.entry(key)["inputs"]]
+        gbytes = sum(f.file_size_bytes for f in gfiles)
+        grows = sum(f.record_count for f in gfiles)
+        n_bins = max(1, math.ceil(gbytes / target_file_bytes))
+        df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+        out = (
+            df.repartitionByRange(n_bins, F.col("source"), F.col("doc_id"))
+            .sortWithinPartitions("source", "doc_id")
+        )
+        outputs = table.write_data_files(out)
+        ledger.mark_done(
+            key,
+            [o.to_dict() for o in outputs],
+            {"rows": grows, "bytes_in": gbytes, "files_out": len(outputs)},
+        )
+
+    added = [DataFile.from_dict(d) for d in ledger.all_outputs()]
+    removed = set(ledger.all_inputs())
+    # inputs must still be live in the current snapshot — protects a
+    # resumed job from double-applying after a concurrent rewrite
+    live = {f.path for f in table.refresh().files()}
+    missing = removed - live
+    if missing:
+        raise RuntimeError(
+            f"compaction inputs vanished from current snapshot: {sorted(missing)[:3]}..."
+        )
+    new_snap = table.commit(
+        "replace",
+        added=added,
+        removed_paths=removed,
+        summary_extra={"job-id": jid, "kind": "compaction"},
+    )
+    ledger.mark_committed(new_snap)
+    t = ledger.totals()
+    return CompactionResult(
+        job_id=jid,
+        snapshot_id=new_snap,
+        groups=t["groups"],
+        input_files=len(removed),
+        output_files=len(added),
+        bytes_in=t["bytes_in"],
+        rows=t["rows"],
+    )

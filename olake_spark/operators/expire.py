@@ -1,0 +1,113 @@
+"""Snapshot expiry + orphan-file cleanup (SURVEY.md P4).
+
+Analog of the reference's empty-file GC and state-reset semantics
+(/root/reference/writers/parquet/parquet.go:223-226,
+/root/reference/types/state.go:169-185): old snapshots are dropped from
+the metadata log, then any data/manifest file referenced by *no*
+surviving snapshot is deleted. Failed/killed maintenance attempts leave
+unreferenced files in their commit dirs; this is the path that reclaims
+them, so cleanup is safe-by-construction (a file is only deleted when
+no snapshot can reach it).
+
+All work is metadata + filesystem listing on the driver; at real scale
+the listing would be a distributed `spark.read.format("binaryFile")`
+sweep — the referenced-set math is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ExpireResult:
+    expired_snapshots: list[int] = field(default_factory=list)
+    deleted_data_files: int = 0
+    deleted_manifests: int = 0
+    deleted_metadata_versions: int = 0
+    kept_snapshots: list[int] = field(default_factory=list)
+
+
+def expire_snapshots(
+    table,
+    keep_last: int = 2,
+    older_than_ms: int | None = None,
+    clean_orphans: bool = True,
+    orphan_grace_ms: int = 0,
+) -> ExpireResult:
+    """Drop expired snapshots and delete unreferenced files.
+
+    Keeps the ``keep_last`` most recent snapshots plus anything newer
+    than ``older_than_ms``; the current snapshot is always kept.
+    ``orphan_grace_ms`` protects files younger than the grace period
+    (an in-flight job's not-yet-committed outputs).
+    """
+    table.refresh()
+    res = ExpireResult()
+    snaps = table.snapshots()
+    if not snaps:
+        return res
+    current_id = table.current_snapshot_id
+    keep: list = []
+    drop: list = []
+    for i, s in enumerate(snaps):
+        is_recent = i >= len(snaps) - keep_last
+        is_young = older_than_ms is not None and s.timestamp_ms >= older_than_ms
+        if s.snapshot_id == current_id or is_recent or is_young:
+            keep.append(s)
+        else:
+            drop.append(s)
+    if not drop and not clean_orphans:
+        res.kept_snapshots = [s.snapshot_id for s in keep]
+        return res
+
+    if drop:
+        table.metadata["snapshots"] = [s.to_dict() for s in keep]
+        table.rewrite_metadata()
+    res.expired_snapshots = [s.snapshot_id for s in drop]
+    res.kept_snapshots = [s.snapshot_id for s in keep]
+
+    if clean_orphans:
+        now_ms = time.time() * 1000
+        live_data: set[str] = set()
+        live_manifests: set[str] = set()
+        for s in table.snapshots():
+            for m in s.manifests:
+                live_manifests.add(m)
+                for f in table._read_manifest(m):
+                    live_data.add(f.path)
+        data_root = os.path.join(table.root, "data")
+        for dirpath, _dirs, names in os.walk(data_root, topdown=False):
+            for name in names:
+                p = os.path.join(dirpath, name)
+                rel = os.path.relpath(p, table.root)
+                if rel in live_data or not name.endswith(".parquet"):
+                    continue
+                if now_ms - os.path.getmtime(p) * 1000 < orphan_grace_ms:
+                    continue
+                os.remove(p)
+                res.deleted_data_files += 1
+            if not os.listdir(dirpath) and dirpath != data_root:
+                os.rmdir(dirpath)
+        man_root = os.path.join(table.root, "manifests")
+        for name in os.listdir(man_root):
+            rel = os.path.join("manifests", name)
+            if rel not in live_manifests:
+                os.remove(os.path.join(table.root, rel))
+                table._manifest_cache.pop(rel, None)
+                res.deleted_manifests += 1
+        # metadata versions older than the previous one are unreachable
+        meta_root = os.path.join(table.root, "metadata")
+        for name in os.listdir(meta_root):
+            if not name.startswith("v") or not name.endswith(".json"):
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v < table.version - 1:
+                os.remove(os.path.join(meta_root, name))
+                res.deleted_metadata_versions += 1
+    return res

@@ -1,0 +1,190 @@
+"""MERGE INTO — copy-on-write CDC apply (SURVEY.md P5).
+
+The reference defers upsert/delete semantics to the destination: every
+record carries ``olake_id`` = md5 of sorted PK values
+(/root/reference/utils/utils.go:229-241) and deletes arrive as rows with
+``_cdc_deleted_at`` set (/root/reference/drivers/postgres/internal/cdc.go:123-131).
+This operator *implements* the deferred semantics as an Iceberg-style
+copy-on-write MERGE:
+
+    WHEN MATCHED AND _cdc_deleted_at IS NOT NULL THEN DELETE
+    WHEN MATCHED THEN UPDATE
+    WHEN NOT MATCHED (and not a delete) THEN INSERT
+
+Physical plan, designed for 100 TB:
+1. *candidate pruning* — manifest doc_id min/max vs. the change batch's
+   doc_id ranges selects candidate files (driver-side interval check
+   over metadata; the analog of Iceberg's manifest filtering);
+2. *touched-file discovery* — one scan of candidates joined (broadcast
+   when small) with the change keys on ``_olake_id`` over
+   ``input_file_name()`` finds files that actually contain a matched
+   key; untouched candidates carry over to the new snapshot unchanged;
+3. *rewrite* — touched rows anti-joined against matched keys, unioned
+   with upserted change rows, written doc_id-clustered.
+
+Only step 2–3 read data, and only the touched files are rewritten.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
+from olake_spark.schema import (
+    CDC_DELETED_AT,
+    OLAKE_ID,
+    OLAKE_INSERT_TIME,
+    olake_id_expr,
+)
+from olake_spark.table.format import Table
+
+# broadcast the change-key side when below this
+BROADCAST_KEYS_MAX = 4_000_000
+
+
+@dataclass
+class MergeResult:
+    snapshot_id: int | None
+    candidate_files: int = 0
+    touched_files: int = 0
+    inserted: int = 0
+    updated: int = 0
+    deleted: int = 0
+    details: dict = field(default_factory=dict)
+
+
+def _prepare_changes(changes: DataFrame, dedup_order_col: str | None) -> DataFrame:
+    """Normalize a change batch: inject _olake_id, last-wins dedup per key.
+
+    A CDC batch can carry several ops for one key; the reference's
+    at-least-once delivery makes duplicates normal — ``olake_id`` is the
+    idempotency key (/root/reference/types/data_types.go:26-31)."""
+    ch = changes
+    if OLAKE_ID not in ch.columns:
+        ch = ch.withColumn(OLAKE_ID, olake_id_expr("doc_id"))
+    if CDC_DELETED_AT not in ch.columns:
+        ch = ch.withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    order = dedup_order_col or OLAKE_INSERT_TIME
+    if order in ch.columns:
+        w = Window.partitionBy(OLAKE_ID).orderBy(F.col(order).desc())
+        ch = (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        ch = ch.dropDuplicates([OLAKE_ID])
+    return ch
+
+
+def merge_into(
+    table: Table,
+    changes: DataFrame,
+    dedup_order_col: str | None = None,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> MergeResult:
+    """Apply a CDC-shaped change batch to the table, copy-on-write."""
+    table.refresh()
+    snap = table.snapshot()
+    schema = table.schema()
+    out_cols = [f.name for f in schema.fields]
+
+    ch = _prepare_changes(changes, dedup_order_col).cache()
+    n_changes = ch.count()
+    if n_changes == 0:
+        return MergeResult(snapshot_id=None)
+
+    # --- 1. candidate files via manifest doc_id range pruning
+    files = table.files(snap.snapshot_id) if snap else []
+    if files and n_changes <= BROADCAST_KEYS_MAX:
+        bounds = ch.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        candidates = [f for f in files if f.overlaps("doc_id", bounds.lo, bounds.hi)]
+    else:
+        candidates = list(files)
+
+    keys = ch.select(OLAKE_ID)
+    keys_b = F.broadcast(keys) if n_changes <= BROADCAST_KEYS_MAX else keys
+
+    # --- 2. which candidates actually contain a matched key?
+    touched_paths: set[str] = set()
+    if candidates:
+        cand_df = table.scan(snapshot_id=snap.snapshot_id, files=candidates)
+        touched_rows = (
+            cand_df.select(OLAKE_ID, F.input_file_name().alias("_file"))
+            .join(keys_b, OLAKE_ID, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        abs_to_rel = {table.abs_path(f.path): f.path for f in candidates}
+        for r in touched_rows:
+            p = r._file.removeprefix("file://")
+            touched_paths.add(abs_to_rel.get(p, p))
+    touched = [f for f in candidates if f.path in touched_paths]
+
+    # matched key count -> split updates vs inserts
+    if touched:
+        existing_keys = table.scan(snapshot_id=snap.snapshot_id, files=touched).select(
+            OLAKE_ID
+        )
+        matched = ch.join(existing_keys, OLAKE_ID, "left_semi").cache()
+    else:
+        matched = ch.filter(F.lit(False)).cache()
+    n_matched = matched.count()
+    n_deletes_matched = matched.filter(F.col(CDC_DELETED_AT).isNotNull()).count()
+    n_updates = n_matched - n_deletes_matched
+    n_inserts = (
+        ch.filter(F.col(CDC_DELETED_AT).isNull()).count() - n_updates
+    )
+
+    # --- 3. rewrite touched files + append upserts
+    now_ms = F.unix_micros(F.current_timestamp()) / F.lit(1000)
+    upserts = (
+        ch.filter(F.col(CDC_DELETED_AT).isNull())
+        .withColumn(OLAKE_INSERT_TIME, now_ms.cast("long"))
+        .select(*out_cols)
+    )
+    if touched:
+        kept = (
+            table.scan(snapshot_id=snap.snapshot_id, files=touched)
+            .join(keys_b, OLAKE_ID, "left_anti")
+            .select(*out_cols)
+        )
+        result = kept.unionByName(upserts)
+    else:
+        result = upserts
+
+    bytes_est = sum(f.file_size_bytes for f in touched) or 1
+    n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
+    out_df = result.repartitionByRange(
+        n_bins, F.col("source"), F.col("doc_id")
+    ).sortWithinPartitions("source", "doc_id")
+    outputs = table.write_data_files(out_df)
+    new_snap = table.commit(
+        "overwrite",
+        added=outputs,
+        removed_paths={f.path for f in touched},
+        summary_extra={
+            "kind": "merge",
+            "inserted": n_inserts,
+            "updated": n_updates,
+            "deleted": n_deletes_matched,
+        },
+    )
+    ch.unpersist()
+    matched.unpersist()
+    return MergeResult(
+        snapshot_id=new_snap,
+        candidate_files=len(candidates),
+        touched_files=len(touched),
+        inserted=n_inserts,
+        updated=n_updates,
+        deleted=n_deletes_matched,
+    )

@@ -412,6 +412,24 @@ class Table:
         self.version = new_version
         return snap_id
 
+    def rewrite_metadata(self) -> int:
+        """Persist in-place metadata edits (e.g. snapshot-log pruning by
+        expiry) as a new metadata version WITHOUT creating a snapshot."""
+        with open(os.path.join(self.root, "VERSION")) as f:
+            disk_version = int(f.read().strip())
+        if disk_version != self.version:
+            raise CommitConflict(
+                f"table at version {disk_version}, loaded at {self.version}"
+            )
+        self.metadata["last_updated_ms"] = int(time.time() * 1000)
+        new_version = self.version + 1
+        _atomic_write_json(
+            os.path.join(self.root, "metadata", f"v{new_version}.json"), self.metadata
+        )
+        _atomic_write_text(os.path.join(self.root, "VERSION"), str(new_version))
+        self.version = new_version
+        return new_version
+
     def _write_manifest(self, entries: list[DataFile]) -> str:
         rel = f"manifests/manifest-{uuid.uuid4().hex[:16]}.json"
         _atomic_write_json(

@@ -1,0 +1,231 @@
+"""Maintenance-operator tests: compaction, clustering, merge, expiry,
+ledger resume (SURVEY.md §5 invariants 1-5)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.datagen import generate_sequences
+from olake_spark.operators.clustering import cluster
+from olake_spark.operators.compaction import compact
+from olake_spark.operators.expire import expire_snapshots
+from olake_spark.operators.merge import merge_into
+from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+from olake_spark.table import Table
+
+N_ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    df = generate_sequences(spark, N_ROWS, seed=1, max_tok=96)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture()
+def small_table(spark, tmp_path, seq_df):
+    """~40 small mixed files — the compaction input fixture."""
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(seq_df.repartition(40))
+    return t
+
+
+def _tokens_equal(a, b) -> bool:
+    cols = ["doc_id", "tokens"]
+    return (
+        a.select(cols).exceptAll(b.select(cols)).count() == 0
+        and b.select(cols).exceptAll(a.select(cols)).count() == 0
+    )
+
+
+def _per_source_counts(df):
+    return {r.source: r["count"] for r in df.groupBy("source").count().collect()}
+
+
+# ------------------------------------------------------------------ compaction
+def test_compaction_end_to_end(spark, small_table, seq_df):
+    t = small_table
+    v1 = t.current_snapshot_id
+    before = _per_source_counts(t.scan())
+    res = compact(t, target_file_bytes=1 * 1024 * 1024)
+    assert res.snapshot_id == t.current_snapshot_id != v1
+    assert res.rows == N_ROWS
+    after_files = t.files()
+    assert len(after_files) < 40
+    # invariant 1: byte-exact tokens; invariant 2: per-source counts
+    assert _tokens_equal(t.scan(), seq_df)
+    assert _per_source_counts(t.scan()) == before
+    # invariant 3: snapshot isolation — v1 still lists the old files
+    assert t.scan(snapshot_id=v1).count() == N_ROWS
+    assert {f.path for f in t.files(v1)}.isdisjoint({f.path for f in after_files})
+    # outputs are source-pure and doc_id-clustered (stats usable)
+    pure = [f for f in after_files if f.partition is not None]
+    assert len(pure) >= len(after_files) - 2  # range boundaries may mix
+
+
+def test_compaction_idempotent_rerun(spark, small_table):
+    r1 = compact(small_table, target_file_bytes=1024 * 1024)
+    r2 = compact(small_table, target_file_bytes=1024 * 1024, snapshot_id=r1.snapshot_id - 1)
+    # identical params on the source snapshot reuse the committed ledger
+    assert r2.skipped and r2.snapshot_id == r1.snapshot_id
+
+
+def test_compaction_resume_after_kill(spark, small_table, monkeypatch):
+    """Kill between group execution and commit; restart must not rewrite."""
+    t = small_table
+    calls = {"n": 0}
+    orig = Table.write_data_files
+
+    def counting(self, df, max_records_per_file=None):
+        calls["n"] += 1
+        return orig(self, df, max_records_per_file)
+
+    monkeypatch.setattr(Table, "write_data_files", counting)
+
+    orig_commit = Table.commit
+
+    def bomb(self, *a, **kw):
+        raise RuntimeError("simulated driver kill before commit")
+
+    monkeypatch.setattr(Table, "commit", bomb)
+    with pytest.raises(RuntimeError, match="simulated"):
+        compact(t, target_file_bytes=1024 * 1024)
+    writes_first = calls["n"]
+    assert writes_first >= 1
+
+    monkeypatch.setattr(Table, "commit", orig_commit)
+    res = compact(t, target_file_bytes=1024 * 1024)
+    # invariant 4: zero duplicate rewrites on restart
+    assert calls["n"] == writes_first
+    assert res.snapshot_id == t.current_snapshot_id
+    assert t.scan().count() == N_ROWS
+
+
+def test_compaction_skips_when_nothing_small(spark, small_table):
+    compact(small_table, target_file_bytes=1024 * 1024)
+    res = compact(small_table, target_file_bytes=1024)  # everything is "big"
+    assert res.skipped
+
+
+# ------------------------------------------------------------------ clustering
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_preserves_data_and_improves_locality(spark, small_table, seq_df, curve):
+    t = small_table
+    spans_before = [
+        f.stats["n_tok"]["max"] - f.stats["n_tok"]["min"]
+        for f in t.files()
+        if "n_tok" in f.stats
+    ]
+    res = cluster(t, curve=curve, target_file_bytes=512 * 1024)
+    assert res.rows == N_ROWS
+    assert _tokens_equal(t.scan(), seq_df)
+    spans_after = [
+        f.stats["n_tok"]["max"] - f.stats["n_tok"]["min"]
+        for f in t.files()
+        if "n_tok" in f.stats
+    ]
+    # curve locality: per-file n_tok span shrinks vs the random layout
+    assert sum(spans_after) / len(spans_after) < sum(spans_before) / len(spans_before)
+
+
+def test_cluster_improves_scan_pruning(spark, small_table):
+    t = small_table
+    cluster(t, curve="zorder", target_file_bytes=256 * 1024)
+    files = t.files()
+    lo, hi = 8, 20
+    cand = [f for f in files if f.overlaps("n_tok", lo, hi)]
+    assert len(cand) < len(files)  # stats now prune a narrow n_tok scan
+    true_count = t.scan().filter(F.col("n_tok").between(lo, hi)).count()
+    assert t.scan(n_tok_range=(lo, hi)).count() == true_count
+
+
+# ----------------------------------------------------------------------- merge
+def test_merge_insert_update_delete(spark, small_table, seq_df):
+    t = small_table
+    compact(t, target_file_bytes=1024 * 1024)
+    pre_files = {f.path for f in t.files()}
+
+    sample = seq_df.orderBy("doc_id").limit(60).collect()
+    upd = [r.doc_id for r in sample[:20]]
+    dele = [r.doc_id for r in sample[20:35]]
+
+    updates = (
+        seq_df.filter(F.col("doc_id").isin(upd))
+        .select(*DATA_COLUMNS)
+        .withColumn("tokens", F.array([F.lit(i) for i in range(5)]).cast("array<int>"))
+        .withColumn("n_tok", F.lit(5))
+    )
+    deletes = (
+        seq_df.filter(F.col("doc_id").isin(dele))
+        .select(*DATA_COLUMNS)
+        .withColumn(CDC_DELETED_AT, F.current_timestamp())
+    )
+    inserts = spark.createDataFrame(
+        [("zz-new-0001", list(range(7)), 7, "web"), ("zz-new-0002", [1, 2], 2, "books")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    changes = (
+        updates.withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+        .unionByName(deletes)
+        .unionByName(
+            inserts.withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+        )
+    )
+    res = merge_into(t, changes)
+    assert (res.inserted, res.updated, res.deleted) == (2, 20, 15)
+    assert res.touched_files <= res.candidate_files <= len(pre_files)
+
+    cur = t.scan()
+    assert cur.count() == N_ROWS - 15 + 2
+    assert cur.filter(F.col("doc_id").isin(dele)).count() == 0
+    got_upd = cur.filter(F.col("doc_id").isin(upd)).select("tokens").collect()
+    assert all(r.tokens == [0, 1, 2, 3, 4] for r in got_upd)
+    assert cur.filter(F.col("doc_id").startswith("zz-new")).count() == 2
+    # exactly-once: no duplicated keys after merge
+    assert cur.groupBy("_olake_id").count().filter("count > 1").count() == 0
+    # untouched files carried over unchanged
+    post_files = {f.path for f in t.files()}
+    assert len(pre_files & post_files) == len(pre_files) - res.touched_files
+
+
+def test_merge_is_noop_for_unknown_deletes(spark, small_table):
+    t = small_table
+    n0 = t.scan().count()
+    ghost = spark.createDataFrame(
+        [("nope-123", [1], 1, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).withColumn(CDC_DELETED_AT, F.current_timestamp())
+    res = merge_into(t, ghost)
+    assert res.deleted == 0 and res.inserted == 0
+    assert t.scan().count() == n0
+
+
+# ---------------------------------------------------------------------- expire
+def test_expire_and_orphan_cleanup(spark, small_table, seq_df):
+    t = small_table
+    v1 = t.current_snapshot_id
+    compact(t, target_file_bytes=1024 * 1024)
+    # abandoned attempt -> orphan files on disk
+    t.write_data_files(seq_df.limit(50).repartition(1))
+    n_parquet_before = len(
+        glob.glob(os.path.join(t.root, "data", "**", "*.parquet"), recursive=True)
+    )
+    res = expire_snapshots(t, keep_last=1)
+    assert v1 in res.expired_snapshots
+    assert res.deleted_data_files > 0
+    n_parquet_after = len(
+        glob.glob(os.path.join(t.root, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert n_parquet_after < n_parquet_before
+    assert n_parquet_after == len(t.files())
+    # current snapshot fully intact
+    assert t.scan().count() == N_ROWS
+    assert _tokens_equal(t.scan(), seq_df)
+    # expired snapshot no longer reachable
+    with pytest.raises(KeyError):
+        t.scan(snapshot_id=v1)
+    # fresh load agrees
+    assert Table.load(spark, t.root).total_rows() == N_ROWS
