@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract + BASELINE.json north rule).
+
+Runs the engine's headline maintenance jobs (bin-pack compaction,
+Z-order clustering, MERGE) on a deterministic synthetic tokenized table
+sized by the scale factor, plus representative analytic queries from
+__spark_entry__ on the driver testdata, and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "maintenance": {"bytes": .., "rows": .., "compact_gb_per_s": ..,
+                     "zorder_gb_per_s": .., "seq_per_s": ..}, "cpus": N}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     OLAKE_BENCH_ROWS (override synthetic row count).
+
+The two-parallelism scaling study (north rule: efficiency >= 0.8 from
+N to 4N) is tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.operators.clustering import cluster
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+    from olake_spark.session import get_spark
+    from olake_spark.table import Table
+
+    spark = get_spark("olake-bench", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.range(1000).count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    maintenance: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+                return self
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    # ---- maintenance benchmark on the synthetic tokenized table
+    rows = int(os.environ.get("OLAKE_BENCH_ROWS", str(int(sf * 3_000_000))))
+    rows = max(rows, 10_000)
+    n_small_files = max(64, cpus * 8)
+    root = tempfile.mkdtemp(prefix="olake_bench_")
+    try:
+        with timed("build_table"):
+            df = generate_sequences(spark, rows, seed=42, max_tok=1024)
+            table = Table.create(spark, os.path.join(root, "tbl"))
+            table.append(df.repartition(n_small_files))
+        bytes_in = table.total_bytes()
+        maintenance["bytes"] = bytes_in
+        maintenance["rows"] = rows
+
+        # keep task count ~= 4x cores, as on a real cluster where bins
+        # >> executor cores; a 64 MB target on a 200 MB bench table
+        # would collapse the write stage to 4 tasks and measure nothing
+        target = min(max(bytes_in // (4 * cpus), 2 * 1024 * 1024), 64 * 1024 * 1024)
+        maintenance["target_file_bytes"] = target
+
+        with timed("compact"):
+            compact(table, target_file_bytes=target)
+        with timed("zorder"):
+            cluster(table, curve="zorder", target_file_bytes=target)
+        with timed("hilbert"):
+            cluster(table, curve="hilbert", target_file_bytes=target)
+
+        # 1% upsert + 0.5% delete CDC batch
+        with timed("merge"):
+            cur = table.scan()
+            n_upd = max(rows // 100, 10)
+            n_del = max(rows // 200, 5)
+            sample = cur.select(*DATA_COLUMNS).orderBy("doc_id").limit(n_upd + n_del)
+            upd = (
+                sample.limit(n_upd)
+                .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+                .withColumn("n_tok", F.least("n_tok", F.lit(4)))
+                .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+            )
+            dele = (
+                sample.exceptAll(sample.limit(n_upd))
+                .withColumn(CDC_DELETED_AT, F.current_timestamp())
+            )
+            merge_into(table, upd.unionByName(dele), target_file_bytes=target)
+
+        maint_sec = timings["compact"] + timings["zorder"]
+        maintenance["compact_gb_per_s"] = round(
+            bytes_in / 1e9 / max(timings["compact"], 1e-9), 4
+        )
+        maintenance["zorder_gb_per_s"] = round(
+            bytes_in / 1e9 / max(timings["zorder"], 1e-9), 4
+        )
+        maintenance["seq_per_s"] = round(2 * rows / max(maint_sec, 1e-9), 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # ---- analytic queries on the driver testdata
+    qs = entrymod.queries()
+    for name in [
+        "q1_pricing_summary",
+        "merge_as_join",
+        "broadcast_dim_join",
+        "dedup_latest_event",
+        "doc_token_count",
+        "minhash_lsh",
+        "simhash_near_dup",
+        "embedding_topk",
+        "seq_table_stats",
+    ]:
+        with timed(name):
+            # noop sink: forces full computation of every output column
+            # without shipping rows to the driver
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "maintenance+query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "maintenance": maintenance,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,303 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+table. Design notes for the 100 TB case are per-operator; the common
+theme is: shuffles happen on *hash keys* (uniform), signatures are
+fixed-width (bounded state), and candidate generation is always a
+bucket-equi-join — never an all-pairs product. Exact-similarity
+verification runs only on the candidate set.
+
+References for the technique (public literature): Broder '97 (MinHash),
+Charikar '02 (SimHash), Leskovec et al., "Mining of Massive Datasets"
+ch.3 (banding/LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per content key (hash-groupBy dedup).
+
+    One shuffle on the md5 content hash; ties broken by ``order_col``
+    then the hash, so output is deterministic. This is the engine-side
+    version of the reference's reader-side `olake_id` dedup contract
+    (/root/reference/types/data_types.go:26-31).
+    """
+    ckey = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols]))
+    w = Window.partitionBy(ckey).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ----------------------------------------------------------------- shingles
+def word_shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of a text column — pure Catalyst:
+    split + sequence + transform + array_distinct, all codegen'd."""
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    # sequence(1, 0) would step BACKWARDS ([1,0]) — guard short docs
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    )
+    return F.array_distinct(sh)
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: explode distinct shingles, then
+    one hash-aggregation computing min(xxhash64(shingle, seed)) for all
+    permutations simultaneously — a single shuffle keyed on the doc id,
+    map-side partial aggregation included, all JVM-side.
+    """
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh{seed}")
+        for seed in range(num_perm)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        id_col, F.array(*[F.col(f"mh{s}") for s in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact verification.
+
+    1. signatures (one shuffle);
+    2. band keys: hash of each band's slice of the signature; explode
+       bands -> candidate buckets; self-equi-join on (band, key) with
+       id< id dedup — the join key is a uniform hash, so no skew;
+    3. exact MinHash-estimate filter >= threshold on candidates only.
+
+    Returns (id_a, id_b, est_jaccard). At 10^12 docs the all-pairs
+    product is impossible; this plan's cost is O(docs x bands) rows
+    through one equi-join.
+    """
+    r = num_perm // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), "sig", F.posexplode(band_arr).alias("band", "bkey")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1,
+        )
+    ) / F.lit(float(num_perm))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------------ simhash
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document: explode words, per-bit sign vote via
+    conditional sums in ONE aggregation (64 agg columns, still a single
+    shuffle with partial aggregation), recombined into a long."""
+    wordsh = F.xxhash64(F.col("w"))
+    exploded = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).withColumn("h", wordsh)
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        # shiftleft keeps bit 63 in JVM long range (wraps to sign bit)
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Hamming-distance near-dup via the pigeonhole block trick: split
+    the 64-bit simhash into ``blocks`` segments; any pair within
+    ``max_hamming`` (< blocks) must agree on >= 1 segment, so candidate
+    generation is an equi-join per segment — no all-pairs."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    sh = simhash(docs, id_col, text_col)
+    seg = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(blocks)
+        ]
+    )
+    seged = sh.select(id_col, "simhash", F.posexplode(seg).alias("blk", "seg"))
+    l, r = seged.alias("l"), seged.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.seg") == F.col("r.seg"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("ha"),
+            F.col("r.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -------------------------------------------------------------- exact jaccard
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = "source",
+    shingle_k: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within a blocking key.
+
+    The blocked self-join bounds the pair count (block_col=None is the
+    quadratic fallback for small inputs only). Used both standalone and
+    as the verifier behind MinHash candidates.
+    """
+    with_sh = docs.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        word_shingles(text_col, shingle_k).alias("sh"),
+    )
+    l, r = with_sh.alias("l"), with_sh.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = (F.col(f"l.{block_col}") == F.col(f"r.{block_col}")) & cond
+    pairs = l.join(r, cond).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col("l.sh").alias("sh_a"),
+        F.col("r.sh").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-duplicates over an array<float> embedding column.
+
+    Dot products via zip_with + aggregate (JVM, no UDF). Blocking keeps
+    the join linear-ish; the LSH variant for unblocked data lives in
+    operators/similarity.py.
+    """
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+    base = emb.select(
+        F.col(id_col),
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if block_col:
+        cond = (F.col(f"l.{block_col}") == F.col(f"r.{block_col}")) & cond
+    pairs = l.join(r, cond)
+    cos = dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    return (
+        pairs.select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -95,7 +95,12 @@ def merge_into(
     out_cols = [f.name for f in schema.fields]
 
     ch = _prepare_changes(changes, dedup_order_col).cache()
-    n_changes = ch.count()
+    stats = ch.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(CDC_DELETED_AT).isNotNull().cast("int")).alias("n_del"),
+    ).first()
+    n_changes = stats.n or 0
+    n_deletes_total = stats.n_del or 0
     if n_changes == 0:
         return MergeResult(snapshot_id=None)
 
@@ -134,15 +139,19 @@ def merge_into(
         existing_keys = table.scan(snapshot_id=snap.snapshot_id, files=touched).select(
             OLAKE_ID
         )
-        matched = ch.join(existing_keys, OLAKE_ID, "left_semi").cache()
+        mstats = (
+            ch.join(existing_keys, OLAKE_ID, "left_semi")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col(CDC_DELETED_AT).isNotNull().cast("int")).alias("n_del"),
+            )
+            .first()
+        )
+        n_matched, n_deletes_matched = mstats.n or 0, mstats.n_del or 0
     else:
-        matched = ch.filter(F.lit(False)).cache()
-    n_matched = matched.count()
-    n_deletes_matched = matched.filter(F.col(CDC_DELETED_AT).isNotNull()).count()
+        n_matched = n_deletes_matched = 0
     n_updates = n_matched - n_deletes_matched
-    n_inserts = (
-        ch.filter(F.col(CDC_DELETED_AT).isNull()).count() - n_updates
-    )
+    n_inserts = (n_changes - n_deletes_total) - n_updates
 
     # --- 3. rewrite touched files + append upserts
     now_ms = F.unix_micros(F.current_timestamp()) / F.lit(1000)
@@ -179,7 +188,6 @@ def merge_into(
         },
     )
     ch.unpersist()
-    matched.unpersist()
     return MergeResult(
         snapshot_id=new_snap,
         candidate_files=len(candidates),

@@ -1,0 +1,102 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct — the Spark-side schema, partition behavior, UDF
+signatures, and Arrow batch shapes are real and tested; the actual
+codec work is stubbed (image/audio libraries are not in this
+container) behind ``decode_stub``: deterministic fake features when
+``fake=True``, ``NotImplementedError`` otherwise, exactly where a
+Pillow/ffmpeg call would slot in.
+
+Scale design: payload bytes never pass through Python except inside
+the Arrow batches of ``mapInPandas`` (zero-copy into pandas); metadata
+extraction that doesn't need decoding (size, magic bytes) is pure
+Catalyst. Batch memory is bounded with maxRecordsPerBatch, not file
+count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "media_id string, n_bytes long, magic string, media_type string"
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, n_bytes long, width int, height int, feat array<float>"
+)
+
+
+def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Manufacture a deterministic binary payload column from text (the
+    testdata has no real media; the plumbing doesn't care)."""
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Catalyst-only metadata pass: byte length + magic prefix +
+    type sniff. No Python, no decode."""
+    magic = F.upper(F.hex(F.substring(F.col("payload"), 1, 4)))
+    mtype = (
+        F.when(magic.startswith("FFD8"), F.lit("image/jpeg"))
+        .when(magic.startswith("89504E47"), F.lit("image/png"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return df.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        magic.alias("magic"),
+        mtype.alias("media_type"),
+    )
+
+
+def decode_stub(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
+    """Where a real decoder (PIL.Image.open / libsndfile / ffmpeg)
+    would run. Deterministic fake: dimensions and a 4-dim feature
+    derived from byte stats."""
+    if not fake:
+        raise NotImplementedError(
+            "real media decoding requires Pillow/ffmpeg — not in this container"
+        )
+    a = np.frombuffer(payload, dtype=np.uint8)
+    h = int(a[:4].sum()) % 480 + 16 if len(a) else 16
+    w = int(a[4:8].sum()) % 640 + 16 if len(a) >= 8 else 16
+    feat = np.array(
+        [len(a), float(a.mean()) if len(a) else 0.0, float(a.min()) if len(a) else 0.0,
+         float(a.max()) if len(a) else 0.0],
+        dtype=np.float32,
+    )
+    return w, h, feat
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads — the real
+    UDF shape a decode/resize/frame-sample stage uses: iterator of
+    Arrow batches in, bounded memory, one output row per media row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, feat = decode_stub(bytes(payload), fake)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_bytes": len(payload),
+                        "width": w,
+                        "height": h,
+                        "feat": feat,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -79,6 +79,7 @@ class DataFile:
     file_size_bytes: int
     partition: str | None = None
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
+    schema_id: int = 0  # schema the file was written under (evolution)
 
     def to_dict(self) -> dict:
         return {
@@ -87,6 +88,7 @@ class DataFile:
             "file_size_bytes": self.file_size_bytes,
             "partition": self.partition,
             "stats": self.stats,
+            "schema_id": self.schema_id,
         }
 
     @classmethod
@@ -97,6 +99,7 @@ class DataFile:
             file_size_bytes=d["file_size_bytes"],
             partition=d.get("partition"),
             stats=d.get("stats", {}),
+            schema_id=d.get("schema_id", 0),
         )
 
     def may_contain(self, col: str, value) -> bool:
@@ -255,6 +258,7 @@ class Table:
         """
         snap = self.snapshot(snapshot_id)
         schema = self.schema(snap.schema_id if snap else None)
+        target_sid = snap.schema_id if snap else self.metadata["current_schema_id"]
         cand = files if files is not None else self.files(snapshot_id)
         if sources is not None:
             cand = [
@@ -269,9 +273,25 @@ class Table:
             cand = [f for f in cand if f.overlaps("n_tok", *n_tok_range)]
         if not cand:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
-            *[self.abs_path(f.path) for f in cand]
-        )
+        # group files by the schema they were written under; coerce older
+        # groups to the snapshot schema (add-column -> null, int->long
+        # promotion -> cast) — Iceberg-style read-time schema evolution
+        by_sid: dict[int, list[DataFile]] = {}
+        for f in cand:
+            by_sid.setdefault(f.schema_id, []).append(f)
+        parts = []
+        for sid, fs in sorted(by_sid.items()):
+            part = self.spark.read.schema(self.schema(sid)).parquet(
+                *[self.abs_path(f.path) for f in fs]
+            )
+            if sid != target_sid:
+                from olake_spark.functions.reformat import coerce_to_schema
+
+                part = coerce_to_schema(part, schema)
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         # re-apply the prune predicates as row filters so results are exact
         if sources is not None:
             df = df.filter(F.col("source").isin(sources))
@@ -322,6 +342,7 @@ class Table:
                     file_size_bytes=s["file_size_bytes"],
                     partition=partition,
                     stats=st,
+                    schema_id=self.metadata["current_schema_id"],
                 )
             )
         return out

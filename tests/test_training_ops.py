@@ -1,0 +1,186 @@
+"""Brute-force oracles for the non-SQL-expressible training-data ops:
+MinHash LSH, SimHash, ANN recall, curve-key UDF, multimodal plumbing."""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from olake_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_stub,
+    extract_features,
+    media_metadata,
+)
+from olake_spark.operators.similarity import brute_force_topk, lsh_topk
+from olake_spark.operators.text import analyze_documents
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+def _mk_docs(spark, n=24, seed=5):
+    """Docs with built-in near-duplicates: doc 3i+1 is a light perturbation
+    of doc 3i; doc 3i+2 is unrelated."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n // 3):
+        base = list(rng.choice(WORDS, 30))
+        near = list(base)
+        near[5] = "zulu"  # one-word edit -> high jaccard
+        other = list(rng.choice(WORDS, 30))
+        rows.append((f"d{3*i:03d}", " ".join(base), "s"))
+        rows.append((f"d{3*i+1:03d}", " ".join(near), "s"))
+        rows.append((f"d{3*i+2:03d}", " ".join(other), "s"))
+    return spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+
+def _py_jaccard(a: str, b: str, k: int) -> float:
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def test_ngram_jaccard_matches_python_oracle(spark):
+    docs = _mk_docs(spark)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, shingle_k=2).collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        j = _py_jaccard(rows[a], rows[b], 2)
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    docs = _mk_docs(spark)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, jaccard_threshold=0.4
+        ).collect()
+    }
+    # every planted near-dup pair (true jaccard >= 0.8) must be found
+    planted = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if _py_jaccard(rows[a], rows[b], 2) >= 0.8
+    }
+    assert planted, "fixture should contain near-dups"
+    assert planted <= pairs
+    # and no wildly-dissimilar pair should survive the estimate filter
+    for a, b in pairs:
+        assert _py_jaccard(rows[a], rows[b], 2) >= 0.2
+
+
+def test_simhash_blocks_find_identical_and_near(spark):
+    docs = _mk_docs(spark)
+    pairs = simhash_near_dup_pairs(docs, max_hamming=10, blocks=4).collect()
+    by_pair = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    # planted near-dups (one-word edit) must appear with small hamming
+    planted = [(f"d{3*i:03d}", f"d{3*i+1:03d}") for i in range(len(by_pair) and 8)]
+    found = [p for p in planted if p in by_pair]
+    assert len(found) >= len(planted) // 2
+    for p in found:
+        assert by_pair[p] <= 10
+
+
+def _mk_embeddings(spark, n=300, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id int, embedding array<float>"),
+        M,
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb, M = _mk_embeddings(spark)
+    q = M[0]
+    got = brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), list(map(float, q)), k=5
+    ).collect()
+    cos = (M @ q) / (np.linalg.norm(M, axis=1) * np.linalg.norm(q))
+    cos[0] = -np.inf
+    want = list(np.argsort(-cos)[:5])
+    assert [r.vec_id for r in got] == [int(i) for i in want]
+
+
+def test_lsh_ann_recall(spark):
+    emb, M = _mk_embeddings(spark)
+    q = M[0]
+    exact = {
+        r.vec_id
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), list(map(float, q)), k=10
+        ).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in lsh_topk(
+            emb.filter(F.col("vec_id") != 0),
+            list(map(float, q)),
+            k=10,
+            n_planes=8,
+            probe_hamming=2,
+            seed=7,
+        ).collect()
+    }
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3  # deterministic given fixed seed
+    # every approx hit must be a real vector ranked by true cosine
+    assert approx <= {int(i) for i in range(300)}
+
+
+def test_text_analysis_metrics(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "the cat and the dog sat on the mat for fun", "s"),
+            ("b", "der hund und die katze ist nicht ein tier von hier", "s"),
+            ("c", "xxxxx yyyyy zzzzz", "s"),
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {r.doc_id: r for r in analyze_documents(docs).collect()}
+    assert out["a"].pred_lang == "en"
+    assert out["b"].pred_lang == "de"
+    assert out["c"].pred_lang == "und"
+    assert out["a"].tok_count == 11
+    assert out["a"].stop_ratio > out["c"].stop_ratio
+    assert 0.0 <= out["a"].quality <= 1.0
+    # deterministic fingerprint
+    again = {r.doc_id: r.fp for r in analyze_documents(docs).collect()}
+    assert all(again[k] == out[k].fp for k in again)
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [("1", "hello world", "s"), ("2", "bytes here", "s")],
+        "doc_id string, text string, source string",
+    )
+    media = attach_fake_payload(docs, "doc_id", "text")
+    meta = {r.media_id: r for r in media_metadata(media).collect()}
+    assert meta["1"].n_bytes == len("hello world")
+    assert meta["1"].magic == "68656C6C".upper()
+    feats = {r.media_id: r for r in extract_features(media, fake=True).collect()}
+    assert feats["1"].n_bytes == 11
+    assert len(feats["1"].feat) == 4
+    assert feats["1"].width >= 16 and feats["1"].height >= 16
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        extract_features(media, fake=False).collect()
