@@ -1,0 +1,172 @@
+"""CLI — the reference's four verbs, Spark-native (SURVEY.md §3).
+
+The reference's query language is its CLI: ``spec | check | discover |
+sync`` (/root/reference/README.md:81-86, command wiring
+/root/reference/protocol/root.go:68-69). Same surface here:
+
+    python -m olake_spark spec
+    python -m olake_spark check    --dest <table_root>
+    python -m olake_spark discover --source <parquet_dir>
+    python -m olake_spark sync     --source <parquet_dir> --dest <table_root>
+                                   [--mode full_refresh|cdc] [--feed <dir>]
+                                   [--state <ledger_dir>] [--cpus N]
+
+Messages go to stdout as single-line JSON envelopes typed like the
+reference's message stream (/root/reference/types/message_type.go:6-14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+
+def _msg(mtype: str, payload) -> None:
+    print(json.dumps({"type": mtype, "ts_ms": int(time.time() * 1000), **payload}))
+
+
+SPEC = {
+    "title": "olake_spark job config",
+    "type": "object",
+    "properties": {
+        "source": {"type": "string", "description": "parquet dir or table root"},
+        "dest": {"type": "string", "description": "table root to create/append"},
+        "mode": {"enum": ["full_refresh", "cdc"], "default": "full_refresh"},
+        "feed": {"type": "string", "description": "CDC json-lines dir (mode=cdc)"},
+        "target_file_bytes": {"type": "integer", "default": 134217728},
+        "cpus": {"type": "integer", "default": 8},
+    },
+    "required": ["dest"],
+}
+
+
+def cmd_spec(_args) -> int:
+    _msg("SPEC", {"spec": SPEC})
+    return 0
+
+
+def cmd_check(args) -> int:
+    """Destination write-test, like the reference's check
+    (/root/reference/writers/parquet/parquet.go:165-204)."""
+    from olake_spark.session import get_spark
+    from olake_spark.table import Table
+
+    if not args.dest:
+        _msg("ERROR", {"message": "check requires --dest"})
+        return 2
+    try:
+        os.makedirs(args.dest, exist_ok=True)
+        probe = os.path.join(args.dest, ".olake_check")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        spark = get_spark("olake-check", cores=args.cpus)
+        if os.path.exists(os.path.join(args.dest, "VERSION")):
+            t = Table.load(spark, args.dest)
+            _msg("CONNECTION_STATUS", {"status": "SUCCEEDED", "existing_table": True,
+                                       "snapshot": t.current_snapshot_id})
+        else:
+            _msg("CONNECTION_STATUS", {"status": "SUCCEEDED", "existing_table": False})
+        return 0
+    except Exception as e:  # noqa: BLE001
+        _msg("CONNECTION_STATUS", {"status": "FAILED", "message": str(e)})
+        return 1
+
+
+def cmd_discover(args) -> int:
+    """Emit a catalog of streams (tables) with schemas — the reference's
+    discover (/root/reference/protocol/discover.go:16-26); for typed
+    parquet, schema inference is metadata-only."""
+    from olake_spark.session import get_spark
+
+    if not args.source:
+        _msg("ERROR", {"message": "discover requires --source <parquet dir>"})
+        return 2
+    spark = get_spark("olake-discover", cores=args.cpus)
+    streams = []
+    for p in sorted(glob.glob(os.path.join(args.source, "*.parquet"))):
+        name = os.path.basename(p).replace(".parquet", "")
+        df = spark.read.parquet(p)
+        streams.append(
+            {
+                "name": name,
+                "namespace": os.path.basename(args.source.rstrip("/")),
+                "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
+                "supported_sync_modes": ["full_refresh", "cdc"],
+            }
+        )
+    _msg("CATALOG", {"streams": streams})
+    return 0
+
+
+def cmd_sync(args) -> int:
+    if not args.dest:
+        _msg("ERROR", {"message": "sync requires --dest"})
+        return 2
+    if args.mode == "cdc" and not args.feed:
+        _msg("ERROR", {"message": "sync --mode cdc requires --feed <json-lines dir>"})
+        return 2
+    if args.mode == "full_refresh" and not args.source:
+        _msg("ERROR", {"message": "sync --mode full_refresh requires --source"})
+        return 2
+    from pyspark.sql import functions as F
+
+    from olake_spark.plans.telemetry import StatsMonitor
+    from olake_spark.schema import with_system_columns
+    from olake_spark.session import get_spark
+    from olake_spark.table import Table
+
+    spark = get_spark("olake-sync", cores=args.cpus)
+    if os.path.exists(os.path.join(args.dest, "VERSION")):
+        table = Table.load(spark, args.dest)
+    else:
+        table = Table.create(spark, args.dest)
+
+    stats_path = os.path.join(args.dest, "stats.json")
+    with StatsMonitor(spark, stats_path) as mon:
+        if args.mode == "cdc":
+            from olake_spark.streaming.cdc_stream import run_cdc_stream
+
+            ckpt = args.state or os.path.join(args.dest, "jobs", "cdc-checkpoint")
+            cursor = run_cdc_stream(table, args.feed, ckpt, bounded=True)
+            mon.add_records(table.total_rows())
+            _msg("STATE", {"mode": "cdc", "cursor": cursor,
+                           "snapshot": table.refresh().current_snapshot_id})
+        else:
+            src = spark.read.parquet(args.source)
+            if "doc_id" not in src.columns:
+                # generic table: synthesize engine shape where possible
+                src = src.withColumn("doc_id", F.monotonically_increasing_id().cast("string"))
+            rows = src.count()
+            snap = table.append(with_system_columns(src))
+            mon.add_records(rows)
+            _msg("STATE", {"mode": "full_refresh", "rows": rows, "snapshot": snap})
+    _msg("RECORD_COUNT", {"total_rows": table.total_rows(),
+                          "total_files": len(table.files())})
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="olake_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("spec")
+    for name in ("check", "discover", "sync"):
+        sp = sub.add_parser(name)
+        sp.add_argument("--source")
+        sp.add_argument("--dest")
+        sp.add_argument("--mode", default="full_refresh",
+                        choices=["full_refresh", "cdc"])
+        sp.add_argument("--feed")
+        sp.add_argument("--state")
+        sp.add_argument("--cpus", type=int, default=8)
+    args = p.parse_args(argv)
+    return {"spec": cmd_spec, "check": cmd_check,
+            "discover": cmd_discover, "sync": cmd_sync}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -17,7 +17,6 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from olake_spark.functions.zorder import splitmix64_np
 from olake_spark.schema import with_system_columns

@@ -146,13 +146,20 @@ def cluster(
         grows = sum(f.record_count for f in gfiles)
         n_bins = max(1, math.ceil(gbytes / target_file_bytes))
         df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
-        clustered = (
-            df.withColumn(CKEY, key_udf(*[F.col(c) for c in in_cols]))
-            .repartitionByRange(n_bins, F.col(CKEY))
-            .sortWithinPartitions(CKEY)
-            .drop(CKEY)
-        )
-        outputs = table.write_data_files(clustered)
+        # persist the keyed rows: repartitionByRange's boundary-sampling
+        # pass re-evaluates the child plan, which would run the curve-key
+        # UDF (and the scan) twice over every row. The group is bounded
+        # by max_group_bytes, so the cached slice fits executor storage.
+        keyed = df.withColumn(CKEY, key_udf(*[F.col(c) for c in in_cols])).persist()
+        try:
+            clustered = (
+                keyed.repartitionByRange(n_bins, F.col(CKEY))
+                .sortWithinPartitions(CKEY)
+                .drop(CKEY)
+            )
+            outputs = table.write_data_files(clustered)
+        finally:
+            keyed.unpersist()
         ledger.mark_done(
             key,
             [o.to_dict() for o in outputs],

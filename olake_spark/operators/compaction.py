@@ -114,12 +114,26 @@ def compact(
     max_group_bytes: int | None = None,
     snapshot_id: int | None = None,
     job_id: str | None = None,
+    mode: str = "binpack",
 ) -> CompactionResult:
     """Rewrite small files into ~``target_file_bytes`` files.
+
+    mode='binpack' (default, matches Iceberg rewrite_data_files binpack):
+    ZERO-shuffle — the parquet scan itself packs small files into
+    ~target-size partitions (spark.sql.files.maxPartitionBytes) and each
+    scan partition is written straight out as one file. One decode+encode
+    pass over the data, no exchange, no sort. File-level source/doc_id
+    locality is whatever the inputs had.
+
+    mode='sort': additionally clusters output by (source, doc_id) via a
+    sampled range exchange — 2 reads + a shuffle; use when downstream
+    scans need tight min/max stats and the clustering job isn't run.
 
     Idempotently resumable: re-invoking with the same (snapshot, params)
     reuses the ledger; finished groups are never re-executed.
     """
+    if mode not in ("binpack", "sort"):
+        raise ValueError(f"unknown compaction mode: {mode}")
     table.refresh()
     snap = table.snapshot(snapshot_id)
     if snap is None:
@@ -130,7 +144,7 @@ def compact(
     jid = job_id or _job_id(
         "compact",
         snap.snapshot_id,
-        f"{target_file_bytes}:{small_file_ratio}:{min_group_files}:{max_group_bytes}",
+        f"{target_file_bytes}:{small_file_ratio}:{min_group_files}:{max_group_bytes}:{mode}",
     )
     ledger = Ledger.for_job(table.root, jid)
     if ledger.committed_snapshot_id is not None:
@@ -154,17 +168,34 @@ def compact(
     for key, gfiles in groups:
         ledger.plan(key, [f.path for f in gfiles])
 
+    spark = table.spark
     for key in sorted(ledger.pending_keys()):
         gfiles = [by_path[p] for p in ledger.entry(key)["inputs"]]
         gbytes = sum(f.file_size_bytes for f in gfiles)
         grows = sum(f.record_count for f in gfiles)
-        n_bins = max(1, math.ceil(gbytes / target_file_bytes))
-        df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
-        out = (
-            df.repartitionByRange(n_bins, F.col("source"), F.col("doc_id"))
-            .sortWithinPartitions("source", "doc_id")
-        )
-        outputs = table.write_data_files(out)
+        if mode == "binpack":
+            # scan-level packing: small files coalesce into ~target-size
+            # read partitions; write is narrow (partition -> one file)
+            old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+            old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+            try:
+                spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", str(target_file_bytes)
+                )
+                spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+                out = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+                outputs = table.write_data_files(out)
+            finally:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+                spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+        else:
+            n_bins = max(1, math.ceil(gbytes / target_file_bytes))
+            df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+            out = (
+                df.repartitionByRange(n_bins, F.col("source"), F.col("doc_id"))
+                .sortWithinPartitions("source", "doc_id")
+            )
+            outputs = table.write_data_files(out)
         ledger.mark_done(
             key,
             [o.to_dict() for o in outputs],

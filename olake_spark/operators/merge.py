@@ -133,12 +133,15 @@ def merge_into(
             p = r._file.removeprefix("file://")
             touched_paths.add(abs_to_rel.get(p, p))
     touched = [f for f in candidates if f.path in touched_paths]
+    touched_scan = (
+        table.scan(snapshot_id=snap.snapshot_id, files=touched).persist()
+        if touched
+        else None
+    )
 
     # matched key count -> split updates vs inserts
     if touched:
-        existing_keys = table.scan(snapshot_id=snap.snapshot_id, files=touched).select(
-            OLAKE_ID
-        )
+        existing_keys = touched_scan.select(OLAKE_ID)
         mstats = (
             ch.join(existing_keys, OLAKE_ID, "left_semi")
             .agg(
@@ -161,11 +164,7 @@ def merge_into(
         .select(*out_cols)
     )
     if touched:
-        kept = (
-            table.scan(snapshot_id=snap.snapshot_id, files=touched)
-            .join(keys_b, OLAKE_ID, "left_anti")
-            .select(*out_cols)
-        )
+        kept = touched_scan.join(keys_b, OLAKE_ID, "left_anti").select(*out_cols)
         result = kept.unionByName(upserts)
     else:
         result = upserts
@@ -188,6 +187,8 @@ def merge_into(
         },
     )
     ch.unpersist()
+    if touched_scan is not None:
+        touched_scan.unpersist()
     return MergeResult(
         snapshot_id=new_snap,
         candidate_files=len(candidates),

@@ -46,11 +46,22 @@ def _per_source_counts(df):
 
 
 # ------------------------------------------------------------------ compaction
+def test_compaction_binpack_zero_shuffle(spark, small_table, seq_df):
+    """Default binpack mode: correctness + fewer files, no exchange."""
+    t = small_table
+    before = _per_source_counts(t.scan())
+    res = compact(t, target_file_bytes=1 * 1024 * 1024, mode="binpack")
+    assert res.rows == N_ROWS
+    assert len(t.files()) < 40
+    assert _tokens_equal(t.scan(), seq_df)
+    assert _per_source_counts(t.scan()) == before
+
+
 def test_compaction_end_to_end(spark, small_table, seq_df):
     t = small_table
     v1 = t.current_snapshot_id
     before = _per_source_counts(t.scan())
-    res = compact(t, target_file_bytes=1 * 1024 * 1024)
+    res = compact(t, target_file_bytes=1 * 1024 * 1024, mode="sort")
     assert res.snapshot_id == t.current_snapshot_id != v1
     assert res.rows == N_ROWS
     after_files = t.files()
