@@ -88,7 +88,8 @@ def main() -> None:
         maintenance["target_file_bytes"] = target
 
         with timed("compact"):
-            compact(table, target_file_bytes=target)
+            cres = compact(table, target_file_bytes=target)
+        maintenance["compact_skipped"] = bool(cres.skipped)
         with timed("zorder"):
             cluster(table, curve="zorder", target_file_bytes=target)
         with timed("hilbert"):

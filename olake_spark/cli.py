@@ -103,6 +103,17 @@ def cmd_discover(args) -> int:
     return 0
 
 
+def _ensure_doc_id(df):
+    """Generic tables get a content-addressed doc_id (stable across
+    batches — a monotonically_increasing_id would collide between
+    incremental appends)."""
+    from pyspark.sql import functions as F
+
+    if "doc_id" in df.columns:
+        return df
+    return df.withColumn("doc_id", F.md5(F.to_json(F.struct(*df.columns))))
+
+
 def cmd_sync(args) -> int:
     if not args.dest:
         _msg("ERROR", {"message": "sync requires --dest"})
@@ -110,8 +121,11 @@ def cmd_sync(args) -> int:
     if args.mode == "cdc" and not args.feed:
         _msg("ERROR", {"message": "sync --mode cdc requires --feed <json-lines dir>"})
         return 2
-    if args.mode == "full_refresh" and not args.source:
-        _msg("ERROR", {"message": "sync --mode full_refresh requires --source"})
+    if args.mode in ("full_refresh", "incremental") and not args.source:
+        _msg("ERROR", {"message": f"sync --mode {args.mode} requires --source"})
+        return 2
+    if args.mode == "incremental" and not args.cursor_col:
+        _msg("ERROR", {"message": "sync --mode incremental requires --cursor-col"})
         return 2
     from pyspark.sql import functions as F
 
@@ -136,11 +150,33 @@ def cmd_sync(args) -> int:
             mon.add_records(table.total_rows())
             _msg("STATE", {"mode": "cdc", "cursor": cursor,
                            "snapshot": table.refresh().current_snapshot_id})
+        elif args.mode == "incremental":
+            # cursor-based append — declared but UNIMPLEMENTED in the
+            # reference (README.md:42); cursor filter shape per
+            # /root/reference/pkg/jdbc/jdbc.go:14-16 (k > $1), cursor
+            # advanced only after the snapshot commit
+            import json as _json
+
+            cur_path = os.path.join(args.dest, "jobs", "incremental-cursor.json")
+            last = None
+            if os.path.exists(cur_path):
+                with open(cur_path) as fh:
+                    last = _json.load(fh).get("cursor")
+            src = _ensure_doc_id(spark.read.parquet(args.source))
+            batch = src.filter(F.col(args.cursor_col) > F.lit(last)) if last is not None else src
+            new_max = batch.agg(F.max(args.cursor_col).cast("string")).first()[0]
+            rows = batch.count()
+            if rows:
+                snap = table.append(with_system_columns(batch))
+                os.makedirs(os.path.dirname(cur_path), exist_ok=True)
+                with open(cur_path, "w") as fh:
+                    _json.dump({"cursor": new_max, "snapshot": snap}, fh)
+            mon.add_records(rows)
+            _msg("STATE", {"mode": "incremental", "rows": rows,
+                           "cursor": new_max or last,
+                           "snapshot": table.current_snapshot_id})
         else:
-            src = spark.read.parquet(args.source)
-            if "doc_id" not in src.columns:
-                # generic table: synthesize engine shape where possible
-                src = src.withColumn("doc_id", F.monotonically_increasing_id().cast("string"))
+            src = _ensure_doc_id(spark.read.parquet(args.source))
             rows = src.count()
             snap = table.append(with_system_columns(src))
             mon.add_records(rows)
@@ -159,8 +195,9 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--source")
         sp.add_argument("--dest")
         sp.add_argument("--mode", default="full_refresh",
-                        choices=["full_refresh", "cdc"])
+                        choices=["full_refresh", "incremental", "cdc"])
         sp.add_argument("--feed")
+        sp.add_argument("--cursor-col", dest="cursor_col")
         sp.add_argument("--state")
         sp.add_argument("--cpus", type=int, default=8)
     args = p.parse_args(argv)

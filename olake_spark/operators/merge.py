@@ -104,9 +104,25 @@ def merge_into(
     if n_changes == 0:
         return MergeResult(snapshot_id=None)
 
-    # --- 1. candidate files via manifest doc_id range pruning
+    # --- 1. candidate files via manifest doc_id pruning. For small
+    # batches, test each file's [min,max] window against the sorted key
+    # set (exact; prunes scattered keys far better than global bounds);
+    # larger batches fall back to global-bounds overlap.
     files = table.files(snap.snapshot_id) if snap else []
-    if files and n_changes <= BROADCAST_KEYS_MAX:
+    if files and n_changes <= 100_000:
+        import bisect
+
+        ids = sorted(r.doc_id for r in ch.select("doc_id").distinct().collect())
+
+        def _file_hits(f) -> bool:
+            st = f.stats.get("doc_id")
+            if not st or st.get("min") is None:
+                return True
+            i = bisect.bisect_left(ids, st["min"])
+            return i < len(ids) and ids[i] <= st["max"]
+
+        candidates = [f for f in files if _file_hits(f)]
+    elif files and n_changes <= BROADCAST_KEYS_MAX:
         bounds = ch.agg(
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
         ).first()

@@ -66,6 +66,14 @@ def collect_file_stats(
     record_count, size, and per-column min/max/null_count."""
     if not paths:
         return []
+    if len(paths) <= 96:
+        # small manifests: a driver-side pyarrow loop beats the fixed
+        # cost of scheduling a Spark job (~2 s saved per maintenance run);
+        # the distributed path below is for million-file tables
+        out = [_footer_stats(p, stats_cols) for p in paths]
+        for d in out:
+            d["stats"] = json.loads(d.pop("stats_json"))
+        return out
     n_part = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
     pdf_in = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         n_part

@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions: the optimizations SURVEY.md §4 relies
+on must actually appear in the plans Catalyst produces — pushdown,
+column pruning, broadcast joins, zero-shuffle binpack, top-k as
+TakeOrderedAndProject."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.datagen import generate_sequences
+from olake_spark.sources.tpch import load_table
+from olake_spark.table import Table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_range_filter_pushed_to_scan(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.col("l_orderkey").between(1000, 2000)).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_orderkey,1000)" in plan
+    assert "LessThanOrEqual(l_orderkey,2000)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    d = load_table(spark, SF_DIR, "documents")
+    df = d.select("doc_id", F.size(F.split("text", " ")).alias("tok_count"))
+    plan = _plan(df)
+    # ReadSchema must NOT include lang/source/n_chars
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_small_dim_join_goes_broadcast(spark):
+    c = load_table(spark, SF_DIR, "customer")
+    n = load_table(spark, SF_DIR, "nation")
+    df = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).groupBy(
+        "n_name"
+    ).count()
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_topk_plans_take_ordered(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    df = o.orderBy(F.desc("o_totalprice")).limit(5)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_manifest_pruned_scan_and_stats_pushdown(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    df = generate_sequences(spark, 2000, seed=3, max_tok=32)
+    t.append(df.repartition(8, "source"))  # source-pure files
+    all_files = t.files()
+    pruned = t.scan(sources=["web"])
+    # file-level pruning happened before Spark ever saw the paths
+    n_cand = len(
+        [
+            f
+            for f in all_files
+            if f.partition == "web"
+            or (f.partition is None and f.may_contain("source", "web"))
+        ]
+    )
+    assert n_cand < len(all_files)
+    plan = _plan(pruned)
+    # the residual source filter is also pushed into the parquet scan
+    assert "PushedFilters" in plan and "source" in plan
+
+
+def test_binpack_compaction_plan_has_no_exchange(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    df = generate_sequences(spark, 3000, seed=5, max_tok=32)
+    t.append(df.repartition(30))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+        scan = t.scan()
+        assert "Exchange" not in _plan(scan)
+        # scan-level packing merged 30 small files into far fewer splits
+        assert scan.rdd.getNumPartitions() < 30
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_merge_discovery_join_is_broadcast(spark, tmp_path):
+    from olake_spark.schema import OLAKE_ID
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    df = generate_sequences(spark, 2000, seed=7, max_tok=32)
+    t.append(df.repartition(4))
+    keys = df.limit(10).select(OLAKE_ID)
+    probe = (
+        t.scan()
+        .select(OLAKE_ID, F.input_file_name().alias("_file"))
+        .join(F.broadcast(keys), OLAKE_ID, "left_semi")
+    )
+    assert "BroadcastHashJoin" in _plan(probe)

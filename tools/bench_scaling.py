@@ -36,7 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHM = "/dev/shm/olake_scaling"
 
 RUNNER = r"""
-import json, os, sys, time
+import json, os, shutil, sys, time
 sys.path.insert(0, os.environ["OLAKE_REPO"])
 from olake_spark.session import get_spark
 from olake_spark.table import Table
@@ -44,12 +44,15 @@ from olake_spark.operators.compaction import compact
 from olake_spark.operators.clustering import cluster
 
 cores = int(os.environ["OLAKE_CORES"])
-root = os.environ["OLAKE_TABLE_ROOT"]
+src = os.environ["OLAKE_SRC"]
+work = os.environ["OLAKE_WORK"]
+iters = int(os.environ.get("OLAKE_ITERS", "3"))
 spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=2 * cores,
                   extra_conf={"spark.local.dir": os.environ["OLAKE_LOCAL_DIR"]})
-# warm-ups: JIT, Python UDF workers (Arrow), mapInPandas, parquet codecs.
-# These are per-JVM constants identical at every core count; excluding
-# them isolates the quantity under test (how the JOB scales with cores).
+# warm-ups: JIT, Python UDF workers (Arrow), mapInPandas, parquet codecs —
+# per-JVM constants identical at every core count. Iterating INSIDE one
+# warm JVM (fresh table copy per iteration) isolates how the JOB scales
+# with cores, which is what a 2-cluster-size study measures.
 import pandas as _pd
 from pyspark.sql import functions as _F
 spark.range(10**7).count()
@@ -61,21 +64,26 @@ spark.range(10000).mapInPandas(lambda it: it, "id long").count()
 _wp = os.environ["OLAKE_LOCAL_DIR"] + "/warm.parquet"
 spark.range(10000).selectExpr("cast(id as string) doc_id").write.mode("overwrite").parquet(_wp)
 spark.read.parquet(_wp).count()
-table = Table.load(spark, root)
-bytes_in = table.total_bytes()
-rows = table.total_rows()
-# identical bin count at every level: task count fixed, cores vary
-target = min(max(bytes_in // 256, 2 * 1024 * 1024), 64 * 1024 * 1024)
-t0 = time.time()
-compact(table, target_file_bytes=target)
-t1 = time.time()
-cluster(table, curve="zorder", target_file_bytes=target)
-t2 = time.time()
-print("RESULT " + json.dumps({
-    "cores": cores, "bytes": bytes_in, "rows": rows,
-    "compact_s": round(t1 - t0, 3), "zorder_s": round(t2 - t1, 3),
-    "total_s": round(t2 - t0, 3),
-}))
+
+for it in range(iters):
+    root = os.path.join(work, f"iter{it}")
+    shutil.copytree(src, root)
+    table = Table.load(spark, root)
+    bytes_in = table.total_bytes()
+    rows = table.total_rows()
+    target = min(max(bytes_in // 128, 8 * 1024 * 1024), 64 * 1024 * 1024)
+    t0 = time.time()
+    cres = compact(table, target_file_bytes=target)
+    t1 = time.time()
+    assert not cres.skipped, "compaction no-opped: bench geometry is wrong"
+    cluster(table, curve="zorder", target_file_bytes=target)
+    t2 = time.time()
+    print("RESULT " + json.dumps({
+        "cores": cores, "bytes": bytes_in, "rows": rows, "iter": it,
+        "compact_s": round(t1 - t0, 3), "zorder_s": round(t2 - t1, 3),
+        "total_s": round(t2 - t0, 3),
+    }), flush=True)
+    shutil.rmtree(root, ignore_errors=True)
 spark.stop()
 """
 
@@ -91,25 +99,27 @@ from olake_spark.table import Table
 spark = get_spark("prep", cores=32, shuffle_partitions=64)
 df = generate_sequences(spark, {rows}, seed=42, max_tok=1024)
 t = Table.create(spark, {root!r})
-t.append(df.repartition(256))
+t.append(df.repartition(384))
 print("prepared", t.total_rows(), "rows,", t.total_bytes(), "bytes")
 spark.stop()
 """
     subprocess.run([sys.executable, "-c", code], env=env, check=True)
 
 
-def run_leg(cores: int, src_root: str, tag: str) -> dict:
-    run_root = os.path.join(SHM, f"run_{tag}")
+def run_leg(cores: int, src_root: str, tag: str, iters: int = 3) -> list[dict]:
+    work = os.path.join(SHM, f"work_{tag}")
     local_dir = os.path.join(SHM, f"local_{tag}")
-    shutil.copytree(src_root, run_root)
+    os.makedirs(work, exist_ok=True)
     os.makedirs(local_dir, exist_ok=True)
     env = dict(
         os.environ,
         OLAKE_REPO=REPO,
         PYTHONPATH=REPO,
         OLAKE_CORES=str(cores),
-        OLAKE_TABLE_ROOT=run_root,
+        OLAKE_SRC=src_root,
+        OLAKE_WORK=work,
         OLAKE_LOCAL_DIR=local_dir,
+        OLAKE_ITERS=str(iters),
     )
     try:
         out = subprocess.run(
@@ -119,12 +129,16 @@ def run_leg(cores: int, src_root: str, tag: str) -> dict:
             capture_output=True,
             text=True,
         )
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                return json.loads(line[len("RESULT "):])
-        raise RuntimeError(f"no RESULT; stderr: {out.stderr[-1500:]}")
+        results = [
+            json.loads(line[len("RESULT "):])
+            for line in out.stdout.splitlines()
+            if line.startswith("RESULT ")
+        ]
+        if not results:
+            raise RuntimeError(f"no RESULT; stderr: {out.stderr[-1500:]}")
+        return results
     finally:
-        shutil.rmtree(run_root, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(local_dir, ignore_errors=True)
 
 
@@ -138,7 +152,8 @@ def best_of(results: list[dict]) -> dict:
 
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     shutil.rmtree(SHM, ignore_errors=True)
     os.makedirs(SHM, exist_ok=True)
     src = os.path.join(SHM, "src_tbl")
@@ -146,11 +161,17 @@ def main() -> None:
     try:
         prepare_table(rows, src)
         raw: dict[int, list[dict]] = {c: [] for c in levels}
-        for rep in range(reps):  # interleaved reps
+        for rep in range(reps):  # interleaved JVM reps x in-JVM iterations
             for c in levels:
-                r = run_leg(c, src, f"c{c}_r{rep}")
-                raw[c].append(r)
-                print(f"rep{rep} cores={c}: {r['total_s']}s")
+                # ambient-load gate: the VM has multi-minute noise bursts;
+                # wait (bounded) for a quiet window before each leg
+                waited = 0.0
+                while os.getloadavg()[0] > 1.5 and waited < 600:
+                    time.sleep(10)
+                    waited += 10
+                rs = run_leg(c, src, f"c{c}_r{rep}", iters)
+                raw[c].extend(rs)
+                print(f"rep{rep} cores={c}: " + ", ".join(str(r["total_s"]) for r in rs))
     finally:
         shutil.rmtree(SHM, ignore_errors=True)
 
@@ -164,8 +185,10 @@ def main() -> None:
 Same compaction+Z-order job, byte-identical fresh copies of one
 pre-generated input table ({best[2]['rows']:,} sequences,
 {best[2]['bytes']/1e9:.3f} GB of parquet small files; identical bin/task
-count at every level), each level x{reps} interleaved repetitions in
-fresh JVMs, minimum taken (this VM has ~2x ambient noise). All I/O on
+count at every level). Per level: {reps} JVMs x {iters} in-JVM
+iterations (fresh table copy each), interleaved across levels, minimum
+taken — in-JVM iteration amortizes per-JVM constants (JIT, Python
+workers) and min-of-K damps this VM's ~2x ambient noise. All I/O on
 tmpfs. Throughput counts each byte/row twice (compaction pass +
 clustering pass). Sandbox stand-in for N vs 4N executor clusters per
 BASELINE.md.
