@@ -83,14 +83,19 @@ def test_binpack_compaction_plan_has_no_exchange(spark, tmp_path):
     df = generate_sequences(spark, 3000, seed=5, max_tok=32)
     t.append(df.repartition(30))
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     try:
+        # same conf pair compact(mode='binpack') sets: without lowering
+        # openCostInBytes, each tiny file "costs" 4 MB and never packs
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(512 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", "131072")
         scan = t.scan()
         assert "Exchange" not in _plan(scan)
         # scan-level packing merged 30 small files into far fewer splits
         assert scan.rdd.getNumPartitions() < 30
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
 def test_merge_discovery_join_is_broadcast(spark, tmp_path):
