@@ -95,23 +95,28 @@ def main() -> None:
         with timed("hilbert"):
             cluster(table, curve="hilbert", target_file_bytes=target)
 
-        # 1% upsert + 0.5% delete CDC batch
+        # 1% upsert + 0.5% delete CDC batch (batch prep outside the timer)
+        cur = table.scan()
+        n_upd = max(rows // 100, 10)
+        n_del = max(rows // 200, 5)
+        sample = (
+            cur.select(*DATA_COLUMNS).orderBy("doc_id").limit(n_upd + n_del).cache()
+        )
+        upd = (
+            sample.limit(n_upd)
+            .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+            .withColumn("n_tok", F.least("n_tok", F.lit(4)))
+            .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+        )
+        dele = sample.exceptAll(sample.limit(n_upd)).withColumn(
+            CDC_DELETED_AT, F.current_timestamp()
+        )
+        changes = upd.unionByName(dele).cache()
+        changes.count()
         with timed("merge"):
-            cur = table.scan()
-            n_upd = max(rows // 100, 10)
-            n_del = max(rows // 200, 5)
-            sample = cur.select(*DATA_COLUMNS).orderBy("doc_id").limit(n_upd + n_del)
-            upd = (
-                sample.limit(n_upd)
-                .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
-                .withColumn("n_tok", F.least("n_tok", F.lit(4)))
-                .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
-            )
-            dele = (
-                sample.exceptAll(sample.limit(n_upd))
-                .withColumn(CDC_DELETED_AT, F.current_timestamp())
-            )
-            merge_into(table, upd.unionByName(dele), target_file_bytes=target)
+            merge_into(table, changes, target_file_bytes=target)
+        sample.unpersist()
+        changes.unpersist()
 
         maint_sec = timings["compact"] + timings["zorder"]
         maintenance["compact_gb_per_s"] = round(
