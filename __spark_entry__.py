@@ -263,6 +263,36 @@ def _cdc_op_routing(spark, sf_dir):
 
 
 # ----------------------------------------------------- training-data queries
+def _sessionization(spark, sf_dir):
+    # gap-based sessions (no native batch op in Spark) — window compose
+    from olake_spark.operators.events import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_minutes=30)
+
+
+def _asof_join(spark, sf_dir):
+    # as-of join: for each purchase, the user's most recent prior click
+    from olake_spark.operators.events import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "ts", ["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.round("click_value_asof", 4).alias("last_click_value"),
+    )
+
+
 def _doc_token_count(spark, sf_dir):
     from olake_spark.operators.text import token_count
 
@@ -411,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cursor_max": _cursor_max,
         "incremental_filter": _incremental_filter,
         "cdc_op_routing": _cdc_op_routing,
+        "sessionization": _sessionization,
+        "asof_join": _asof_join,
         "doc_token_count": _doc_token_count,
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
@@ -567,6 +599,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS cnt
             FROM events WHERE event_type IN ('click', 'purchase', 'view')
             GROUP BY event_type
+        """,
+        "sessionization": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 30 * 60 * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+              FROM o
+            )
+            SELECT user_id,
+                   max(session_id) + 1 AS n_sessions,
+                   count(*) AS n_events,
+                   round(count(*) / (max(session_id) + 1.0), 6)
+                     AS events_per_session
+            FROM s GROUP BY user_id
+        """,
+        "asof_join": """
+            WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+                 c AS (SELECT user_id, ts, max(value) AS click_value
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id,
+                   round(p.value, 4) AS purchase_value,
+                   round(c.click_value, 4) AS last_click_value
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "doc_token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS tok_count

@@ -71,7 +71,11 @@ def row_fields(raw_ids: np.ndarray, seed: int, max_tok: int = 4096) -> pd.DataFr
     toks = (splitmix64_np(base + offs) % np.uint64(VOCAB)).astype(np.int32)
     tok_lists = np.split(toks, ends[:-1])
 
-    doc_id = pd.array([f"{s}-{i:012d}" for s, i in zip(src, raw_ids)], dtype="string")
+    # vectorized doc_id = f"{source}-{id:012d}" via numpy char ops
+    id_digits = np.char.zfill(raw_ids.astype("U12"), 12)
+    doc_id = pd.array(
+        np.char.add(np.char.add(src.astype("U16"), "-"), id_digits), dtype="string"
+    )
     return pd.DataFrame(
         {
             "doc_id": doc_id,
