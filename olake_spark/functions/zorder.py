@@ -68,23 +68,22 @@ def hilbert_index_np(cols: list[np.ndarray], bits: int) -> np.ndarray:
         raise ValueError(f"{k} cols x {bits} bits exceeds 63-bit key budget")
     X = [c.astype(_U64, copy=True) for c in cols]
     M = _U64(1) << _U64(bits - 1)
+    ALL = _U64(0xFFFFFFFFFFFFFFFF)
 
-    # Inverse undo excess work
+    # Inverse undo excess work — branchless: fm is an all-ones mask where
+    # the Q bit is SET (invert branch), zero where clear (exchange
+    # branch); everything is in-place XOR, no np.where triples.
     Q = M
     while Q > _U64(1):
         P = Q - _U64(1)
         for i in range(k):
-            mask = (X[i] & Q) != 0
+            fm = ((X[i] & Q) >> _U64(int(Q).bit_length() - 1)) * ALL
             if i == 0:
-                # exchange with itself is a no-op; only the invert branch acts
-                X[0] = np.where(mask, X[0] ^ P, X[0])
+                X[0] ^= P & fm  # invert branch only; self-exchange is a no-op
                 continue
-            # if-branch: invert low bits of X[0]; else-branch: exchange
-            t_else = (X[0] ^ X[i]) & P
-            X0_new = np.where(mask, X[0] ^ P, X[0] ^ t_else)
-            Xi_new = np.where(mask, X[i], X[i] ^ t_else)
-            X[0] = X0_new
-            X[i] = Xi_new
+            t = (X[0] ^ X[i]) & P & ~fm  # exchange amount, 0 on invert branch
+            X[0] ^= (P & fm) ^ t
+            X[i] ^= t
         Q >>= _U64(1)
 
     # Gray encode
@@ -93,7 +92,8 @@ def hilbert_index_np(cols: list[np.ndarray], bits: int) -> np.ndarray:
     t = np.zeros_like(X[0])
     Q = M
     while Q > _U64(1):
-        t = np.where((X[k - 1] & Q) != 0, t ^ (Q - _U64(1)), t)
+        fm = ((X[k - 1] & Q) >> _U64(int(Q).bit_length() - 1)) * ALL
+        t ^= (Q - _U64(1)) & fm
         Q >>= _U64(1)
     for i in range(k):
         X[i] ^= t

@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize numpy dispatch in the curve-key
+        # UDFs (default 10k rows leaves vectorized ops overhead-bound)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("OLAKE_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

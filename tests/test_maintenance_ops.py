@@ -153,6 +153,32 @@ def test_cluster_improves_scan_pruning(spark, small_table):
     assert t.scan(n_tok_range=(lo, hi)).count() == true_count
 
 
+def test_cluster_resume_after_kill(spark, small_table, monkeypatch):
+    """Clustering shares the ledger machinery — same zero-duplicate
+    resume guarantee as compaction."""
+    t = small_table
+    calls = {"n": 0}
+    orig = Table.write_data_files
+
+    def counting(self, df, max_records_per_file=None):
+        calls["n"] += 1
+        return orig(self, df, max_records_per_file)
+
+    monkeypatch.setattr(Table, "write_data_files", counting)
+    orig_commit = Table.commit
+    monkeypatch.setattr(
+        Table, "commit", lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("kill"))
+    )
+    with pytest.raises(RuntimeError, match="kill"):
+        cluster(t, curve="zorder", target_file_bytes=512 * 1024)
+    writes_first = calls["n"]
+    monkeypatch.setattr(Table, "commit", orig_commit)
+    res = cluster(t, curve="zorder", target_file_bytes=512 * 1024)
+    assert calls["n"] == writes_first  # zero duplicate rewrites
+    assert res.snapshot_id == t.current_snapshot_id
+    assert t.scan().count() == N_ROWS
+
+
 # ----------------------------------------------------------------------- merge
 def test_merge_insert_update_delete(spark, small_table, seq_df):
     t = small_table
