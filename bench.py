@@ -95,6 +95,16 @@ def main() -> None:
         with timed("hilbert"):
             cluster(table, curve="hilbert", target_file_bytes=target)
 
+        # clustering quality: fraction of files a narrow n_tok range scan
+        # can skip via manifest stats after curve clustering
+        files = table.files()
+        with_stats = [f for f in files if "n_tok" in f.stats]
+        cand = [f for f in with_stats if f.overlaps("n_tok", 8, 64)]
+        if with_stats:
+            maintenance["ntok_prune_fraction"] = round(
+                1 - len(cand) / len(with_stats), 4
+            )
+
         # 1% upsert + 0.5% delete CDC batch (batch prep outside the timer)
         cur = table.scan()
         n_upd = max(rows // 100, 10)
