@@ -381,6 +381,16 @@ def _ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    from olake_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(
+        e.filter(F.col("vec_id") != 0), list(qvec), k=10, n_cells=16, n_probe=6
+    )
+
+
 def _media_metadata(spark, sf_dir):
     from olake_spark.operators.multimodal import attach_fake_payload, media_metadata
 
@@ -454,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _embedding_topk,
         "embedding_near_dup": _embedding_near_dup,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "media_metadata": _media_metadata,
         "media_features": _media_features,
         "seq_table_stats": _seq_table_stats,

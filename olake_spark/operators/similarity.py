@@ -83,6 +83,71 @@ def lsh_bucket_udf(dim: int, n_planes: int = 12, seed: int = 7):
     return bucket
 
 
+def _ivf_centroids(dim: int, n_cells: int, seed: int, sample: np.ndarray | None) -> np.ndarray:
+    """Deterministic IVF codebook: a few Lloyd iterations of k-means on a
+    driver-side sample (numpy; the sample is small, the assignment pass
+    over the full table is the distributed part)."""
+    rng = np.random.default_rng(seed)
+    if sample is None or len(sample) < n_cells:
+        return rng.standard_normal((n_cells, dim)).astype(np.float32)
+    idx = rng.choice(len(sample), n_cells, replace=False)
+    C = sample[idx].astype(np.float32)
+    for _ in range(8):
+        d = sample @ C.T  # cosine-ish on normalized rows
+        assign = np.argmax(d, axis=1)
+        for j in range(n_cells):
+            m = sample[assign == j]
+            if len(m):
+                C[j] = m.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True) + 1e-9
+    return C
+
+
+def ivf_bucket_udf(centroids: np.ndarray):
+    """Pandas UDF: embedding -> nearest-centroid cell id (one numpy
+    matmul per Arrow batch)."""
+    C = centroids
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float32)
+        M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-9)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return cell
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    sample_rows: int = 2048,
+) -> DataFrame:
+    """IVF-style ANN: k-means cells from a driver-side sample, search
+    restricted to the ``n_probe`` cells nearest the query, exact cosine
+    rerank inside. The inverted-file scale path: at 10^12 rows the cell
+    id becomes a partition/cluster key and a probe touches n_probe/n_cells
+    of the data."""
+    sample = np.stack(
+        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()]
+    ).astype(np.float32)
+    sample = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-9)
+    C = _ivf_centroids(len(query_vec), n_cells, seed, sample)
+    q = np.asarray(query_vec, dtype=np.float32)
+    q = q / (np.linalg.norm(q) + 1e-9)
+    probes = np.argsort(-(C @ q))[:n_probe].tolist()
+    cell = ivf_bucket_udf(C)
+    cand = emb.withColumn("_cell", cell(F.col(vec_col))).filter(
+        F.col("_cell").isin([int(p) for p in probes])
+    )
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -148,6 +148,44 @@ def test_lsh_ann_recall(spark):
     assert approx <= {int(i) for i in range(300)}
 
 
+def test_ivf_ann_recall(spark):
+    from olake_spark.operators.similarity import ivf_topk
+
+    emb, M = _mk_embeddings(spark)
+    q = M[0]
+    exact = {
+        r.vec_id
+        for r in brute_force_topk(
+            emb.filter(F.col("vec_id") != 0), list(map(float, q)), k=10
+        ).collect()
+    }
+    approx = {
+        r.vec_id
+        for r in ivf_topk(
+            emb.filter(F.col("vec_id") != 0),
+            list(map(float, q)),
+            k=10,
+            n_cells=8,
+            n_probe=3,
+            seed=7,
+        ).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.3  # deterministic given seed
+    # determinism: same call, same results
+    again = {
+        r.vec_id
+        for r in ivf_topk(
+            emb.filter(F.col("vec_id") != 0),
+            list(map(float, q)),
+            k=10,
+            n_cells=8,
+            n_probe=3,
+            seed=7,
+        ).collect()
+    }
+    assert approx == again
+
+
 def test_text_analysis_metrics(spark):
     docs = spark.createDataFrame(
         [
