@@ -32,6 +32,10 @@ FEATURE_SCHEMA = (
     "media_id string, n_bytes long, width int, height int, feat array<float>"
 )
 
+RESIZE_SCHEMA = "media_id string, width int, height int, payload binary"
+
+FRAME_SCHEMA = "media_id string, frame_idx int, ts_ms long, payload binary"
+
 
 def attach_fake_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Manufacture a deterministic binary payload column from text (the
@@ -100,3 +104,69 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize stage: one output row per input, payload replaced by the
+    re-encoded image. Stub resize = deterministic byte subsample of the
+    payload to width*height bytes (a PIL thumbnail+save call slots in
+    where the fake runs); schema/batching are the real contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real resize requires Pillow — not in this container"
+                    )
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = max(width * height, 1)
+                idx = (np.arange(n) * max(len(a), 1) // n) % max(len(a), 1)
+                out = a[idx] if len(a) else np.zeros(n, dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "width": width,
+                        "height": height,
+                        "payload": out.tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Frame-sampling stage: one input video row fans out to N frame
+    rows (the 1->N mapInPandas shape an ffmpeg keyframe extractor
+    uses). Stub frames = deterministic payload slices; frame count
+    derives from payload size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg — not in this container"
+                    )
+                b = bytes(payload)
+                n_frames = min(max(len(b) // 16, 1), max_frames)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "ts_ms": i * every_ms,
+                            "payload": b[i * step : (i + 1) * step],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -222,3 +222,28 @@ def test_multimodal_plumbing(spark):
     assert feats["1"].width >= 16 and feats["1"].height >= 16
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         extract_features(media, fake=False).collect()
+
+
+def test_multimodal_resize_and_frames(spark):
+    from olake_spark.operators.multimodal import resize_images, sample_frames
+
+    docs = spark.createDataFrame(
+        [("1", "x" * 200, "s"), ("2", "y" * 64, "s")],
+        "doc_id string, text string, source string",
+    )
+    media = attach_fake_payload(docs, "doc_id", "text")
+    rz = {r.media_id: r for r in resize_images(media, 8, 4).collect()}
+    assert len(rz["1"].payload) == 32 and rz["1"].width == 8
+    # deterministic: same input -> same bytes
+    rz2 = {r.media_id: r for r in resize_images(media, 8, 4).collect()}
+    assert bytes(rz["1"].payload) == bytes(rz2["1"].payload)
+
+    frames = sample_frames(media, every_ms=500, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id["1"]) == 4  # 200 bytes -> capped at max_frames
+    assert [f.ts_ms for f in sorted(by_id["1"], key=lambda x: x.frame_idx)] == [
+        0, 500, 1000, 1500,
+    ]
+    assert all(len(f.payload) > 0 for f in frames)
