@@ -35,7 +35,11 @@ SPEC = {
     "properties": {
         "source": {"type": "string", "description": "parquet dir or table root"},
         "dest": {"type": "string", "description": "table root to create/append"},
-        "mode": {"enum": ["full_refresh", "cdc"], "default": "full_refresh"},
+        "mode": {
+            "enum": ["full_refresh", "incremental", "cdc"],
+            "default": "full_refresh",
+        },
+        "cursor_col": {"type": "string", "description": "cursor (mode=incremental)"},
         "feed": {"type": "string", "description": "CDC json-lines dir (mode=cdc)"},
         "target_file_bytes": {"type": "integer", "default": 134217728},
         "cpus": {"type": "integer", "default": 8},

@@ -85,15 +85,24 @@ def cluster(
     snapshot_id: int | None = None,
     job_id: str | None = None,
     max_group_bytes: int | None = None,
+    scope: str = "global",
 ) -> ClusterResult:
-    """Rewrite the whole snapshot clustered by a space-filling curve.
+    """Rewrite the snapshot clustered by a space-filling curve.
 
-    Resumable: the input file set is range-split into ledger groups by
-    cumulative bytes; each group is clustered and written independently
-    (global ordering emerges because group boundaries follow the sorted
-    file list and each group is internally curve-sorted — same contract
-    as Iceberg's sort-order rewrite with multiple file groups).
+    scope='global' curves over (source, n_tok, doc_id) across the whole
+    table; scope='per-source' groups files by identity partition and
+    curves over (n_tok, doc_id) *within* each source — the
+    partition-scoped sort Iceberg applies when reads always carry the
+    partition filter (source is constant inside a group, so spending
+    curve bits on it would waste locality).
+
+    Resumable: the input file set is split into ledger groups by
+    cumulative bytes (per-source scope groups by partition first); each
+    group is clustered and written independently — same contract as
+    Iceberg's sort-order rewrite with multiple file groups.
     """
+    if scope not in ("global", "per-source"):
+        raise ValueError(f"unknown scope: {scope}")
     table.refresh()
     snap = table.snapshot(snapshot_id)
     if snap is None:
@@ -101,10 +110,13 @@ def cluster(
     if max_group_bytes is None:
         max_group_bytes = 256 * target_file_bytes
 
-    specs = specs or default_cluster_specs(table, snap.snapshot_id)
+    if specs is None:
+        specs = default_cluster_specs(table, snap.snapshot_id)
+        if scope == "per-source":
+            specs = [s for s in specs if s.name != "source"]
     spec_sig = "|".join(f"{s.name}:{s.kind}" for s in specs)
     jid = job_id or _job_id(
-        "cluster", snap.snapshot_id, f"{curve}:{spec_sig}:{target_file_bytes}"
+        "cluster", snap.snapshot_id, f"{curve}:{spec_sig}:{target_file_bytes}:{scope}"
     )
     ledger = Ledger.for_job(table.root, jid)
     if ledger.committed_snapshot_id is not None:
@@ -122,15 +134,26 @@ def cluster(
     if not files:
         return ClusterResult(job_id=jid, snapshot_id=None, curve=curve, skipped=True)
 
-    # split the file list into byte-bounded resumable groups
-    groups: list[list[DataFile]] = [[]]
-    acc = 0
-    for f in files:
-        if acc + f.file_size_bytes > max_group_bytes and groups[-1]:
-            groups.append([])
-            acc = 0
-        groups[-1].append(f)
-        acc += f.file_size_bytes
+    # split the file list into byte-bounded resumable groups; per-source
+    # scope partitions the list by identity partition first (mixed files
+    # form their own group and still get curve-sorted together)
+    if scope == "per-source":
+        by_part: dict[str, list[DataFile]] = {}
+        for f in files:
+            by_part.setdefault(f.partition or "__mixed__", []).append(f)
+        file_runs = [by_part[k] for k in sorted(by_part)]
+    else:
+        file_runs = [files]
+    groups: list[list[DataFile]] = []
+    for run in file_runs:
+        groups.append([])
+        acc = 0
+        for f in run:
+            if acc + f.file_size_bytes > max_group_bytes and groups[-1]:
+                groups.append([])
+                acc = 0
+            groups[-1].append(f)
+            acc += f.file_size_bytes
     keyed = []
     for g in groups:
         key = hashlib.md5("|".join(f.path for f in g).encode()).hexdigest()[:12]

@@ -142,6 +142,33 @@ def test_cluster_preserves_data_and_improves_locality(spark, small_table, seq_df
     assert sum(spans_after) / len(spans_after) < sum(spans_before) / len(spans_before)
 
 
+def test_cluster_per_source_scope(spark, tmp_path, seq_df):
+    """Partition-scoped clustering: source-pure inputs stay source-pure
+    through the within-source curve rewrite, data preserved byte-exactly."""
+    from olake_spark.datagen import SOURCES
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    # guaranteed source-pure layout: one append per source (hash
+    # repartition by source would collide sources into mixed files, and
+    # Catalyst collapses unions of coalesced children into one partition)
+    for s in SOURCES[:6]:
+        t.append(seq_df.filter(F.col("source") == s).coalesce(1))
+    rest = seq_df.filter(~F.col("source").isin(list(SOURCES[:6])))
+    for s in SOURCES[6:]:
+        t.append(rest.filter(F.col("source") == s).coalesce(1))
+    res = cluster(t, curve="zorder", scope="per-source", target_file_bytes=64 * 1024)
+    assert res.rows == N_ROWS
+    assert _tokens_equal(t.scan(), seq_df)
+    files = t.files()
+    pure = [f for f in files if f.partition is not None]
+    assert len(pure) >= len(files) - 2
+    # within-source n_tok locality: files of one source have narrow spans
+    webs = [f for f in files if f.partition == "web" and "n_tok" in f.stats]
+    if len(webs) >= 3:
+        spans = sorted(f.stats["n_tok"]["max"] - f.stats["n_tok"]["min"] for f in webs)
+        assert spans[0] < 96 - 8  # at least some files are narrower than full range
+
+
 def test_cluster_improves_scan_pruning(spark, small_table):
     t = small_table
     cluster(t, curve="zorder", target_file_bytes=256 * 1024)
