@@ -264,11 +264,18 @@ def _cdc_op_routing(spark, sf_dir):
 
 # ----------------------------------------------------- training-data queries
 def _sessionization(spark, sf_dir):
-    # gap-based sessions (no native batch op in Spark) — window compose
+    # gap-based sessions (no native batch op in Spark) — window compose.
+    # Contract output is exact integers only (n_sessions, n_events): the
+    # DuckDB oracle's window-sum widens to HUGEINT and its ratio rounding
+    # can drift, so both sides emit BIGINT and the ratio is derivable.
     from olake_spark.operators.events import session_stats
 
     ev = _t(spark, sf_dir, "events")
-    return session_stats(ev, "user_id", "ts", gap_minutes=30)
+    return session_stats(ev, "user_id", "ts", gap_minutes=30).select(
+        "user_id",
+        F.col("n_sessions").cast("bigint").alias("n_sessions"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
 
 
 def _asof_join(spark, sf_dir):
@@ -627,10 +634,8 @@ def oracle_sql() -> dict[str, str]:
               FROM o
             )
             SELECT user_id,
-                   max(session_id) + 1 AS n_sessions,
-                   count(*) AS n_events,
-                   round(count(*) / (max(session_id) + 1.0), 6)
-                     AS events_per_session
+                   CAST(max(session_id) + 1 AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
         """,
         "asof_join": """
@@ -738,8 +743,9 @@ def oracle_sql() -> dict[str, str]:
                     list_transform(r.embedding, x -> CAST(x AS DOUBLE))) >= 0.2
         """,
         "seq_table_stats": """
-            SELECT source, count(*) AS n_docs,
-                   sum(len(string_split(text, ' '))) AS total_tokens
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS total_tokens
             FROM documents GROUP BY source
         """,
     }

@@ -1,0 +1,95 @@
+"""Exact range partitioning without repartitionByRange's sampling pass.
+
+``repartitionByRange`` runs RangePartitioner sampling, which re-evaluates
+the child plan — ruinous when the child contains a pandas UDF over a
+full-width scan (the round-1 zorder anomaly: the workaround persist()
+built full token-array rows at low parallelism). Instead we:
+
+1. compute boundaries ourselves from a *narrow* sample (caller's job),
+2. assign each row a bin id with a codegen'd literal-array expression,
+3. route bin -> exact Spark partition by mapping every bin id to a salt
+   value whose murmur3 hash lands on that partition, then a plain
+   ``repartition(n, salt)``.
+
+Step 3 relies only on Spark's documented hash partitioning:
+``pmod(murmur3_hash(cols, seed=42), n)`` (org.apache.spark.sql.functions
+.hash docs; Murmur3 x86_32 is public — Appleby, public domain). The salt
+search is driver-side over small ints and is O(n log n) expected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BIN = "_bin"
+_SALT = "_bin_salt"
+
+
+def murmur3_int32(value: int, seed: int = 42) -> int:
+    """Murmur3 x86_32 of one int32, matching Spark's ``F.hash(int_col)``.
+
+    Returns a signed 32-bit int (Spark's HashExpression output).
+    """
+    mask = 0xFFFFFFFF
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = (value & mask) * c1 & mask
+    k = ((k << 15) | (k >> 17)) & mask
+    k = k * c2 & mask
+    h = (seed ^ k) & mask
+    h = ((h << 13) | (h >> 19)) & mask
+    h = (h * 5 + 0xE6546B64) & mask
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & mask
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & mask
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def salts_for_bins(n_bins: int) -> list[int]:
+    """salts[b] hashes onto partition b under ``repartition(n_bins, col)``."""
+    salts: list[int | None] = [None] * n_bins
+    found, cand = 0, 0
+    while found < n_bins:
+        b = murmur3_int32(cand) % n_bins  # python % == pmod for positive n
+        if salts[b] is None:
+            salts[b] = cand
+            found += 1
+        cand += 1
+    return salts  # type: ignore[return-value]
+
+
+def bin_expr(key: Column, boundaries: list[int]) -> Column:
+    """Bin id in [0, len(boundaries)] = count of boundaries <= key.
+
+    The literal array filter is whole-stage-codegen'd and O(#boundaries)
+    per row; callers keep boundary counts bounded (compaction groups cap
+    output files at max_group_bytes / target_file_bytes, <= a few hundred).
+    """
+    if not boundaries:
+        return F.lit(0)
+    arr = F.lit([int(b) for b in boundaries])
+    return F.size(F.filter(arr, lambda x: x <= key))
+
+
+def exact_range_partition(
+    df: DataFrame, key: Column, boundaries: list[int], sort_cols: list[str]
+) -> DataFrame:
+    """Partition ``df`` into len(boundaries)+1 range bins of ``key`` and
+    sort each partition — single shuffle, child evaluated exactly once
+    (unlike repartitionByRange). Output drops the helper columns.
+    """
+    n_bins = len(boundaries) + 1
+    if n_bins == 1:
+        return df.repartition(1).sortWithinPartitions(*sort_cols)
+    salts = salts_for_bins(n_bins)
+    out = (
+        df.withColumn(BIN, bin_expr(key, boundaries))
+        .withColumn(_SALT, F.element_at(F.lit(salts), F.col(BIN) + 1))
+        .repartition(n_bins, F.col(_SALT))
+        .sortWithinPartitions(*sort_cols)
+        .drop(BIN, _SALT)
+    )
+    return out

@@ -5,10 +5,14 @@ Generalizes the reference's key-ordered chunk locality
 multi-dimensional curve clustering, which Catalyst has no native syntax
 for. The curve key is computed by a vectorized Arrow/pandas UDF
 (olake_spark/functions/zorder.py) — the *only* Python compute in the hot
-path, per input_hint — then the rewrite is a single
-``repartitionByRange(n, _ckey)`` + ``sortWithinPartitions(_ckey)``:
-a sampled range exchange, so skewed key densities still yield even
-output files, followed by target-size file writes.
+path, per input_hint. The rewrite is ONE exchange with the child
+evaluated exactly once: range boundaries come from a *narrow* sample
+(key columns only — parquet column pruning skips the token arrays),
+then rows are routed to exact output bins via a salt-mapped hash
+repartition (functions/partitioning.py) and sorted within partitions.
+This avoids both repartitionByRange's double evaluation of the UDF+scan
+and the round-1 full-row persist() that serialized the pipeline when
+inputs were many small files.
 
 Column→curve-space mapping is planned from manifest stats (numeric
 min/max aggregated across files — zero scans), mirroring how the
@@ -23,12 +27,44 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
 
+from olake_spark.functions.partitioning import exact_range_partition
 from olake_spark.functions.zorder import ClusterCol, make_cluster_key_udf
 from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES, _job_id
 from olake_spark.plans.ledger import Ledger
 from olake_spark.table.format import DataFile, Table
 
 CKEY = "_ckey"
+# boundary-sample size: enough for ~200 keys per output bin, bounded so
+# the driver collect stays small at any group size
+_SAMPLE_MAX = 100_000
+
+
+def _sample_boundaries(narrow_df, key_udf, in_cols, n_bins: int, approx_rows: int):
+    """Range boundaries for n_bins from a seeded sample of the curve key.
+
+    ``narrow_df`` carries only the key input columns, so the parquet scan
+    is column-pruned (token arrays untouched) and the UDF runs over the
+    sampled rows only — the full-width data is read exactly once, by the
+    main rewrite pass.
+    """
+    if n_bins <= 1:
+        return []
+    target = min(_SAMPLE_MAX, max(200 * n_bins, 10_000))
+    frac = min(1.0, target / max(approx_rows, 1))
+    s = narrow_df.sample(False, frac, seed=42) if frac < 1.0 else narrow_df
+    keys = sorted(
+        r[0]
+        for r in s.select(
+            key_udf(*[F.col(c) for c in in_cols]).alias(CKEY)
+        ).collect()
+    )
+    if not keys:
+        return []
+    bounds = {
+        keys[min(len(keys) - 1, (i * len(keys)) // n_bins)]
+        for i in range(1, n_bins)
+    }
+    return sorted(bounds)
 
 
 @dataclass
@@ -163,26 +199,39 @@ def cluster(
         ledger.plan(key, [f.path for f in g])
 
     key_udf, in_cols = make_cluster_key_udf(specs, curve=curve)
+    spark = table.spark
+    cores = spark.sparkContext.defaultParallelism
     for key in sorted(ledger.pending_keys()):
         gfiles = [by_path[p] for p in ledger.entry(key)["inputs"]]
         gbytes = sum(f.file_size_bytes for f in gfiles)
         grows = sum(f.record_count for f in gfiles)
         n_bins = max(1, math.ceil(gbytes / target_file_bytes))
-        df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
-        # persist the keyed rows: repartitionByRange's boundary-sampling
-        # pass re-evaluates the child plan, which would run the curve-key
-        # UDF (and the scan) twice over every row. The group is bounded
-        # by max_group_bytes, so the cached slice fits executor storage.
-        keyed = df.withColumn(CKEY, key_udf(*[F.col(c) for c in in_cols])).persist()
+        # force the scan to >= 2x cores map tasks regardless of how input
+        # file sizes pack (post-compaction small files otherwise coalesce
+        # into a handful of scan partitions and the UDF stage runs serial)
+        mpb = min(128 << 20, max(1 << 20, gbytes // max(2 * cores, n_bins) + 1))
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(min(131072, mpb)))
         try:
-            clustered = (
-                keyed.repartitionByRange(n_bins, F.col(CKEY))
-                .sortWithinPartitions(CKEY)
-                .drop(CKEY)
+            boundaries = _sample_boundaries(
+                table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+                .select(*in_cols),
+                key_udf,
+                in_cols,
+                n_bins,
+                grows,
             )
+            df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+            keyed = df.withColumn(CKEY, key_udf(*[F.col(c) for c in in_cols]))
+            clustered = exact_range_partition(
+                keyed, F.col(CKEY), boundaries, [CKEY]
+            ).drop(CKEY)
             outputs = table.write_data_files(clustered)
         finally:
-            keyed.unpersist()
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", old_open)
         ledger.mark_done(
             key,
             [o.to_dict() for o in outputs],

@@ -46,9 +46,23 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("OLAKE_SPARK_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
+        # Spark UI is the engine's live-monitor analog (SURVEY §2.7 C6);
+        # opt in with OLAKE_SPARK_UI=1 (default off: headless CI runs)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("OLAKE_SPARK_UI") == "1" else "false",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # shuffle/spill scratch: prefer tmpfs — this sandbox's /tmp is a slow
+    # virtio disk while /dev/shm is a 126 GB tmpfs; on a real cluster set
+    # OLAKE_SPARK_LOCAL_DIR to the NVMe scratch mount
+    local_dir = os.environ.get("OLAKE_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/olake-spark-local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -70,12 +70,23 @@ def main():
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
+            otypes = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
             orows = [dict(zip(ocols, row)) for row in rel.fetchall()]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         problems = []
+        # The driver's comparator is type-sensitive (it hashes Arrow-typed
+        # values): DuckDB HUGEINT/DECIMAL vs Spark BIGINT/DOUBLE mismatches
+        # even when Python-level values agree. Flag any widened oracle type.
+        stypes = dict(sdf.dtypes)
+        for c, ot in otypes.items():
+            st = stypes.get(c, "")
+            if "HUGEINT" in ot or "INT128" in ot:
+                problems.append(f"oracle col {c} is {ot} — CAST ... AS BIGINT")
+            elif ot.startswith("DECIMAL") and not st.startswith("decimal"):
+                problems.append(f"oracle col {c} is {ot} but spark is {st}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
