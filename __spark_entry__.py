@@ -102,7 +102,8 @@ def _planning_stats(spark, sf_dir):
 
 
 def _key_hash(spark, sf_dir):
-    # T2: olake_id = md5 of sorted PK values joined by '|'
+    # T2: olake_id = md5 of sorted PK values, each suffixed with '|'
+    # (reference GetKeysHash trailing-separator semantics)
     from olake_spark.schema import olake_id_expr
 
     return _t(spark, sf_dir, "customer").select(
@@ -519,7 +520,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "key_hash": """
-            SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS olake_id
+            SELECT c_custkey,
+                   md5(CAST(c_custkey AS VARCHAR) || '|') AS olake_id
             FROM customer
         """,
         "flatten_props": """

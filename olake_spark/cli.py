@@ -168,8 +168,12 @@ def cmd_sync(args) -> int:
                     last = _json.load(fh).get("cursor")
             src = _ensure_doc_id(spark.read.parquet(args.source))
             batch = src.filter(F.col(args.cursor_col) > F.lit(last)) if last is not None else src
-            new_max = batch.agg(F.max(args.cursor_col).cast("string")).first()[0]
-            rows = batch.count()
+            # one column-pruned pass for both cursor max and row count
+            agg = batch.agg(
+                F.max(args.cursor_col).cast("string").alias("mx"),
+                F.count("*").alias("n"),
+            ).first()
+            new_max, rows = agg.mx, agg.n
             if rows:
                 snap = table.append(with_system_columns(batch))
                 os.makedirs(os.path.dirname(cur_path), exist_ok=True)
@@ -181,8 +185,11 @@ def cmd_sync(args) -> int:
                            "snapshot": table.current_snapshot_id})
         else:
             src = _ensure_doc_id(spark.read.parquet(args.source))
-            rows = src.count()
-            snap = table.append(with_system_columns(src))
+            # full refresh REPLACES the destination contents (one atomic
+            # overwrite snapshot) — re-running must not duplicate rows;
+            # the reference re-syncs the stream from scratch
+            snap = table.overwrite(with_system_columns(src))
+            rows = table.snapshot(snap).summary.get("added-rows", 0)
             mon.add_records(rows)
             _msg("STATE", {"mode": "full_refresh", "rows": rows, "snapshot": snap})
     _msg("RECORD_COUNT", {"total_rows": table.total_rows(),

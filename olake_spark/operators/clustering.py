@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from olake_spark.functions.partitioning import exact_range_partition
 from olake_spark.functions.zorder import ClusterCol, make_cluster_key_udf
-from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES, _job_id
+from olake_spark.operators.compaction import (
+    DEFAULT_TARGET_FILE_BYTES,
+    _job_id,
+    commit_rewrite,
+)
 from olake_spark.plans.ledger import Ledger
 from olake_spark.table.format import DataFile, Table
 
@@ -197,6 +201,9 @@ def cluster(
     by_path = {f.path: f for f in files}
     for key, g in keyed:
         ledger.plan(key, [f.path for f in g])
+    # a resumed job must not commit references to outputs a GC or crash
+    # removed — re-pend any done group whose output files vanished
+    ledger.reset_missing_outputs(table.root)
 
     key_udf, in_cols = make_cluster_key_udf(specs, curve=curve)
     spark = table.spark
@@ -238,28 +245,14 @@ def cluster(
             {"rows": grows, "bytes_in": gbytes, "files_out": len(outputs)},
         )
 
-    added = [DataFile.from_dict(d) for d in ledger.all_outputs()]
-    removed = set(ledger.all_inputs())
-    live = {f.path for f in table.refresh().files()}
-    missing = removed - live
-    if missing:
-        raise RuntimeError(
-            f"cluster inputs vanished from current snapshot: {sorted(missing)[:3]}..."
-        )
-    new_snap = table.commit(
-        "replace",
-        added=added,
-        removed_paths=removed,
-        summary_extra={"job-id": jid, "kind": f"cluster-{curve}"},
-    )
-    ledger.mark_committed(new_snap)
+    new_snap = commit_rewrite(table, ledger, jid, f"cluster-{curve}")
     t = ledger.totals()
     return ClusterResult(
         job_id=jid,
         snapshot_id=new_snap,
         curve=curve,
-        input_files=len(removed),
-        output_files=len(added),
+        input_files=len(ledger.all_inputs()),
+        output_files=len(ledger.all_outputs()),
         bytes_in=t["bytes_in"],
         rows=t["rows"],
     )

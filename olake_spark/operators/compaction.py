@@ -58,6 +58,44 @@ def _job_id(kind: str, snapshot_id: int, params: str) -> str:
     return f"{kind}-s{snapshot_id}-{h}"
 
 
+def commit_rewrite(table: Table, ledger: Ledger, jid: str, kind: str) -> int:
+    """Commit a rewrite job's ledger (remove inputs, add outputs), retrying
+    CommitConflict with refresh-and-revalidate between attempts.
+
+    A concurrent committer (e.g. an append landing between our refresh and
+    commit) bumps the metadata version; the conflict is retryable because
+    each attempt re-reads the current snapshot and re-checks every input
+    file is still live — a concurrent REWRITE of our inputs is NOT
+    retryable and raises. Bounded backoff mirrors the reference
+    (/root/reference/drivers/base/utils.go:9-22).
+    """
+    from olake_spark.plans.retry import retry_on_backoff
+    from olake_spark.table.format import CommitConflict
+
+    added = [DataFile.from_dict(d) for d in ledger.all_outputs()]
+    removed = set(ledger.all_inputs())
+
+    def attempt() -> int:
+        live = {f.path for f in table.refresh().files()}
+        missing = removed - live
+        if missing:
+            raise RuntimeError(
+                f"{kind} inputs vanished from current snapshot: {sorted(missing)[:3]}..."
+            )
+        return table.commit(
+            "replace",
+            added=added,
+            removed_paths=removed,
+            summary_extra={"job-id": jid, "kind": kind},
+        )
+
+    new_snap = retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    ledger.mark_committed(new_snap)
+    return new_snap
+
+
 def plan_groups(
     files: list[DataFile],
     small_file_bytes: int,
@@ -167,6 +205,9 @@ def compact(
     by_path = {f.path: f for f in files}
     for key, gfiles in groups:
         ledger.plan(key, [f.path for f in gfiles])
+    # a resumed job must not commit references to outputs a GC or crash
+    # removed — re-pend any done group whose output files vanished
+    ledger.reset_missing_outputs(table.root)
 
     spark = table.spark
     for key in sorted(ledger.pending_keys()):
@@ -202,30 +243,14 @@ def compact(
             {"rows": grows, "bytes_in": gbytes, "files_out": len(outputs)},
         )
 
-    added = [DataFile.from_dict(d) for d in ledger.all_outputs()]
-    removed = set(ledger.all_inputs())
-    # inputs must still be live in the current snapshot — protects a
-    # resumed job from double-applying after a concurrent rewrite
-    live = {f.path for f in table.refresh().files()}
-    missing = removed - live
-    if missing:
-        raise RuntimeError(
-            f"compaction inputs vanished from current snapshot: {sorted(missing)[:3]}..."
-        )
-    new_snap = table.commit(
-        "replace",
-        added=added,
-        removed_paths=removed,
-        summary_extra={"job-id": jid, "kind": "compaction"},
-    )
-    ledger.mark_committed(new_snap)
+    new_snap = commit_rewrite(table, ledger, jid, "compaction")
     t = ledger.totals()
     return CompactionResult(
         job_id=jid,
         snapshot_id=new_snap,
         groups=t["groups"],
-        input_files=len(removed),
-        output_files=len(added),
+        input_files=len(ledger.all_inputs()),
+        output_files=len(ledger.all_outputs()),
         bytes_in=t["bytes_in"],
         rows=t["rows"],
     )

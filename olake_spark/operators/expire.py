@@ -16,9 +16,34 @@ sweep — the referenced-set math is identical.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass, field
+
+
+def _uncommitted_job_outputs(table_root: str) -> set[str]:
+    """Output paths recorded in jobs/*/ledger.json with no committed
+    snapshot yet — these belong to interrupted-but-resumable maintenance
+    runs and must survive orphan cleanup. Unreadable ledgers are skipped
+    (their outputs then age out under ``orphan_grace_ms``)."""
+    out: set[str] = set()
+    jobs_root = os.path.join(table_root, "jobs")
+    if not os.path.isdir(jobs_root):
+        return out
+    for jid in os.listdir(jobs_root):
+        lp = os.path.join(jobs_root, jid, "ledger.json")
+        try:
+            with open(lp) as f:
+                state = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if state.get("committed_snapshot_id") is not None:
+            continue
+        for e in state.get("entries", {}).values():
+            for o in e.get("outputs", []):
+                out.add(o["path"])
+    return out
 
 
 @dataclass
@@ -78,6 +103,10 @@ def expire_snapshots(
                 live_manifests.add(m)
                 for f in table._read_manifest(m):
                     live_data.add(f.path)
+        # outputs of in-flight (uncommitted) maintenance jobs are live:
+        # a resumed job will commit them — GC'ing them here would let the
+        # resume path commit references to deleted files
+        live_data |= _uncommitted_job_outputs(table.root)
         data_root = os.path.join(table.root, "data")
         for dirpath, _dirs, names in os.walk(data_root, topdown=False):
             for name in names:

@@ -82,11 +82,67 @@ def _prepare_changes(changes: DataFrame, dedup_order_col: str | None) -> DataFra
     return ch
 
 
+def _candidate_paths_distributed(
+    spark, files, keys_df: DataFrame, n_keys: int, n_buckets: int = 1024
+) -> set[str]:
+    """Exact per-file candidate check for arbitrarily large key batches:
+    a file is a candidate iff some change key falls in its doc_id
+    [min,max]. Implemented as a bucketized interval join — bucket
+    boundaries come from a bounded sample of the keys, each file interval
+    explodes into the buckets it overlaps (clustered files span few), and
+    a bucket equi-join + range filter finds hits. Everything is a shuffle
+    on uniform bucket ids; nothing driver-side grows with the batch.
+    Files without doc_id stats are conservatively candidates."""
+    no_stats = {f.path for f in files if f.stats.get("doc_id", {}).get("min") is None}
+    bounded = [
+        (f.path, f.stats["doc_id"]["min"], f.stats["doc_id"]["max"])
+        for f in files
+        if f.path not in no_stats
+    ]
+    if not bounded:
+        return no_stats
+    frac = min(1.0, (32 * n_buckets) / max(n_keys, 1))
+    sample = sorted(
+        r[0]
+        for r in (
+            keys_df.sample(False, frac, seed=42) if frac < 1.0 else keys_df
+        ).collect()
+    )
+    if not sample:
+        return no_stats
+    bnds = sorted(
+        {
+            sample[min(len(sample) - 1, (i * len(sample)) // n_buckets)]
+            for i in range(1, n_buckets)
+        }
+    )
+
+    def _bin(col):
+        if not bnds:
+            return F.lit(0)
+        return F.size(F.filter(F.lit(bnds), lambda x: x <= col))
+
+    fdf = spark.createDataFrame(bounded, "path string, lo string, hi string")
+    fb = fdf.withColumn(
+        "b", F.explode(F.sequence(_bin(F.col("lo")), _bin(F.col("hi"))))
+    )
+    kb = keys_df.withColumn("b", _bin(F.col("doc_id")))
+    hits = (
+        fb.join(kb, "b")
+        .filter(F.col("doc_id").between(F.col("lo"), F.col("hi")))
+        .select("path")
+        .distinct()
+        .collect()
+    )
+    return {r.path for r in hits} | no_stats
+
+
 def merge_into(
     table: Table,
     changes: DataFrame,
     dedup_order_col: str | None = None,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    exact_prune_max_keys: int = 100_000,
 ) -> MergeResult:
     """Apply a CDC-shaped change batch to the table, copy-on-write."""
     table.refresh()
@@ -104,12 +160,15 @@ def merge_into(
     if n_changes == 0:
         return MergeResult(snapshot_id=None)
 
-    # --- 1. candidate files via manifest doc_id pruning. For small
-    # batches, test each file's [min,max] window against the sorted key
-    # set (exact; prunes scattered keys far better than global bounds);
-    # larger batches fall back to global-bounds overlap.
+    # --- 1. candidate files via manifest doc_id pruning — EXACT at any
+    # batch size. Small batches: driver-side bisect of each file's
+    # [min,max] window against the sorted key set (collects <=
+    # exact_prune_max_keys doc_ids, ~10 MB at the default). Larger
+    # batches: distributed bucketized interval join of manifest ranges vs
+    # change keys (no global-bounds fallback, which on a hash-distributed
+    # doc_id space would select ~every file).
     files = table.files(snap.snapshot_id) if snap else []
-    if files and n_changes <= 100_000:
+    if files and n_changes <= exact_prune_max_keys:
         import bisect
 
         ids = sorted(r.doc_id for r in ch.select("doc_id").distinct().collect())
@@ -122,11 +181,11 @@ def merge_into(
             return i < len(ids) and ids[i] <= st["max"]
 
         candidates = [f for f in files if _file_hits(f)]
-    elif files and n_changes <= BROADCAST_KEYS_MAX:
-        bounds = ch.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
-        ).first()
-        candidates = [f for f in files if f.overlaps("doc_id", bounds.lo, bounds.hi)]
+    elif files:
+        hit_paths = _candidate_paths_distributed(
+            table.spark, files, ch.select("doc_id"), n_changes
+        )
+        candidates = [f for f in files if f.path in hit_paths]
     else:
         candidates = list(files)
 
@@ -185,7 +244,18 @@ def merge_into(
     else:
         result = upserts
 
-    bytes_est = sum(f.file_size_bytes for f in touched) or 1
+    # output sizing must include INSERT volume: an insert-heavy batch with
+    # few matched files would otherwise funnel through one range partition
+    # into a single oversized file. Average row bytes come from manifest
+    # stats (metadata only, no scan).
+    tbl_rows = sum(f.record_count for f in files)
+    tbl_bytes = sum(f.file_size_bytes for f in files)
+    avg_row_bytes = (tbl_bytes / tbl_rows) if tbl_rows else 256.0
+    bytes_est = (
+        sum(f.file_size_bytes for f in touched)
+        + int(n_inserts * avg_row_bytes)
+        or 1
+    )
     n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
     out_df = result.repartitionByRange(
         n_bins, F.col("source"), F.col("doc_id")

@@ -110,6 +110,46 @@ class Ledger:
         self.state["committed_snapshot_id"] = snapshot_id
         self._flush()
 
+    def reset(self, key: str) -> None:
+        """Flip a done group back to pending (outputs were lost)."""
+        e = self.state["entries"][key]
+        e["status"] = PENDING
+        e["outputs"] = []
+        e["metrics"] = {}
+        e.pop("finished_ms", None)
+        self._flush()
+
+    def reset_missing_outputs(self, table_root: str) -> list[str]:
+        """Re-pend every done group with a vanished output file.
+
+        A done-but-uncommitted group's outputs can be lost to an aggressive
+        orphan GC or manual deletion; committing ledger.all_outputs()
+        without this check would produce a snapshot referencing deleted
+        data files (silent corruption). Re-running the group is safe:
+        outputs go to a fresh immutable commit dir.
+        """
+        reset = []
+        for key in self.done_keys():
+            outs = self.state["entries"][key]["outputs"]
+            if any(
+                not os.path.exists(os.path.join(table_root, o["path"]))
+                for o in outs
+            ):
+                self.reset(key)
+                reset.append(key)
+        return reset
+
+    def uncommitted_output_paths(self) -> set[str]:
+        """Output paths this job has produced but not yet committed —
+        orphan cleanup must treat these as live."""
+        if self.state["committed_snapshot_id"] is not None:
+            return set()
+        return {
+            o["path"]
+            for e in self.state["entries"].values()
+            for o in e["outputs"]
+        }
+
     @property
     def committed_snapshot_id(self) -> int | None:
         return self.state["committed_snapshot_id"]

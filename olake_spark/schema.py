@@ -45,13 +45,19 @@ STATS_COLUMNS = ["doc_id", "n_tok", "source", OLAKE_ID]
 
 
 def olake_id_expr(*pk_cols: str) -> Column:
-    """PK hash: md5 of sorted PK values joined by '|'.
-
-    Vectorized JVM expression — no UDF. Reference:
-    /root/reference/utils/utils.go:229-241 (sorts the values, joins, md5s).
+    """PK hash, byte-interoperable with the reference's GetKeysHash
+    (/root/reference/utils/utils.go:229-241): md5 over sorted PK values
+    where EVERY value is followed by '|' (trailing separator included)
+    and a missing/NULL value renders as Go's fmt.Sprint(nil) = '<nil>'.
+    The explicit NULL token matters: concat_ws would silently drop NULLs,
+    making ('a', NULL) and ('a',) collide. Vectorized JVM expression — no
+    UDF.
     """
-    cols = [F.col(c).cast("string") for c in sorted(pk_cols)]
-    return F.md5(F.concat_ws("|", *cols))
+    parts: list[Column] = []
+    for c in sorted(pk_cols):
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("<nil>")))
+        parts.append(F.lit("|"))
+    return F.md5(F.concat(*parts))
 
 
 def with_system_columns(

@@ -65,6 +65,25 @@ def _atomic_write_text(path: str, text: str) -> None:
     os.rename(tmp, path)
 
 
+def _claim_version_json(path: str, obj: Any) -> None:
+    """Exclusively create ``path`` (fully written, then hard-linked into
+    place) — exactly ONE writer can claim a given metadata version.
+    os.rename would silently overwrite, letting two committers who both
+    observed version N both 'succeed' and lose one commit; os.link fails
+    with EEXIST for the loser, which surfaces as CommitConflict."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise CommitConflict(f"metadata version already claimed: {path}") from None
+    finally:
+        os.unlink(tmp)
+
+
 @dataclass
 class DataFile:
     """One immutable parquet data file tracked by a manifest.
@@ -393,6 +412,9 @@ class Table:
             )
 
         snap_id = (parent.snapshot_id + 1) if parent else 1
+        # in-memory mutations below must roll back if the version claim
+        # loses a concurrent-commit race, so a retry sees clean state
+        metadata_backup = json.dumps(self.metadata)
         schema_id = self.metadata["current_schema_id"]
         if new_schema is not None:
             schema_id += 1
@@ -426,9 +448,14 @@ class Table:
         self.metadata["last_updated_ms"] = int(time.time() * 1000)
 
         new_version = self.version + 1
-        _atomic_write_json(
-            os.path.join(self.root, "metadata", f"v{new_version}.json"), self.metadata
-        )
+        try:
+            _claim_version_json(
+                os.path.join(self.root, "metadata", f"v{new_version}.json"),
+                self.metadata,
+            )
+        except CommitConflict:
+            self.metadata = json.loads(metadata_backup)
+            raise
         _atomic_write_text(os.path.join(self.root, "VERSION"), str(new_version))
         self.version = new_version
         return snap_id
@@ -444,7 +471,7 @@ class Table:
             )
         self.metadata["last_updated_ms"] = int(time.time() * 1000)
         new_version = self.version + 1
-        _atomic_write_json(
+        _claim_version_json(
             os.path.join(self.root, "metadata", f"v{new_version}.json"), self.metadata
         )
         _atomic_write_text(os.path.join(self.root, "VERSION"), str(new_version))
@@ -465,6 +492,17 @@ class Table:
     ) -> int:
         files = self.write_data_files(df, max_records_per_file)
         return self.commit("append", added=files)
+
+    def overwrite(
+        self, df: DataFrame, max_records_per_file: int | None = None
+    ) -> int:
+        """Replace the table's entire contents with ``df`` in ONE atomic
+        snapshot (full-refresh semantics: the reference re-syncs a stream
+        from scratch rather than appending a second copy). Readers pinned
+        to older snapshots still see the prior files until expiry."""
+        files = self.write_data_files(df, max_records_per_file)
+        current = {f.path for f in self.files()}
+        return self.commit("overwrite", added=files, removed_paths=current)
 
     def total_bytes(self, snapshot_id: int | None = None) -> int:
         return sum(f.file_size_bytes for f in self.files(snapshot_id))

@@ -52,3 +52,17 @@ def test_sync_full_refresh_and_stats(tmp_path, capsys, spark):
     with open(os.path.join(dest, "stats.json")) as f:
         ticks = [json.loads(ln) for ln in f]
     assert ticks and ticks[-1]["records_synced"] == 500
+
+    # re-running a full refresh REPLACES contents — no duplication
+    rc = main(
+        [
+            "sync",
+            "--source", "/root/testdata/sf0.001/documents.parquet",
+            "--dest", dest,
+            "--cpus", "8",
+        ]
+    )
+    assert rc == 0
+    msgs = {m["type"]: m for m in _lines(capsys)}
+    assert msgs["STATE"]["rows"] == 500
+    assert msgs["RECORD_COUNT"]["total_rows"] == 500

@@ -255,6 +255,72 @@ def test_merge_insert_update_delete(spark, small_table, seq_df):
     assert len(pre_files & post_files) == len(pre_files) - res.touched_files
 
 
+def test_merge_distributed_pruning_matches_bisect(spark, small_table, seq_df):
+    """The >100k-key path (bucketized interval join) must select the same
+    candidate files as the exact driver-side bisect — forced here with
+    exact_prune_max_keys=0 on a doc_id-clustered table and a scattered
+    key batch, asserting candidates << total files (no global-bounds
+    degradation)."""
+    from olake_spark.operators.merge import _candidate_paths_distributed
+
+    t = small_table
+    compact(t, target_file_bytes=64 * 1024, mode="sort")  # doc_id-clustered
+    files = t.files()
+    assert len(files) >= 10
+
+    # scattered batch: every 40th doc by doc_id (hits many ranges but not all)
+    ids = [r.doc_id for r in seq_df.select("doc_id").orderBy("doc_id").collect()]
+    batch_ids = ids[:: len(ids) // 30][:15]
+    keys_df = spark.createDataFrame([(i,) for i in batch_ids], "doc_id string")
+
+    import bisect
+
+    sids = sorted(batch_ids)
+
+    def _hits(f):
+        st = f.stats.get("doc_id")
+        if not st or st.get("min") is None:
+            return True
+        i = bisect.bisect_left(sids, st["min"])
+        return i < len(sids) and sids[i] <= st["max"]
+
+    expect = {f.path for f in files if _hits(f)}
+    got = _candidate_paths_distributed(spark, files, keys_df, len(batch_ids))
+    assert got == expect
+    assert 0 < len(got) < len(files)
+
+    # end-to-end through merge_into with the distributed path forced
+    changes = (
+        seq_df.filter(F.col("doc_id").isin(batch_ids))
+        .select(*DATA_COLUMNS)
+        .withColumn("n_tok", F.lit(1))
+        .withColumn("tokens", F.expr("slice(tokens, 1, 1)"))
+    )
+    res = merge_into(t, changes, exact_prune_max_keys=0)
+    assert res.updated == len(batch_ids)
+    assert res.candidate_files == len(expect) < len(files)
+    assert t.scan().filter(F.col("doc_id").isin(batch_ids)).agg(
+        F.max("n_tok")
+    ).first()[0] == 1
+
+
+def test_merge_insert_heavy_sizes_output(spark, small_table, seq_df):
+    """An insert-only batch with no matched files must still fan out to
+    ~batch_bytes/target files, not one giant file."""
+    t = small_table
+    compact(t, target_file_bytes=1024 * 1024)
+    inserts = (
+        seq_df.limit(2000)
+        .select(*DATA_COLUMNS)
+        .withColumn("doc_id", F.concat(F.lit("zznew-"), F.col("doc_id")))
+    )
+    pre = {f.path for f in t.files()}
+    res = merge_into(t, inserts, target_file_bytes=64 * 1024)
+    assert res.inserted == 2000 and res.touched_files == 0
+    new_files = [f for f in t.files() if f.path not in pre]
+    assert len(new_files) > 3  # sized by insert volume, not touched bytes
+
+
 def test_merge_is_noop_for_unknown_deletes(spark, small_table):
     t = small_table
     n0 = t.scan().count()
@@ -293,3 +359,40 @@ def test_expire_and_orphan_cleanup(spark, small_table, seq_df):
         t.scan(snapshot_id=v1)
     # fresh load agrees
     assert Table.load(spark, t.root).total_rows() == N_ROWS
+
+
+def test_orphan_cleanup_spares_uncommitted_job_outputs(
+    spark, small_table, seq_df, monkeypatch
+):
+    """GC during an interrupted maintenance job must not delete the job's
+    done-group outputs (the resume path commits them); and if outputs DO
+    vanish, resume re-runs the group instead of committing dangling refs."""
+    t = small_table
+    orig_commit = Table.commit
+    monkeypatch.setattr(
+        Table, "commit", lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("kill"))
+    )
+    with pytest.raises(RuntimeError, match="kill"):
+        cluster(t, curve="zorder", target_file_bytes=512 * 1024)
+    monkeypatch.setattr(Table, "commit", orig_commit)
+
+    from olake_spark.plans.ledger import Ledger
+
+    jobs = os.listdir(os.path.join(t.root, "jobs"))
+    assert len(jobs) == 1
+    ledger = Ledger.for_job(t.root, jobs[0])
+    outs = [o["path"] for o in ledger.all_outputs()]
+    assert outs, "interrupted job should have done-group outputs"
+
+    # aggressive GC (grace 0) — uncommitted job outputs must survive
+    expire_snapshots(t, keep_last=1, orphan_grace_ms=0)
+    assert all(os.path.exists(t.abs_path(p)) for p in outs)
+
+    # now lose one output anyway; resume must re-run that group, not
+    # commit a snapshot referencing the missing file
+    os.remove(t.abs_path(outs[0]))
+    res = cluster(t, curve="zorder", target_file_bytes=512 * 1024)
+    assert res.snapshot_id == t.current_snapshot_id
+    assert all(os.path.exists(t.abs_path(f.path)) for f in t.files())
+    assert t.scan().count() == N_ROWS
+    assert _tokens_equal(t.scan(), seq_df)

@@ -1,0 +1,96 @@
+"""Retry/backoff (C4) + commit-conflict semantics: transient failure
+retry, exclusive metadata-version claim, and a maintenance commit that
+survives a concurrent committer by refresh-and-revalidate."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.datagen import generate_sequences
+from olake_spark.operators.compaction import compact
+from olake_spark.plans.retry import retry_on_backoff
+from olake_spark.table import Table
+from olake_spark.table.format import CommitConflict, _claim_version_json
+
+
+def test_retry_recovers_from_transient_failure():
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("transient")
+        return "ok"
+
+    out = retry_on_backoff(
+        flaky, attempts=3, base_sleep_s=0.5, sleeper=sleeps.append
+    )
+    assert out == "ok" and calls["n"] == 2
+    assert sleeps == [0.5]  # one backoff sleep before the retry
+
+
+def test_retry_exhausts_and_reraises():
+    def always():
+        raise ValueError("permanent")
+
+    sleeps: list[float] = []
+    with pytest.raises(ValueError, match="permanent"):
+        retry_on_backoff(always, attempts=3, base_sleep_s=1.0, sleeper=sleeps.append)
+    assert sleeps == [1.0, 2.0]  # exponential
+
+
+def test_retry_does_not_catch_other_exceptions():
+    def boom():
+        raise KeyError("not-retryable")
+
+    with pytest.raises(KeyError):
+        retry_on_backoff(boom, retry_on=(OSError,))
+
+
+def test_version_claim_is_exclusive(tmp_path):
+    """Two writers that both observed version N race to create v(N+1):
+    exactly one wins, the loser gets CommitConflict (not a silent
+    overwrite as with rename)."""
+    path = str(tmp_path / "v2.json")
+    _claim_version_json(path, {"winner": 1})
+    with pytest.raises(CommitConflict):
+        _claim_version_json(path, {"winner": 2})
+    import json
+
+    with open(path) as f:
+        assert json.load(f) == {"winner": 1}
+    # no tmp litter left behind
+    assert os.listdir(tmp_path) == ["v2.json"]
+
+
+def test_commit_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
+    """A concurrent append lands between compaction's refresh and commit:
+    the first commit attempt raises CommitConflict, the retry refreshes,
+    re-validates inputs are still live, and succeeds — final table holds
+    the compacted outputs PLUS the concurrently appended rows."""
+    df = generate_sequences(spark, 800, seed=3, max_tok=32)
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(df.repartition(10))
+    extra = generate_sequences(spark, 50, seed=99, max_tok=32).withColumn(
+        "doc_id", F.concat(F.lit("xx-"), F.col("doc_id"))
+    )
+
+    orig_commit = Table.commit
+    state = {"raced": False}
+
+    def racing_commit(self, *a, **kw):
+        if not state["raced"] and kw.get("summary_extra", {}).get("kind") == "compaction":
+            state["raced"] = True
+            rival = Table.load(spark, self.root)
+            orig_commit(
+                rival, "append", added=rival.write_data_files(extra.repartition(1))
+            )
+        return orig_commit(self, *a, **kw)
+
+    monkeypatch.setattr(Table, "commit", racing_commit)
+    res = compact(t, target_file_bytes=1 << 20)
+    assert state["raced"]
+    assert res.snapshot_id == t.refresh().current_snapshot_id
+    assert t.scan().count() == 850  # compacted 800 + raced-in 50
