@@ -357,6 +357,26 @@ def _minhash_lsh(spark, sf_dir):
     )
 
 
+def _minhash_lsh_verified(spark, sf_dir):
+    # LSH candidates piped through EXACT Jaccard verification — output is
+    # exact-thresholded pairs a quadratic DuckDB oracle reproduces (LSH
+    # recall at this threshold/band config is 1.0 on this corpus,
+    # asserted in tests/test_training_ops.py)
+    from olake_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d,
+        "doc_id",
+        "text",
+        num_perm=32,
+        bands=8,
+        shingle_k=2,
+        jaccard_threshold=0.7,
+        verify=True,
+    )
+
+
 def _simhash_near_dup(spark, sf_dir):
     from olake_spark.operators.dedup import simhash_near_dup_pairs
 
@@ -397,6 +417,26 @@ def _ann_ivf_topk(spark, sf_dir):
     return ivf_topk(
         e.filter(F.col("vec_id") != 0), list(qvec), k=10, n_cells=16, n_probe=6
     )
+
+
+def _ann_ivf_index_topk(spark, sf_dir):
+    # persisted-index ANN: assignments materialized once, files cell-pure,
+    # probes prune via manifest stats — NO assignment UDF at query time.
+    # Rows-only check (index layout isn't SQL-expressible); recall and
+    # prune-fraction proofs live in tests/test_ann_index.py + bench.py.
+    import tempfile
+
+    from olake_spark.operators.ann_index import ann_index_topk, build_ann_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    root = tempfile.mkdtemp(prefix="olake_annidx_")
+    idx = build_ann_index(
+        spark, e.filter(F.col("vec_id") != 0), root + "/ivf", kind="ivf",
+        n_cells=16, seed=7,
+    )
+    out, _info = ann_index_topk(idx, list(qvec), k=10, n_probe=6)
+    return out
 
 
 def _media_metadata(spark, sf_dir):
@@ -468,11 +508,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _doc_exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_lsh": _minhash_lsh,
+        "minhash_lsh_verified": _minhash_lsh_verified,
         "simhash_near_dup": _simhash_near_dup,
         "embedding_topk": _embedding_topk,
         "embedding_near_dup": _embedding_near_dup,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_index_topk": _ann_ivf_index_topk,
         "media_metadata": _media_metadata,
         "media_features": _media_features,
         "seq_table_stats": _seq_table_stats,
@@ -715,6 +757,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
                   / greatest(len(l.s) + len(r.s)
                              - len(list_intersect(l.s, r.s)), 1) >= 0.5
+        """,
+        "minhash_lsh_verified": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text,' '))),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1])) AS s
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 2
+            )
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   round(CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                         / greatest(len(l.s) + len(r.s)
+                                    - len(list_intersect(l.s, r.s)), 1), 6)
+                     AS jaccard
+            FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                  / greatest(len(l.s) + len(r.s)
+                             - len(list_intersect(l.s, r.s)), 1) >= 0.7
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   octet_length(CAST(text AS BLOB)) AS n_bytes,
+                   CAST((ascii(substr(text,5,1)) + ascii(substr(text,6,1))
+                         + ascii(substr(text,7,1)) + ascii(substr(text,8,1)))
+                        % 640 + 16 AS INT) AS width,
+                   CAST((ascii(substr(text,1,1)) + ascii(substr(text,2,1))
+                         + ascii(substr(text,3,1)) + ascii(substr(text,4,1)))
+                        % 480 + 16 AS INT) AS height
+            FROM documents
         """,
         "media_metadata": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

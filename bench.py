@@ -148,6 +148,22 @@ def main() -> None:
         sample.unpersist()
         changes.unpersist()
 
+        # persisted ANN index: build once, probe via manifest pruning —
+        # ann_prune_fraction is the files-skipped evidence (VERDICT #3)
+        from olake_spark.operators.ann_index import ann_index_topk, build_ann_index
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qvec = list(emb.select("embedding").first()[0])
+        with timed("ann_index_build"):
+            idx = build_ann_index(
+                spark, emb, os.path.join(root, "annidx"), kind="ivf",
+                n_cells=32, seed=7,
+            )
+        with timed("ann_index_probe"):
+            out, info = ann_index_topk(idx, qvec, k=10, n_probe=4)
+            out.write.format("noop").mode("overwrite").save()
+        maintenance["ann_prune_fraction"] = info["prune_fraction"]
+
         maint_sec = timings["compact"] + timings["zorder"]
         maintenance["compact_gb_per_s"] = round(
             bytes_in / 1e9 / max(timings["compact"], 1e-9), 4

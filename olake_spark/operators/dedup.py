@@ -87,18 +87,25 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    verify: bool = False,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH + exact verification.
+    """Near-duplicate pairs via banded MinHash LSH.
 
     1. signatures (one shuffle);
     2. band keys: hash of each band's slice of the signature; explode
        bands -> candidate buckets; self-equi-join on (band, key) with
        id< id dedup — the join key is a uniform hash, so no skew;
-    3. exact MinHash-estimate filter >= threshold on candidates only.
+    3. ``verify=False`` (default): filter candidates on the MinHash
+       *estimate* >= threshold; returns (id_a, id_b, est_jaccard) — the
+       estimate, NOT exact similarity.
+       ``verify=True``: join candidates back to their shingle sets and
+       filter on EXACT Jaccard >= threshold; returns (id_a, id_b,
+       jaccard). Exactness costs one extra equi-join on the candidate
+       set only (never all-pairs).
 
-    Returns (id_a, id_b, est_jaccard). At 10^12 docs the all-pairs
-    product is impossible; this plan's cost is O(docs x bands) rows
-    through one equi-join.
+    At 10^12 docs the all-pairs product is impossible; this plan's cost
+    is O(docs x bands) rows through one equi-join plus, when verifying,
+    O(candidates) shingle-set intersections.
     """
     r = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
@@ -133,6 +140,23 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if verify:
+        sh = docs.select(
+            F.col(id_col), word_shingles(text_col, shingle_k).alias("sh")
+        )
+        pairs = (
+            cand.select("id_a", "id_b")
+            .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size(F.array_union("sh_a", "sh_b"))
+        jac = inter / F.greatest(union, F.lit(1))
+        return (
+            pairs.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),

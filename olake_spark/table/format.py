@@ -179,6 +179,7 @@ class Table:
         root: str,
         schema: T.StructType = SEQUENCES_SCHEMA,
         partition_col: str = "source",
+        stats_columns: list[str] | None = None,
     ) -> Table:
         root = os.path.abspath(root)
         for sub in ("metadata", "manifests", "data", "jobs"):
@@ -190,6 +191,7 @@ class Table:
             "schemas": {"0": schema.json()},
             "current_schema_id": 0,
             "partition_col": partition_col,
+            "stats_columns": list(stats_columns or STATS_COLUMNS),
             "current_snapshot_id": None,
             "snapshots": [],
             "last_updated_ms": int(time.time() * 1000),
@@ -340,7 +342,9 @@ class Table:
             for name in sorted(os.listdir(out_dir))
             if name.endswith(".parquet")
         ]
-        stats = collect_file_stats(self.spark, paths, STATS_COLUMNS)
+        stats = collect_file_stats(
+            self.spark, paths, self.metadata.get("stats_columns", STATS_COLUMNS)
+        )
         # GC zero-record files instead of registering them — mirrors the
         # reference's empty-file cleanup (writers/parquet/parquet.go:223-226)
         for s in stats:
@@ -348,9 +352,10 @@ class Table:
                 os.remove(s["path"])
         stats = [s for s in stats if s["record_count"] > 0]
         out = []
+        pc = self.partition_col
         for s in stats:
             st = s["stats"]
-            src = st.get("source", {})
+            src = st.get(pc, {})
             partition = (
                 src.get("min") if src and src.get("min") == src.get("max") else None
             )

@@ -1,0 +1,97 @@
+"""Persisted ANN index: cell-pure file routing, manifest pruning at
+query time (no assignment UDF), recall parity with the query-time path,
+and codebook persistence/reload."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.operators.ann_index import (
+    ASSIGN,
+    _probe_ids,
+    ann_index_topk,
+    build_ann_index,
+    load_ann_index,
+)
+from olake_spark.operators.similarity import brute_force_topk
+
+
+def _mk_embeddings(spark, n=300, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id int, embedding array<float>"),
+        M,
+    )
+
+
+@pytest.fixture(scope="module")
+def ivf_setup(spark, tmp_path_factory):
+    emb, M = _mk_embeddings(spark)
+    root = str(tmp_path_factory.mktemp("annidx") / "ivf")
+    idx = build_ann_index(spark, emb, root, kind="ivf", n_cells=8, seed=7)
+    return emb, M, idx
+
+
+def test_ivf_index_files_are_cell_pure(spark, ivf_setup):
+    _, _, idx = ivf_setup
+    files = idx.table.files()
+    assert files
+    for f in files:
+        st = f.stats[ASSIGN]
+        assert st["min"] == st["max"]  # exact salt routing: one cell/file
+    cells = {f.stats[ASSIGN]["min"] for f in files}
+    assert len(cells) > 1
+
+
+def test_ivf_index_probe_prunes_and_matches_full_rerank(spark, ivf_setup):
+    emb, M, idx = ivf_setup
+    q = list(map(float, M[0]))
+    out, info = ann_index_topk(idx, q, k=10, n_probe=3)
+    got = [r.vec_id for r in out.collect()]
+    # pruning evidence: probes touch <= n_probe of the cells' files
+    assert info["files_scanned"] < info["files_total"]
+    assert info["prune_fraction"] > 0
+    # parity: identical to exact rerank over the SAME probed cells done
+    # the slow way (scan ALL files, filter by assignment — no pruning)
+    slow = brute_force_topk(
+        idx.table.scan().filter(F.col(ASSIGN).isin(_probe_ids(idx, q, 3, 1))),
+        q,
+        k=10,
+    )
+    assert got == [r.vec_id for r in slow.collect()]
+    # recall vs global brute force (deterministic, same seed as builder)
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    assert len(exact & set(got)) / 10 >= 0.3
+
+
+def test_index_roundtrips_through_load(spark, ivf_setup, tmp_path):
+    emb, M, idx = ivf_setup
+    q = list(map(float, M[5]))
+    before, _ = ann_index_topk(idx, q, k=5, n_probe=3)
+    reloaded = load_ann_index(spark, idx.root)
+    assert reloaded.kind == "ivf" and reloaded.dim == idx.dim
+    assert np.allclose(reloaded.centroids, idx.centroids)
+    after, _ = ann_index_topk(reloaded, q, k=5, n_probe=3)
+    assert [r.vec_id for r in before.collect()] == [
+        r.vec_id for r in after.collect()
+    ]
+
+
+def test_lsh_index_prunes_and_recalls(spark, tmp_path):
+    emb, M = _mk_embeddings(spark)
+    root = str(tmp_path / "lsh")
+    idx = build_ann_index(
+        spark, emb, root, kind="lsh", n_planes=8, n_cells=16, seed=7
+    )
+    q = list(map(float, M[0]))
+    out, info = ann_index_topk(idx, q, k=10, probe_hamming=2)
+    got = {r.vec_id for r in out.collect()}
+    assert info["files_scanned"] <= info["files_total"]
+    exact = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    assert len(exact & got) / 10 >= 0.3
+    # file bucket ranges are tight (grouped contiguously, not random)
+    for f in idx.table.files():
+        st = f.stats[ASSIGN]
+        assert st["max"] - st["min"] < (1 << idx.n_planes) // 4

@@ -88,6 +88,32 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
         assert _py_jaccard(rows[a], rows[b], 2) >= 0.2
 
 
+def test_minhash_lsh_verified_returns_exact_jaccard(spark):
+    """verify=True output = EXACT Jaccard-thresholded pairs (not the
+    signature estimate), matching the brute-force python oracle at a
+    threshold where banding recall is 1.0 on this fixture."""
+    docs = _mk_docs(spark)
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs,
+            num_perm=32,
+            bands=16,
+            shingle_k=2,
+            jaccard_threshold=0.7,
+            verify=True,
+        ).collect()
+    }
+    want = {
+        (a, b): round(_py_jaccard(rows[a], rows[b], 2), 6)
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if _py_jaccard(rows[a], rows[b], 2) >= 0.7
+    }
+    assert want, "fixture should contain near-dups above 0.7"
+    assert got == want  # exact values, exact set
+
+
 def test_simhash_blocks_find_identical_and_near(spark):
     docs = _mk_docs(spark)
     pairs = simhash_near_dup_pairs(docs, max_hamming=10, blocks=4).collect()
