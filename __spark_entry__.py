@@ -142,6 +142,26 @@ def _date_granularity(spark, sf_dir):
     )
 
 
+def _partition_regex_routing(spark, sf_dir):
+    # W2: the reference's /{col,'fallback',granularity}/ write-path
+    # template (writers/parquet/parquet.go:307-364) resolved per row —
+    # exercises a granularity (MM), a NULL->fallback, and now() (YY)
+    from olake_spark.functions.partition_regex import partition_path_expr
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "maybe_user",
+        F.when(F.col("event_type") == "click", F.lit(None).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    p = partition_path_expr(
+        "/{event_type,'unknown',}/{ts,'',MM}/u_{maybe_user,'anon',}/{now(),'',YY}"
+    )
+    return ev.select(p.alias("ppath")).groupBy("ppath").agg(
+        F.count("*").alias("cnt")
+    )
+
+
 def _multi_format_dates(spark, sf_dir):
     # T4: multi-format timestamp parsing (11-layout list in the reference)
     from olake_spark.functions.reformat import parse_timestamp_multi
@@ -490,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_props": _flatten_props,
         "date_granularity": _date_granularity,
         "multi_format_dates": _multi_format_dates,
+        "partition_regex_routing": _partition_regex_routing,
         "dedup_latest_event": _dedup_latest_event,
         "top_k_per_group": _top_k_per_group,
         "merge_as_join": _merge_as_join,
@@ -587,6 +608,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_iso,
                    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_us
             FROM orders
+        """,
+        "partition_regex_routing": """
+            SELECT '/' || event_type || '/'
+                   || CAST(month(ts) AS VARCHAR) || '/u_'
+                   || CASE WHEN event_type = 'click' THEN 'anon'
+                           ELSE CAST(user_id AS VARCHAR) END
+                   || '/' || CAST(year(now()) AS VARCHAR) AS ppath,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
         """,
         "dedup_latest_event": """
             WITH r AS (

@@ -8,8 +8,16 @@ sync`` (/root/reference/README.md:81-86, command wiring
     python -m olake_spark check    --dest <table_root>
     python -m olake_spark discover --source <parquet_dir>
     python -m olake_spark sync     --source <parquet_dir> --dest <table_root>
-                                   [--mode full_refresh|cdc] [--feed <dir>]
-                                   [--state <ledger_dir>] [--cpus N]
+                                   [--mode full_refresh|incremental|cdc]
+                                   [--feed <dir>] [--state <ledger_dir>]
+                                   [--partition-regex <template>] [--cpus N]
+    python -m olake_spark sync     --catalog job.json --dest <root>
+
+A catalog binds N streams to N per-stream configs (mode, cursor,
+partition_regex) in the reference's selected_streams shape
+(/root/reference/types/catalog.go:34-44); each stream is validated
+before any sync runs (/root/reference/types/stream_configured.go:72-87)
+and lands in <dest>/<stream_name> with its own STATE message.
 
 Messages go to stdout as single-line JSON envelopes typed like the
 reference's message stream (/root/reference/types/message_type.go:6-14).
@@ -41,6 +49,11 @@ SPEC = {
         },
         "cursor_col": {"type": "string", "description": "cursor (mode=incremental)"},
         "feed": {"type": "string", "description": "CDC json-lines dir (mode=cdc)"},
+        "catalog": {"type": "string", "description": "multi-stream job spec path"},
+        "partition_regex": {
+            "type": "string",
+            "description": "write-path template /{col,'fallback',granularity}/",
+        },
         "target_file_bytes": {"type": "integer", "default": 134217728},
         "cpus": {"type": "integer", "default": 8},
     },
@@ -91,6 +104,7 @@ def cmd_discover(args) -> int:
         _msg("ERROR", {"message": "discover requires --source <parquet dir>"})
         return 2
     spark = get_spark("olake-discover", cores=args.cpus)
+    ns = os.path.basename(args.source.rstrip("/"))
     streams = []
     for p in sorted(glob.glob(os.path.join(args.source, "*.parquet"))):
         name = os.path.basename(p).replace(".parquet", "")
@@ -98,9 +112,29 @@ def cmd_discover(args) -> int:
         streams.append(
             {
                 "name": name,
-                "namespace": os.path.basename(args.source.rstrip("/")),
+                "namespace": ns,
                 "schema": {f.name: f.dataType.simpleString() for f in df.schema.fields},
                 "supported_sync_modes": ["full_refresh", "cdc"],
+            }
+        )
+    # semi-structured input: sample-based discover drives the promotion
+    # lattice (reference mon.go:151-203) instead of typed footers
+    from olake_spark.sources.json_discover import discover_json
+
+    for p in sorted(
+        glob.glob(os.path.join(args.source, "*.jsonl"))
+        + glob.glob(os.path.join(args.source, "*.json"))
+    ):
+        name = os.path.basename(p).rsplit(".", 1)[0]
+        disc = discover_json(spark, p)
+        streams.append(
+            {
+                "name": name,
+                "namespace": ns,
+                "schema": {
+                    f.name: f.dataType.simpleString() for f in disc.schema.fields
+                },
+                "supported_sync_modes": ["full_refresh", "incremental"],
             }
         )
     _msg("CATALOG", {"streams": streams})
@@ -118,10 +152,181 @@ def _ensure_doc_id(df):
     return df.withColumn("doc_id", F.md5(F.to_json(F.struct(*df.columns))))
 
 
+SUPPORTED_SYNC_MODES = ["full_refresh", "incremental", "cdc"]
+
+
+def _load_table(spark, dest: str, df=None, partition_regex: str | None = None):
+    """Load an existing table, or create one matching the incoming
+    stream's schema (+ the partition-path column when routing)."""
+    from olake_spark.table import Table
+
+    if os.path.exists(os.path.join(dest, "VERSION")):
+        return Table.load(spark, dest)
+    if df is None:
+        return Table.create(spark, dest)
+    from olake_spark.functions.partition_regex import PARTITION_PATH
+
+    pcol = PARTITION_PATH if partition_regex else (
+        "source" if "source" in df.columns else "doc_id"
+    )
+    stats = [c for c in ("doc_id", "n_tok", "source", "_olake_id", pcol)
+             if c in df.columns or c == pcol]
+    return Table.create(
+        spark, dest, schema=df.schema, partition_col=pcol, stats_columns=stats
+    )
+
+
+def _sync_stream(
+    spark,
+    mode: str,
+    source: str | None,
+    dest: str,
+    cursor_col: str | None = None,
+    feed: str | None = None,
+    state_dir: str | None = None,
+    partition_regex: str | None = None,
+) -> dict:
+    """One stream's sync — returns the STATE payload. Shared by the
+    single-stream CLI flags and the multi-stream catalog runner."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.schema import with_system_columns
+
+    if mode == "cdc":
+        from olake_spark.streaming.cdc_stream import run_cdc_stream
+
+        table = _load_table(spark, dest)
+        ckpt = state_dir or os.path.join(dest, "jobs", "cdc-checkpoint")
+        cursor = run_cdc_stream(table, feed, ckpt, bounded=True)
+        return {"mode": "cdc", "cursor": cursor, "rows": table.total_rows(),
+                "snapshot": table.refresh().current_snapshot_id}
+
+    if source.rstrip("/").endswith((".json", ".jsonl")):
+        from olake_spark.sources.json_discover import discover_json, read_json
+
+        src = read_json(spark, source, discover_json(spark, source))
+    else:
+        src = spark.read.parquet(source)
+    src = _ensure_doc_id(src)
+    src = with_system_columns(src)
+    if partition_regex:
+        from olake_spark.functions.partition_regex import with_partition_path
+
+        src = with_partition_path(src, partition_regex)
+
+    if mode == "incremental":
+        # cursor-based append — declared but UNIMPLEMENTED in the
+        # reference (README.md:42); cursor filter shape per
+        # /root/reference/pkg/jdbc/jdbc.go:14-16 (k > $1), cursor
+        # advanced only after the snapshot commit
+        cur_path = os.path.join(dest, "jobs", "incremental-cursor.json")
+        last = None
+        if os.path.exists(cur_path):
+            with open(cur_path) as fh:
+                last = json.load(fh).get("cursor")
+        batch = src.filter(F.col(cursor_col) > F.lit(last)) if last is not None else src
+        # one column-pruned pass for both cursor max and row count
+        agg = batch.agg(
+            F.max(cursor_col).cast("string").alias("mx"),
+            F.count("*").alias("n"),
+        ).first()
+        new_max, rows = agg.mx, agg.n
+        table = _load_table(spark, dest, batch, partition_regex)
+        if rows:
+            snap = table.append(batch)
+            os.makedirs(os.path.dirname(cur_path), exist_ok=True)
+            with open(cur_path, "w") as fh:
+                json.dump({"cursor": new_max, "snapshot": snap}, fh)
+        return {"mode": "incremental", "rows": rows,
+                "cursor": new_max or last,
+                "snapshot": table.current_snapshot_id}
+
+    # full refresh REPLACES the destination contents (one atomic
+    # overwrite snapshot) — re-running must not duplicate rows; the
+    # reference re-syncs the stream from scratch
+    table = _load_table(spark, dest, src, partition_regex)
+    snap = table.overwrite(src)
+    rows = table.snapshot(snap).summary.get("added-rows", 0)
+    return {"mode": "full_refresh", "rows": rows, "snapshot": snap}
+
+
+def _validate_stream(spark, cfg: dict, meta: dict) -> str | None:
+    """Configured-stream validation, reference semantics at
+    /root/reference/types/stream_configured.go:72-87: sync mode must be
+    supported; incremental requires a cursor field that exists."""
+    mode = cfg.get("sync_mode", "full_refresh")
+    if mode not in SUPPORTED_SYNC_MODES:
+        return f"invalid sync mode[{mode}]; valid are {SUPPORTED_SYNC_MODES}"
+    if mode == "incremental":
+        cur = cfg.get("cursor_field")
+        if not cur:
+            return "incremental sync requires cursor_field"
+        cols = [
+            f.name
+            for f in spark.read.parquet(cfg["source"]).schema.fields
+        ]
+        if cur not in cols:
+            return f"invalid cursor field [{cur}]; valid are {cols}"
+    if mode == "cdc" and not cfg.get("feed"):
+        return "cdc sync requires feed"
+    return None
+
+
 def cmd_sync(args) -> int:
+    from olake_spark.plans.telemetry import StatsMonitor
+    from olake_spark.session import get_spark
+    from olake_spark.table import Table
+
     if not args.dest:
         _msg("ERROR", {"message": "sync requires --dest"})
         return 2
+
+    if args.catalog:
+        # multi-stream job: spec -> catalog -> selected_streams
+        # (/root/reference/types/catalog.go:34-44)
+        with open(args.catalog) as f:
+            catalog = json.load(f)
+        by_name = {
+            s["stream"]["name"]: s["stream"] for s in catalog.get("streams", [])
+        }
+        selected: list[tuple[dict, dict]] = []  # (stream cfg, metadata)
+        for _ns, metas in catalog.get("selected_streams", {}).items():
+            for m in metas:
+                cfg = by_name.get(m["stream_name"])
+                if cfg is None:
+                    _msg("ERROR", {"message": f"selected stream {m['stream_name']} not in catalog"})
+                    return 2
+                selected.append((cfg, m))
+        if not selected:
+            _msg("ERROR", {"message": "catalog selects no streams"})
+            return 2
+        spark = get_spark("olake-sync", cores=args.cpus)
+        for cfg, _m in selected:
+            err = _validate_stream(spark, cfg, _m)
+            if err:
+                _msg("ERROR", {"stream": cfg["name"], "message": err})
+                return 2
+        rc = 0
+        with StatsMonitor(spark, os.path.join(args.dest, "stats.json")) as mon:
+            for cfg, m in selected:
+                dest = os.path.join(args.dest, cfg["name"])
+                state = _sync_stream(
+                    spark,
+                    cfg.get("sync_mode", "full_refresh"),
+                    cfg.get("source"),
+                    dest,
+                    cursor_col=cfg.get("cursor_field"),
+                    feed=cfg.get("feed"),
+                    partition_regex=m.get("partition_regex") or None,
+                )
+                mon.add_records(state.get("rows") or 0)
+                _msg("STATE", {"stream": cfg["name"], **state})
+                t = Table.load(spark, dest)
+                _msg("RECORD_COUNT", {"stream": cfg["name"],
+                                      "total_rows": t.total_rows(),
+                                      "total_files": len(t.files())})
+        return rc
+
     if args.mode == "cdc" and not args.feed:
         _msg("ERROR", {"message": "sync --mode cdc requires --feed <json-lines dir>"})
         return 2
@@ -131,67 +336,17 @@ def cmd_sync(args) -> int:
     if args.mode == "incremental" and not args.cursor_col:
         _msg("ERROR", {"message": "sync --mode incremental requires --cursor-col"})
         return 2
-    from pyspark.sql import functions as F
-
-    from olake_spark.plans.telemetry import StatsMonitor
-    from olake_spark.schema import with_system_columns
-    from olake_spark.session import get_spark
-    from olake_spark.table import Table
 
     spark = get_spark("olake-sync", cores=args.cpus)
-    if os.path.exists(os.path.join(args.dest, "VERSION")):
-        table = Table.load(spark, args.dest)
-    else:
-        table = Table.create(spark, args.dest)
-
-    stats_path = os.path.join(args.dest, "stats.json")
-    with StatsMonitor(spark, stats_path) as mon:
-        if args.mode == "cdc":
-            from olake_spark.streaming.cdc_stream import run_cdc_stream
-
-            ckpt = args.state or os.path.join(args.dest, "jobs", "cdc-checkpoint")
-            cursor = run_cdc_stream(table, args.feed, ckpt, bounded=True)
-            mon.add_records(table.total_rows())
-            _msg("STATE", {"mode": "cdc", "cursor": cursor,
-                           "snapshot": table.refresh().current_snapshot_id})
-        elif args.mode == "incremental":
-            # cursor-based append — declared but UNIMPLEMENTED in the
-            # reference (README.md:42); cursor filter shape per
-            # /root/reference/pkg/jdbc/jdbc.go:14-16 (k > $1), cursor
-            # advanced only after the snapshot commit
-            import json as _json
-
-            cur_path = os.path.join(args.dest, "jobs", "incremental-cursor.json")
-            last = None
-            if os.path.exists(cur_path):
-                with open(cur_path) as fh:
-                    last = _json.load(fh).get("cursor")
-            src = _ensure_doc_id(spark.read.parquet(args.source))
-            batch = src.filter(F.col(args.cursor_col) > F.lit(last)) if last is not None else src
-            # one column-pruned pass for both cursor max and row count
-            agg = batch.agg(
-                F.max(args.cursor_col).cast("string").alias("mx"),
-                F.count("*").alias("n"),
-            ).first()
-            new_max, rows = agg.mx, agg.n
-            if rows:
-                snap = table.append(with_system_columns(batch))
-                os.makedirs(os.path.dirname(cur_path), exist_ok=True)
-                with open(cur_path, "w") as fh:
-                    _json.dump({"cursor": new_max, "snapshot": snap}, fh)
-            mon.add_records(rows)
-            _msg("STATE", {"mode": "incremental", "rows": rows,
-                           "cursor": new_max or last,
-                           "snapshot": table.current_snapshot_id})
-        else:
-            src = _ensure_doc_id(spark.read.parquet(args.source))
-            # full refresh REPLACES the destination contents (one atomic
-            # overwrite snapshot) — re-running must not duplicate rows;
-            # the reference re-syncs the stream from scratch
-            snap = table.overwrite(with_system_columns(src))
-            rows = table.snapshot(snap).summary.get("added-rows", 0)
-            mon.add_records(rows)
-            _msg("STATE", {"mode": "full_refresh", "rows": rows, "snapshot": snap})
+    with StatsMonitor(spark, os.path.join(args.dest, "stats.json")) as mon:
+        state = _sync_stream(
+            spark, args.mode, args.source, args.dest,
+            cursor_col=args.cursor_col, feed=args.feed, state_dir=args.state,
+            partition_regex=args.partition_regex,
+        )
+        mon.add_records(state.get("rows") or 0)
+        _msg("STATE", state)
+    table = Table.load(spark, args.dest)
     _msg("RECORD_COUNT", {"total_rows": table.total_rows(),
                           "total_files": len(table.files())})
     return 0
@@ -211,6 +366,9 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--cursor-col", dest="cursor_col")
         sp.add_argument("--state")
         sp.add_argument("--cpus", type=int, default=8)
+        sp.add_argument("--catalog", help="multi-stream job spec (json)")
+        sp.add_argument("--partition-regex", dest="partition_regex",
+                        help="write-path template /{col,'fallback',granularity}/")
     args = p.parse_args(argv)
     return {"spec": cmd_spec, "check": cmd_check,
             "discover": cmd_discover, "sync": cmd_sync}[args.cmd](args)

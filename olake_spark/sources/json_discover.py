@@ -1,0 +1,208 @@
+"""Sample-based schema discovery for semi-structured JSON-lines input.
+
+The reference discovers a Mongo collection's schema by fetching 10k docs
+from BOTH ends of the collection and resolving every row into the stream
+schema through the type-promotion lattice
+(/root/reference/drivers/mongodb/internal/mon.go:151-203 +
+typeutils/fields.go:104-129). Here:
+
+- the sample is head-N plus a seeded random-N (drift living anywhere in
+  the file is caught, not just at the ends);
+- each sampled row walks the SAME lattice the engine uses for schema
+  evolution (functions/reformat.promote_type): bool < long < double <
+  string, timestamp-like strings promote to timestamp; L1 structs
+  flatten to canon-named columns; arrays and deeper nesting
+  JSON-stringify (flatten.go:45-56);
+- the discover pass resolves a bounded sample driver-side (exactly the
+  reference's 20k-document budget); the FULL read stays distributed and
+  JVM-side: from_json against the raw nested schema, the engine's
+  Catalyst flatten_struct, then T4 coercion (multi-format timestamps,
+  bool truth table).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from olake_spark.functions.reformat import (
+    canon_name,
+    canonicalize_columns,
+    coerce_to_schema,
+    flatten_struct,
+    promote_type,
+)
+
+_TS_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}(:\d{2}(\.\d+)?)?([+-]\d{2}:?\d{2}|Z)?)?$"
+)
+
+
+@dataclass
+class DiscoveredStream:
+    """Outcome of discovery: the raw parse shape and the resolved types.
+
+    raw_schema — what from_json parses (all leaves string; L1 structs
+    kept as structs; arrays as array<string>).
+    schema — the flat, lattice-resolved output schema (canon names).
+    """
+
+    raw_schema: T.StructType
+    schema: T.StructType
+
+
+def _value_type(v) -> T.DataType | None:
+    """Observed Spark type of one JSON scalar (None for null — nulls
+    carry no type evidence, matching typeutils.Resolve)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, str):
+        if _TS_RE.match(v.strip()):
+            return T.TimestampType()
+        return T.StringType()
+    return T.StringType()
+
+
+class _Resolver:
+    """Folds sampled rows into (raw nested shape, flat resolved types)."""
+
+    def __init__(self) -> None:
+        self.flat: dict[str, T.DataType] = {}
+        self.flat_order: list[str] = []
+        # top-level key -> 'scalar' | 'struct' | 'array'
+        self.shape: dict[str, str] = {}
+        self.shape_order: list[str] = []
+        self.children: dict[str, list[str]] = {}
+
+    def _note_flat(self, name: str, vt: T.DataType | None) -> None:
+        if name not in self.flat:
+            self.flat_order.append(name)
+            self.flat[name] = vt or T.NullType()
+        elif vt is not None:
+            if self.flat[name] == T.NullType():
+                self.flat[name] = vt
+            elif self.flat[name] != vt:
+                self.flat[name] = promote_type(self.flat[name], vt)
+
+    def _note_shape(self, key: str, kind: str) -> None:
+        if key not in self.shape:
+            self.shape_order.append(key)
+            self.shape[key] = kind
+        elif self.shape[key] != kind:
+            self.shape[key] = "scalar"  # conflicting shapes -> string scalar
+
+    def add(self, row: dict) -> None:
+        for k, v in row.items():
+            if isinstance(v, dict):
+                self._note_shape(k, "struct")
+                kids = self.children.setdefault(k, [])
+                for sk, sv in v.items():
+                    if sk not in kids:
+                        kids.append(sk)
+                    flat_name = canon_name(sk)
+                    if isinstance(sv, (dict, list)):
+                        self._note_flat(flat_name, T.StringType())
+                    else:
+                        self._note_flat(flat_name, _value_type(sv))
+            elif isinstance(v, list):
+                self._note_shape(k, "array")
+                self._note_flat(canon_name(k), T.StringType())
+            else:
+                self._note_shape(k, "scalar")
+                self._note_flat(canon_name(k), _value_type(v))
+
+    def result(self) -> DiscoveredStream:
+        raw_fields = []
+        for k in self.shape_order:
+            kind = self.shape[k]
+            if kind == "struct":
+                raw_fields.append(
+                    T.StructField(
+                        k,
+                        T.StructType(
+                            [
+                                T.StructField(c, T.StringType(), True)
+                                for c in self.children[k]
+                            ]
+                        ),
+                        True,
+                    )
+                )
+            elif kind == "array":
+                raw_fields.append(
+                    T.StructField(k, T.ArrayType(T.StringType(), True), True)
+                )
+            else:
+                raw_fields.append(T.StructField(k, T.StringType(), True))
+        flat_fields = [
+            T.StructField(
+                n,
+                T.StringType() if self.flat[n] == T.NullType() else self.flat[n],
+                True,
+            )
+            for n in self.flat_order
+        ]
+        return DiscoveredStream(T.StructType(raw_fields), T.StructType(flat_fields))
+
+
+def discover_json(
+    spark: SparkSession, path: str, sample_rows: int = 10_000, seed: int = 42
+) -> DiscoveredStream:
+    """Head-N + seeded-random-N sampling, lattice fold on the driver."""
+    lines = spark.read.text(path)
+    head = [r.value for r in lines.limit(sample_rows).collect()]
+    rand: list[str] = []
+    if len(head) == sample_rows:  # file larger than the head budget
+        total = lines.count()
+        frac = min(1.0, 2.0 * sample_rows / max(total, 1))
+        rand = [
+            r.value
+            for r in lines.sample(False, frac, seed=seed)
+            .limit(sample_rows)
+            .collect()
+        ]
+    res = _Resolver()
+    n = 0
+    for ln in head + rand:
+        ln = ln.strip()
+        if not ln:
+            continue
+        try:
+            obj = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict):
+            res.add(obj)
+            n += 1
+    if n == 0:
+        raise ValueError(f"no parseable JSON objects sampled from {path}")
+    return res.result()
+
+
+def read_json(spark: SparkSession, path: str, disc: DiscoveredStream) -> DataFrame:
+    """Distributed, JVM-side read of the discovered stream: from_json
+    parse -> Catalyst L1 flatten -> canon names -> T4 coercion."""
+    parsed = (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(F.from_json(F.col("value"), disc.raw_schema).alias("r"))
+        .select("r.*")
+    )
+    for f in disc.raw_schema.fields:
+        if isinstance(f.dataType, T.StructType):
+            parsed = flatten_struct(parsed, f.name)
+        elif isinstance(f.dataType, T.ArrayType):
+            parsed = parsed.withColumn(f.name, F.to_json(F.col(f.name)))
+    parsed = canonicalize_columns(parsed)
+    return coerce_to_schema(parsed, disc.schema)

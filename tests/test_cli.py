@@ -66,3 +66,73 @@ def test_sync_full_refresh_and_stats(tmp_path, capsys, spark):
     msgs = {m["type"]: m for m in _lines(capsys)}
     assert msgs["STATE"]["rows"] == 500
     assert msgs["RECORD_COUNT"]["total_rows"] == 500
+
+
+def _write_catalog(path, streams, selected):
+    with open(path, "w") as f:
+        json.dump({"streams": streams, "selected_streams": selected}, f)
+
+
+def test_sync_catalog_multi_stream(tmp_path, capsys, spark):
+    """One job spec binding two streams with per-stream mode/options —
+    reference selected_streams semantics (types/catalog.go:34-44)."""
+    cat = str(tmp_path / "job.json")
+    _write_catalog(
+        cat,
+        streams=[
+            {"stream": {"name": "region", "namespace": "tpch",
+                        "source": "/root/testdata/sf0.001/region.parquet",
+                        "sync_mode": "full_refresh"}},
+            {"stream": {"name": "events", "namespace": "tpch",
+                        "source": "/root/testdata/sf0.001/events.parquet",
+                        "sync_mode": "incremental", "cursor_field": "ts"}},
+        ],
+        selected={"tpch": [
+            {"stream_name": "region", "partition_regex": "/r={r_regionkey,'',}"},
+            {"stream_name": "events", "partition_regex": ""},
+        ]},
+    )
+    dest = str(tmp_path / "multi")
+    assert main(["sync", "--catalog", cat, "--dest", dest, "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    states = {m["stream"]: m for m in msgs if m["type"] == "STATE"}
+    counts = {m["stream"]: m for m in msgs if m["type"] == "RECORD_COUNT"}
+    assert set(states) == {"region", "events"}
+    assert states["region"]["mode"] == "full_refresh"
+    assert states["events"]["mode"] == "incremental" and states["events"]["cursor"]
+    assert counts["region"]["total_rows"] == 5
+    assert counts["events"]["total_rows"] == 1000
+    # per-stream tables landed under dest/<name>
+    assert os.path.exists(os.path.join(dest, "region", "VERSION"))
+    assert os.path.exists(os.path.join(dest, "events", "VERSION"))
+    # partition_regex routed region files path-pure
+    from olake_spark.table import Table
+
+    t = Table.load(spark, os.path.join(dest, "region"))
+    assert {f.partition for f in t.files()} == {f"/r={i}" for i in range(5)}
+
+    # incremental re-run with no new rows appends nothing
+    assert main(["sync", "--catalog", cat, "--dest", dest, "--cpus", "8"]) == 0
+    msgs2 = _lines(capsys)
+    ev2 = next(m for m in msgs2 if m["type"] == "STATE" and m["stream"] == "events")
+    assert ev2["rows"] == 0
+
+
+def test_sync_catalog_validation_rejects_bad_cursor(tmp_path, capsys, spark):
+    cat = str(tmp_path / "bad.json")
+    _write_catalog(
+        cat,
+        streams=[{"stream": {"name": "events", "namespace": "t",
+                             "source": "/root/testdata/sf0.001/events.parquet",
+                             "sync_mode": "incremental",
+                             "cursor_field": "not_a_col"}}],
+        selected={"t": [{"stream_name": "events", "partition_regex": ""}]},
+    )
+    dest = str(tmp_path / "d")
+    assert main(["sync", "--catalog", cat, "--dest", dest, "--cpus", "8"]) == 2
+    msgs = _lines(capsys)
+    assert any(
+        m["type"] == "ERROR" and "invalid cursor field" in m["message"]
+        for m in msgs
+    )
+    assert not os.path.exists(os.path.join(dest, "events", "VERSION"))
