@@ -185,6 +185,8 @@ def _sync_stream(
     feed: str | None = None,
     state_dir: str | None = None,
     partition_regex: str | None = None,
+    split_col: str | None = None,
+    num_chunks: int = 8,
 ) -> dict:
     """One stream's sync — returns the STATE payload. Shared by the
     single-stream CLI flags and the multi-stream catalog runner."""
@@ -245,6 +247,29 @@ def _sync_stream(
     # overwrite snapshot) — re-running must not duplicate rows; the
     # reference re-syncs the stream from scratch
     table = _load_table(spark, dest, src, partition_regex)
+    if split_col and source.endswith(".parquet"):
+        # chunked backfill: key-range chunks planned before any read,
+        # each chunk a resumable ledger entry (reference backfill loop,
+        # drivers/postgres/internal/backfill.go:19-100)
+        from olake_spark.sources.adapter import ParquetDirSource
+        from olake_spark.sources.backfill import chunked_backfill
+
+        transform = None
+        if partition_regex:
+            from olake_spark.functions.partition_regex import with_partition_path
+
+            transform = lambda d: with_partition_path(d, partition_regex)  # noqa: E731
+        res = chunked_backfill(
+            table,
+            ParquetDirSource(spark, os.path.dirname(source)),
+            os.path.basename(source).replace(".parquet", ""),
+            split_col,
+            num_chunks=num_chunks,
+            mode="overwrite",
+            transform=transform,
+        )
+        return {"mode": "full_refresh", "rows": res.rows,
+                "chunks": res.chunks, "snapshot": res.snapshot_id}
     snap = table.overwrite(src)
     rows = table.snapshot(snap).summary.get("added-rows", 0)
     return {"mode": "full_refresh", "rows": rows, "snapshot": snap}
@@ -318,6 +343,7 @@ def cmd_sync(args) -> int:
                     cursor_col=cfg.get("cursor_field"),
                     feed=cfg.get("feed"),
                     partition_regex=m.get("partition_regex") or None,
+                    split_col=m.get("split_column") or None,
                 )
                 mon.add_records(state.get("rows") or 0)
                 _msg("STATE", {"stream": cfg["name"], **state})
@@ -343,6 +369,7 @@ def cmd_sync(args) -> int:
             spark, args.mode, args.source, args.dest,
             cursor_col=args.cursor_col, feed=args.feed, state_dir=args.state,
             partition_regex=args.partition_regex,
+            split_col=args.split_col, num_chunks=args.chunks,
         )
         mon.add_records(state.get("rows") or 0)
         _msg("STATE", state)
@@ -369,6 +396,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--catalog", help="multi-stream job spec (json)")
         sp.add_argument("--partition-regex", dest="partition_regex",
                         help="write-path template /{col,'fallback',granularity}/")
+        sp.add_argument("--split-col", dest="split_col",
+                        help="key column for chunked (resumable) backfill")
+        sp.add_argument("--chunks", type=int, default=8,
+                        help="chunk count for --split-col backfill")
     args = p.parse_args(argv)
     return {"spec": cmd_spec, "check": cmd_check,
             "discover": cmd_discover, "sync": cmd_sync}[args.cmd](args)
