@@ -213,23 +213,27 @@ def cluster(
         gbytes = sum(f.file_size_bytes for f in gfiles)
         grows = sum(f.record_count for f in gfiles)
         n_bins = max(1, math.ceil(gbytes / target_file_bytes))
-        # force the scan to >= 2x cores map tasks regardless of how input
-        # file sizes pack (post-compaction small files otherwise coalesce
-        # into a handful of scan partitions and the UDF stage runs serial)
+        # boundary sampling runs at the session-default scan granularity:
+        # it reads only the (column-pruned) key columns, so a handful of
+        # map tasks beats 100 tiny ones
+        boundaries = _sample_boundaries(
+            table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+            .select(*in_cols),
+            key_udf,
+            in_cols,
+            n_bins,
+            grows,
+        )
+        # force the main scan to >= 2x cores map tasks regardless of how
+        # input file sizes pack (post-compaction small files otherwise
+        # coalesce into a handful of scan partitions and the full-width
+        # UDF stage runs serial)
         mpb = min(128 << 20, max(1 << 20, gbytes // max(2 * cores, n_bins) + 1))
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
         old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         spark.conf.set("spark.sql.files.openCostInBytes", str(min(131072, mpb)))
         try:
-            boundaries = _sample_boundaries(
-                table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
-                .select(*in_cols),
-                key_udf,
-                in_cols,
-                n_bins,
-                grows,
-            )
             df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
             keyed = df.withColumn(CKEY, key_udf(*[F.col(c) for c in in_cols]))
             clustered = exact_range_partition(
