@@ -484,6 +484,35 @@ def _seq_table_stats(spark, sf_dir):
     )
 
 
+def _seq_packing_audit(spark, sf_dir):
+    # sequence packing (training blocks) — block assignment itself is not
+    # SQL-expressible, but its conservation invariants are: total
+    # sequences, total tokens, and oversize-singleton count must match
+    # the source corpus exactly (FFD never splits or drops a sequence)
+    from olake_spark.operators.packing import pack_sequences, packing_stats
+    from olake_spark.sources.tokenizer import sequences_from_documents
+
+    seq = sequences_from_documents(spark, sf_dir)
+    packed = pack_sequences(seq, block_len=4096, partitions=8)
+    return packing_stats(packed, block_len=4096).select(
+        F.col("total_seqs").cast("bigint").alias("total_seqs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("oversize_blocks").cast("bigint").alias("oversize_blocks"),
+    )
+
+
+def _token_vocab_topk(spark, sf_dir):
+    # vocabulary frequency over the corpus — explode + hash-agg + top-k
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(50)
+    )
+
+
 def _zkey_locality(spark, sf_dir):
     # curve-key computation over documents (brute-force oracle in tests/)
     from olake_spark.functions.zorder import ClusterCol, make_cluster_key_udf
@@ -539,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": _media_metadata,
         "media_features": _media_features,
         "seq_table_stats": _seq_table_stats,
+        "seq_packing_audit": _seq_packing_audit,
+        "token_vocab_topk": _token_vocab_topk,
         "zkey_locality": _zkey_locality,
     }
 
@@ -852,5 +883,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                      AS total_tokens
             FROM documents GROUP BY source
+        """,
+        "seq_packing_audit": """
+            SELECT CAST(count(*) AS BIGINT) AS total_seqs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS total_tokens,
+                   CAST(sum(CASE WHEN len(string_split(text, ' ')) > 4096
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS oversize_blocks
+            FROM documents
+        """,
+        "token_vocab_topk": """
+            SELECT w, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 50
         """,
     }

@@ -331,27 +331,43 @@ def cmd_sync(args) -> int:
             if err:
                 _msg("ERROR", {"stream": cfg["name"], "message": err})
                 return 2
-        rc = 0
+        # concurrent stream groups (§2.7 C3): the reference syncs selected
+        # streams with a bounded worker pool (utils.Concurrent); Spark's
+        # scheduler interleaves the concurrent jobs across executor slots.
+        # Destinations are disjoint table roots, so commits don't contend.
+        from concurrent.futures import ThreadPoolExecutor
+
+        conc = max(1, args.concurrency)
+
+        def _run_one(item):
+            cfg, m = item
+            dest = os.path.join(args.dest, cfg["name"])
+            state = _sync_stream(
+                spark,
+                cfg.get("sync_mode", "full_refresh"),
+                cfg.get("source"),
+                dest,
+                cursor_col=cfg.get("cursor_field"),
+                feed=cfg.get("feed"),
+                partition_regex=m.get("partition_regex") or None,
+                split_col=m.get("split_column") or None,
+            )
+            return cfg["name"], dest, state
+
         with StatsMonitor(spark, os.path.join(args.dest, "stats.json")) as mon:
-            for cfg, m in selected:
-                dest = os.path.join(args.dest, cfg["name"])
-                state = _sync_stream(
-                    spark,
-                    cfg.get("sync_mode", "full_refresh"),
-                    cfg.get("source"),
-                    dest,
-                    cursor_col=cfg.get("cursor_field"),
-                    feed=cfg.get("feed"),
-                    partition_regex=m.get("partition_regex") or None,
-                    split_col=m.get("split_column") or None,
-                )
+            if conc == 1:
+                results = [_run_one(it) for it in selected]
+            else:
+                with ThreadPoolExecutor(max_workers=conc) as pool:
+                    results = list(pool.map(_run_one, selected))
+            for name, dest, state in results:
                 mon.add_records(state.get("rows") or 0)
-                _msg("STATE", {"stream": cfg["name"], **state})
+                _msg("STATE", {"stream": name, **state})
                 t = Table.load(spark, dest)
-                _msg("RECORD_COUNT", {"stream": cfg["name"],
+                _msg("RECORD_COUNT", {"stream": name,
                                       "total_rows": t.total_rows(),
                                       "total_files": len(t.files())})
-        return rc
+        return 0
 
     if args.mode == "cdc" and not args.feed:
         _msg("ERROR", {"message": "sync --mode cdc requires --feed <json-lines dir>"})
@@ -400,6 +416,8 @@ def main(argv: list[str] | None = None) -> int:
                         help="key column for chunked (resumable) backfill")
         sp.add_argument("--chunks", type=int, default=8,
                         help="chunk count for --split-col backfill")
+        sp.add_argument("--concurrency", type=int, default=1,
+                        help="concurrent streams for --catalog sync")
     args = p.parse_args(argv)
     return {"spec": cmd_spec, "check": cmd_check,
             "discover": cmd_discover, "sync": cmd_sync}[args.cmd](args)

@@ -152,6 +152,25 @@ def _encode_col(s: pd.Series, spec: ClusterCol, bits: int) -> np.ndarray:
     raise ValueError(f"unknown ClusterCol kind: {spec.kind}")
 
 
+def curve_keys_np(
+    series: list[pd.Series], specs: list[ClusterCol], curve: str
+) -> np.ndarray:
+    """Curve keys (int64) for aligned column Series — the shared kernel
+    behind the executor-side pandas UDF AND driver-side boundary
+    sampling (clustering reads a few files' key columns via pyarrow and
+    quantiles these keys without launching a Spark job)."""
+    k = len(specs)
+    bits = 63 // k
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"unknown curve: {curve}")
+    coords = [_encode_col(s, spec, bits) for s, spec in zip(series, specs)]
+    if curve == "zorder":
+        key = interleave_bits_np(coords, bits)
+    else:
+        key = hilbert_index_np(coords, bits)
+    return key.astype(np.int64)
+
+
 def make_cluster_key_udf(specs: list[ClusterCol], curve: str = "zorder"):
     """Build a pandas UDF computing the curve key over the given columns.
 
@@ -161,18 +180,11 @@ def make_cluster_key_udf(specs: list[ClusterCol], curve: str = "zorder"):
         key_udf, cols = make_cluster_key_udf(specs, curve="hilbert")
         df = df.withColumn("_ckey", key_udf(*[F.col(c) for c in cols]))
     """
-    k = len(specs)
-    bits = 63 // k
     if curve not in ("zorder", "hilbert"):
         raise ValueError(f"unknown curve: {curve}")
 
     @F.pandas_udf(T.LongType())
     def curve_key(*series: pd.Series) -> pd.Series:
-        coords = [_encode_col(s, spec, bits) for s, spec in zip(series, specs)]
-        if curve == "zorder":
-            key = interleave_bits_np(coords, bits)
-        else:
-            key = hilbert_index_np(coords, bits)
-        return pd.Series(key.astype(np.int64))
+        return pd.Series(curve_keys_np(list(series), specs, curve))
 
     return curve_key, [s.name for s in specs]

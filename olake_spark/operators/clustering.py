@@ -25,6 +25,8 @@ import hashlib
 import math
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from olake_spark.functions.partitioning import exact_range_partition
@@ -38,34 +40,60 @@ from olake_spark.plans.ledger import Ledger
 from olake_spark.table.format import DataFile, Table
 
 CKEY = "_ckey"
-# boundary-sample size: enough for ~200 keys per output bin, bounded so
-# the driver collect stays small at any group size
+# boundary-sample size: enough keys for stable per-bin quantiles, bounded
+# so driver memory stays small at any group size
 _SAMPLE_MAX = 100_000
+_SAMPLE_FILES = 8
 
 
-def _sample_boundaries(narrow_df, key_udf, in_cols, n_bins: int, approx_rows: int):
-    """Range boundaries for n_bins from a seeded sample of the curve key.
+def _sample_boundaries(
+    table: Table,
+    gfiles: list[DataFile],
+    specs,
+    curve: str,
+    in_cols: list[str],
+    n_bins: int,
+):
+    """Range boundaries for n_bins from a driver-side pyarrow sample.
 
-    ``narrow_df`` carries only the key input columns, so the parquet scan
-    is column-pruned (token arrays untouched) and the UDF runs over the
-    sampled rows only — the full-width data is read exactly once, by the
-    main rewrite pass.
+    Launching a Spark job just to sample boundaries costs 1-3 s of
+    scheduling per group REGARDLESS of cluster size — pure fixed cost
+    that flattens scaling efficiency. Instead the driver reads the key
+    columns (column-pruned parquet, token arrays untouched) of a few
+    evenly-spaced input files directly with pyarrow (~MBs) and quantiles
+    their curve keys; the full-width data is read exactly once, by the
+    main rewrite pass. Falls back to a Spark sample when files are not
+    driver-readable (non-local filesystem).
     """
     if n_bins <= 1:
         return []
-    target = min(_SAMPLE_MAX, max(200 * n_bins, 10_000))
-    frac = min(1.0, target / max(approx_rows, 1))
-    s = narrow_df.sample(False, frac, seed=42) if frac < 1.0 else narrow_df
-    keys = sorted(
-        r[0]
-        for r in s.select(
-            key_udf(*[F.col(c) for c in in_cols]).alias(CKEY)
-        ).collect()
-    )
-    if not keys:
+    from olake_spark.functions.zorder import curve_keys_np
+
+    picks = gfiles
+    if len(gfiles) > _SAMPLE_FILES:
+        step = len(gfiles) / _SAMPLE_FILES
+        picks = [gfiles[int(i * step)] for i in range(_SAMPLE_FILES)]
+    try:
+        import pyarrow.parquet as pq
+
+        frames = [
+            pq.read_table(table.abs_path(f.path), columns=in_cols).to_pandas()
+            for f in picks
+        ]
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+    except OSError:
+        pdf = (
+            table.scan(files=picks)
+            .select(*in_cols)
+            .toPandas()
+        )
+    if len(pdf) > _SAMPLE_MAX:
+        pdf = pdf.sample(n=_SAMPLE_MAX, random_state=42)
+    if pdf.empty:
         return []
+    keys = np.sort(curve_keys_np([pdf[c] for c in in_cols], specs, curve))
     bounds = {
-        keys[min(len(keys) - 1, (i * len(keys)) // n_bins)]
+        int(keys[min(len(keys) - 1, (i * len(keys)) // n_bins)])
         for i in range(1, n_bins)
     }
     return sorted(bounds)
@@ -213,16 +241,8 @@ def cluster(
         gbytes = sum(f.file_size_bytes for f in gfiles)
         grows = sum(f.record_count for f in gfiles)
         n_bins = max(1, math.ceil(gbytes / target_file_bytes))
-        # boundary sampling runs at the session-default scan granularity:
-        # it reads only the (column-pruned) key columns, so a handful of
-        # map tasks beats 100 tiny ones
         boundaries = _sample_boundaries(
-            table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
-            .select(*in_cols),
-            key_udf,
-            in_cols,
-            n_bins,
-            grows,
+            table, gfiles, specs, curve, in_cols, n_bins
         )
         # force the main scan to >= 2x cores map tasks regardless of how
         # input file sizes pack (post-compaction small files otherwise

@@ -118,6 +118,35 @@ def test_sync_catalog_multi_stream(tmp_path, capsys, spark):
     assert ev2["rows"] == 0
 
 
+def test_sync_catalog_concurrent_streams(tmp_path, capsys, spark):
+    """--concurrency N runs stream groups in a bounded pool (C3);
+    results identical to the sequential path."""
+    cat = str(tmp_path / "job.json")
+    _write_catalog(
+        cat,
+        streams=[
+            {"stream": {"name": "nation", "namespace": "t",
+                        "source": "/root/testdata/sf0.001/nation.parquet",
+                        "sync_mode": "full_refresh"}},
+            {"stream": {"name": "region", "namespace": "t",
+                        "source": "/root/testdata/sf0.001/region.parquet",
+                        "sync_mode": "full_refresh"}},
+            {"stream": {"name": "supplier", "namespace": "t",
+                        "source": "/root/testdata/sf0.001/supplier.parquet",
+                        "sync_mode": "full_refresh"}},
+        ],
+        selected={"t": [{"stream_name": n, "partition_regex": ""}
+                        for n in ("nation", "region", "supplier")]},
+    )
+    dest = str(tmp_path / "multi")
+    assert main(["sync", "--catalog", cat, "--dest", dest,
+                 "--concurrency", "3", "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    counts = {m["stream"]: m["total_rows"]
+              for m in msgs if m["type"] == "RECORD_COUNT"}
+    assert counts == {"nation": 25, "region": 5, "supplier": 10}
+
+
 def test_sync_catalog_validation_rejects_bad_cursor(tmp_path, capsys, spark):
     cat = str(tmp_path / "bad.json")
     _write_catalog(

@@ -98,6 +98,47 @@ def test_binpack_compaction_plan_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
+def test_exact_range_partition_is_single_hash_exchange(spark):
+    """The clustering rewrite's routing must be ONE hash exchange — no
+    RangePartitioner (whose sampling pass re-evaluates the child plan,
+    the round-1 zorder anomaly)."""
+    from olake_spark.functions.partitioning import exact_range_partition
+
+    df = spark.range(1000).withColumn("k", F.col("id") * 7 % 100)
+    out = exact_range_partition(df, F.col("k"), [20, 50, 80], ["k"])
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
+    # and the routing is exact: 4 bins -> partition id == bin id
+    pids = (
+        out.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "bin",
+            F.when(F.col("k") < 20, 0)
+            .when(F.col("k") < 50, 1)
+            .when(F.col("k") < 80, 2)
+            .otherwise(3),
+        )
+        .groupBy("bin")
+        .agg(F.count_distinct("pid").alias("n"), F.first("pid").alias("p"))
+        .collect()
+    )
+    assert all(r.n == 1 and r.p == r.bin for r in pids)
+
+
+def test_backfill_chunk_predicate_pushes_to_scan(spark):
+    from olake_spark.plans.split import Chunk
+    from olake_spark.sources.adapter import ParquetDirSource
+
+    src = ParquetDirSource(spark, SF_DIR)
+    df = src.read_chunk("orders", "o_orderkey", Chunk(100, 900), is_last=False)
+    plan = _plan(df.select("o_orderkey"))
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderkey,100)" in plan
+    assert "LessThan(o_orderkey,900)" in plan
+
+
 def test_merge_discovery_join_is_broadcast(spark, tmp_path):
     from olake_spark.schema import OLAKE_ID
 
