@@ -13,8 +13,10 @@ copy-on-write MERGE:
 
 Physical plan, designed for 100 TB:
 1. *candidate pruning* — manifest doc_id min/max vs. the change batch's
-   doc_id ranges selects candidate files (driver-side interval check
-   over metadata; the analog of Iceberg's manifest filtering);
+   keys selects candidate files EXACTLY at any batch size: driver-side
+   bisect for small batches, a distributed bucketized interval join of
+   manifest ranges vs keys above that (the analog of Iceberg's manifest
+   filtering);
 2. *touched-file discovery* — one scan of candidates joined (broadcast
    when small) with the change keys on ``_olake_id`` over
    ``input_file_name()`` finds files that actually contain a matched
