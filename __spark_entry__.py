@@ -254,6 +254,28 @@ def _set_ops(spark, sf_dir):
     )
 
 
+def _rollup_revenue(spark, sf_dir):
+    # multi-level aggregation (ROLLUP) with grouping ids
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("revenue"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+def _quantile_stats(spark, sf_dir):
+    # exact interpolated percentiles per group (planning statistics)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
 def _cursor_max(spark, sf_dir):
     # T7 + S10: incremental-sync cursor per stream
     from olake_spark.functions.reformat import max_cursor
@@ -546,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dim_join": _broadcast_dim_join,
         "semi_anti_join": _semi_anti_join,
         "set_ops": _set_ops,
+        "rollup_revenue": _rollup_revenue,
+        "quantile_stats": _quantile_stats,
         "cursor_max": _cursor_max,
         "incremental_filter": _incremental_filter,
         "cdc_op_routing": _cdc_op_routing,
@@ -708,6 +732,23 @@ def oracle_sql() -> dict[str, str]:
                  SELECT c_custkey FROM customer WHERE c_custkey <= 800
                  EXCEPT ALL
                  SELECT c_custkey FROM customer WHERE c_custkey >= 500)) AS n_except
+        """,
+        "rollup_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                        AS BIGINT) AS gid
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "quantile_stats": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+                   round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "cursor_max": """
             SELECT event_type, epoch_us(max(ts)) AS cursor_us
