@@ -182,11 +182,10 @@ def _run_maintenance_rep(
         maintenance["compact_skipped"] = bool(cres.skipped)
         with timed("zorder"):
             cluster(table, curve="zorder", target_file_bytes=target)
-        with timed("hilbert"):
-            cluster(table, curve="hilbert", target_file_bytes=target)
 
         # clustering quality: fraction of files a narrow n_tok range scan
-        # can skip via manifest stats after curve clustering
+        # can skip via manifest stats after the Z-order pass (variable-
+        # width interleave); measured BEFORE hilbert re-clusters
         files = table.files()
         with_stats = [f for f in files if "n_tok" in f.stats]
         cand = [f for f in with_stats if f.overlaps("n_tok", 8, 64)]
@@ -194,6 +193,9 @@ def _run_maintenance_rep(
             maintenance["ntok_prune_fraction"] = round(
                 1 - len(cand) / len(with_stats), 4
             )
+
+        with timed("hilbert"):
+            cluster(table, curve="hilbert", target_file_bytes=target)
 
         # 1% upsert + 0.5% delete CDC batch (batch prep outside the timer)
         cur = table.scan()

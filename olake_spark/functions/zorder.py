@@ -17,6 +17,7 @@ Public pieces:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -52,6 +53,34 @@ def interleave_bits_np(cols: list[np.ndarray], bits: int) -> np.ndarray:
     for q in range(bits):
         for j, c in enumerate(cols):
             out |= ((c.astype(_U64) >> _U64(q)) & one) << _U64(q * k + j)
+    return out
+
+
+def interleave_var_np(cols: list[np.ndarray], bits_list: list[int]) -> np.ndarray:
+    """Variable-width Morton interleave: dim j contributes ``bits_list[j]``
+    bits, MSB-first, level-interleaved.
+
+    Uniform-width interleave wastes key budget on low-cardinality dims
+    (a 20-category ``source`` padded to 21 bits spends 16 interleave
+    slots on quantization noise, diluting every other dim's locality).
+    Here level 0 takes every dim's MSB, level 1 the next bit of every
+    dim that still has bits, and so on — dims exhaust early and the
+    remaining levels refine only the wide dims. Output MSB-aligned
+    within sum(bits_list) <= 63.
+    """
+    total = sum(bits_list)
+    if total > 63:
+        raise ValueError(f"{bits_list} sums to {total} > 63-bit key budget")
+    n = len(cols[0])
+    out = np.zeros(n, dtype=_U64)
+    one = _U64(1)
+    pos = total  # next output bit position + 1, filled from the top
+    for level in range(max(bits_list)):
+        for j, (c, bj) in enumerate(zip(cols, bits_list)):
+            if level < bj:
+                pos -= 1
+                bit = (c.astype(_U64) >> _U64(bj - 1 - level)) & one
+                out |= bit << _U64(pos)
     return out
 
 
@@ -113,6 +142,9 @@ class ClusterCol:
                       right for high-cardinality ids (doc_id)
       'categorical' — rank in a sorted dictionary of distinct values;
                       right for low-cardinality keys (source)
+
+    ``bits`` pins this dim's key width (zorder only); None = allocated
+    by cardinality (see allocate_bits).
     """
 
     name: str
@@ -120,6 +152,46 @@ class ClusterCol:
     lo: float | None = None  # numeric: domain min (from manifest stats)
     hi: float | None = None  # numeric: domain max
     categories: list[str] = field(default_factory=list)
+    bits: int | None = None
+
+
+def allocate_bits(specs: list[ClusterCol], budget: int = 63) -> list[int]:
+    """Cardinality-aware key-bit allocation for the variable interleave.
+
+    Uniform 63//k splits waste the budget: a 20-category source needs 5
+    bits, not 21 — the padding dilutes every other dim's locality and
+    directly costs manifest-stats pruning power. Widths:
+    - categorical: ceil(log2(ncat)) (exact rank resolution);
+    - numeric: ceil(log2(span+1)) clamped to [4, 16] — beyond the
+      integer span extra bits encode nothing;
+    - hash: flexible — splits whatever budget remains (>= 8 each).
+    Explicit ``spec.bits`` wins. Falls back to uniform 63//k if the
+    fixed dims alone would exceed the budget.
+    """
+    k = len(specs)
+    widths: list[int | None] = []
+    for s in specs:
+        if s.bits is not None:
+            widths.append(int(s.bits))
+        elif s.kind == "categorical":
+            ncat = max(len(s.categories), 2)
+            widths.append(max(1, math.ceil(math.log2(ncat))))
+        elif s.kind == "numeric":
+            lo = 0.0 if s.lo is None else float(s.lo)
+            hi = lo + 1.0 if s.hi is None else float(s.hi)
+            span = max(hi - lo, 1.0)
+            widths.append(min(16, max(4, math.ceil(math.log2(span + 1)))))
+        else:  # hash — flexible
+            widths.append(None)
+    fixed = sum(w for w in widths if w is not None)
+    flex = [i for i, w in enumerate(widths) if w is None]
+    if fixed + 8 * len(flex) > budget:
+        return [budget // k] * k  # degenerate geometry: uniform fallback
+    rem = budget - fixed
+    for rank, i in enumerate(flex):
+        share = rem // len(flex) + (1 if rank < rem % len(flex) else 0)
+        widths[i] = share
+    return [int(w) for w in widths]
 
 
 def _encode_col(s: pd.Series, spec: ClusterCol, bits: int) -> np.ndarray:
@@ -158,23 +230,34 @@ def curve_keys_np(
     """Curve keys (int64) for aligned column Series — the shared kernel
     behind the executor-side pandas UDF AND driver-side boundary
     sampling (clustering reads a few files' key columns via pyarrow and
-    quantiles these keys without launching a Spark job)."""
+    quantiles these keys without launching a Spark job).
+
+    zorder uses cardinality-aware variable widths (allocate_bits);
+    hilbert needs a uniform per-dim width (Skilling's transform operates
+    on a cube), so it stays at 63 // k.
+    """
     k = len(specs)
-    bits = 63 // k
-    if curve not in ("zorder", "hilbert"):
-        raise ValueError(f"unknown curve: {curve}")
-    coords = [_encode_col(s, spec, bits) for s, spec in zip(series, specs)]
     if curve == "zorder":
-        key = interleave_bits_np(coords, bits)
-    else:
+        widths = allocate_bits(specs)
+        coords = [
+            _encode_col(s, spec, b)
+            for s, spec, b in zip(series, specs, widths)
+        ]
+        key = interleave_var_np(coords, widths)
+    elif curve == "hilbert":
+        bits = 63 // k
+        coords = [_encode_col(s, spec, bits) for s, spec in zip(series, specs)]
         key = hilbert_index_np(coords, bits)
+    else:
+        raise ValueError(f"unknown curve: {curve}")
     return key.astype(np.int64)
 
 
 def make_cluster_key_udf(specs: list[ClusterCol], curve: str = "zorder"):
     """Build a pandas UDF computing the curve key over the given columns.
 
-    Returns (udf, input_col_names). bits per dim = 63 // k.
+    Returns (udf, input_col_names). zorder allocates per-dim widths by
+    cardinality (allocate_bits); hilbert is uniform 63 // k.
     Usage::
 
         key_udf, cols = make_cluster_key_udf(specs, curve="hilbert")

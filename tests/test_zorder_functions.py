@@ -74,3 +74,57 @@ def test_hilbert_locality_beats_random_order():
     rand = rng.permutation(side * side).reshape(side, side)
     rand_horiz = np.abs(np.diff(rand, axis=1)).mean()
     assert horiz < rand_horiz / 5
+
+
+def test_variable_interleave_uniform_case_is_morton():
+    """With equal widths, the variable interleave is a Morton code —
+    verify against a brute-force per-bit reference (MSB-first layout)."""
+    from olake_spark.functions.zorder import interleave_var_np
+
+    rng = np.random.default_rng(3)
+    bits = 5
+    x = rng.integers(0, 1 << bits, 64).astype(np.uint64)
+    y = rng.integers(0, 1 << bits, 64).astype(np.uint64)
+    got = interleave_var_np([x, y], [bits, bits])
+    want = np.zeros(64, dtype=np.uint64)
+    pos = 2 * bits
+    for level in range(bits):
+        for c in (x, y):
+            pos -= 1
+            want |= ((c >> np.uint64(bits - 1 - level)) & np.uint64(1)) << np.uint64(pos)
+    assert (got == want).all()
+
+
+def test_variable_interleave_narrow_dim_dominates_top_bits():
+    """A 2-bit categorical's rank must control the top of the key while
+    a 10-bit dim refines below — sorting by key groups by category."""
+    from olake_spark.functions.zorder import interleave_var_np
+
+    cat = np.array([0, 1, 2, 3] * 8, dtype=np.uint64)
+    fine = np.arange(32, dtype=np.uint64) * 31 % 1024
+    key = interleave_var_np([cat, fine], [2, 10])
+    # top-level bit of the key is the categorical MSB
+    assert ((key >> np.uint64(11)) & np.uint64(1) == (cat >> np.uint64(1))).all()
+    # budget guard
+    with pytest.raises(ValueError):
+        interleave_var_np([cat, fine], [32, 32])
+
+
+def test_allocate_bits_cardinality_aware():
+    from olake_spark.functions.zorder import ClusterCol, allocate_bits
+
+    specs = [
+        ClusterCol("source", "categorical", categories=[f"s{i}" for i in range(20)]),
+        ClusterCol("n_tok", "numeric", lo=8, hi=1024),
+        ClusterCol("doc_id", "hash"),
+    ]
+    w = allocate_bits(specs)
+    assert w[0] == 5          # ceil(log2(20))
+    assert w[1] == 10         # ceil(log2(1016 + 1))
+    assert w[2] == 63 - 15    # hash takes the remainder
+    assert sum(w) <= 63
+    # explicit pin wins; degenerate fixed overload falls back to uniform
+    specs[0].bits = 7
+    assert allocate_bits(specs)[0] == 7
+    wide = [ClusterCol(f"c{i}", "numeric", lo=0, hi=2**40) for i in range(5)]
+    assert allocate_bits(wide) == [63 // 5] * 5
