@@ -915,9 +915,9 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(r.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
             FROM embeddings l JOIN embeddings r
               ON l.label = r.label AND l.vec_id < r.vec_id
-            WHERE list_cosine_similarity(
+            WHERE round(list_cosine_similarity(
                     list_transform(l.embedding, x -> CAST(x AS DOUBLE)),
-                    list_transform(r.embedding, x -> CAST(x AS DOUBLE))) >= 0.2
+                    list_transform(r.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.2
         """,
         "seq_table_stats": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -317,6 +317,9 @@ def embedding_near_dup_pairs(
         cond = (F.col(f"l.{block_col}") == F.col(f"r.{block_col}")) & cond
     pairs = l.join(r, cond)
     cos = dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))
+    # threshold on the ROUNDED value: float32-product sums differ across
+    # engines by ~1e-8 depending on summation order, so an exact-threshold
+    # pair would flip in/out of the result nondeterministically
     return (
         pairs.select(
             F.col(f"l.{id_col}").alias("id_a"),

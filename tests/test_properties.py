@@ -83,3 +83,93 @@ def test_splitmix_deterministic_scalarwise(x):
     a = splitmix64_np(np.array([x], dtype=np.uint64))
     b = splitmix64_np(np.array([x, x], dtype=np.uint64))
     assert a[0] == b[0] == b[1]
+
+
+# ---------------------------------------------------------- round-2 additions
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=20), min_size=1, max_size=4
+    ),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_variable_interleave_is_bijective(widths, seed):
+    """Distinct coordinate tuples map to distinct keys (the interleave
+    is a bijection onto sum(widths) bits)."""
+    from olake_spark.functions.zorder import interleave_var_np
+
+    if sum(widths) > 20:  # keep the exhaustive check small
+        widths = widths[:1]
+    rng = np.random.default_rng(seed)
+    n = 128
+    cols = [
+        rng.integers(0, 1 << w, n).astype(np.uint64) for w in widths
+    ]
+    keys = interleave_var_np(cols, widths)
+    tuples = set(zip(*[c.tolist() for c in cols]))
+    assert len(set(keys.tolist())) == len(tuples)
+
+
+@given(st.integers(min_value=1, max_value=257))
+@settings(max_examples=25)
+def test_salts_route_every_bin(n_bins):
+    """salts_for_bins must produce, for every bin b, a salt whose
+    murmur3 lands on partition b — the exact-routing invariant."""
+    from olake_spark.functions.partitioning import murmur3_int32, salts_for_bins
+
+    salts = salts_for_bins(n_bins)
+    assert len(salts) == n_bins
+    for b, s in enumerate(salts):
+        assert murmur3_int32(s) % n_bins == b
+
+
+@given(
+    st.lists(
+        st.sampled_from(["categorical", "numeric", "hash"]),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=50)
+def test_allocate_bits_within_budget_and_positive(kinds):
+    from olake_spark.functions.zorder import ClusterCol, allocate_bits
+
+    specs = []
+    for i, kind in enumerate(kinds):
+        if kind == "categorical":
+            specs.append(
+                ClusterCol(f"c{i}", "categorical", categories=[f"x{j}" for j in range(7)])
+            )
+        elif kind == "numeric":
+            specs.append(ClusterCol(f"c{i}", "numeric", lo=0, hi=1000))
+        else:
+            specs.append(ClusterCol(f"c{i}", "hash"))
+    w = allocate_bits(specs)
+    assert len(w) == len(specs)
+    assert all(x >= 1 for x in w)
+    assert sum(w) <= 63
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=40))
+@settings(max_examples=50)
+def test_packing_bin_math_conserves(ns):
+    """FFD bin logic (pure python mirror of operators/packing.py):
+    every sequence placed exactly once, bins never exceed the budget
+    unless singleton-oversized."""
+    block = 2048
+    sizes = [n % 4096 for n in ns]
+    bins = []
+    for n in sorted(sizes, reverse=True):
+        placed = None
+        for b in bins:
+            if b[0] >= n:
+                placed = b
+                break
+        if placed is None:
+            placed = [block, 0, 0]
+            bins.append(placed)
+        placed[0] -= n
+        placed[1] += n
+        placed[2] += 1
+    assert sum(b[1] for b in bins) == sum(sizes)
+    for rem, tok, cnt in bins:
+        assert tok <= block or cnt == 1
