@@ -481,6 +481,27 @@ def _ann_ivf_index_topk(spark, sf_dir):
     return out
 
 
+def _ann_batch_topk(spark, sf_dir):
+    # batch ANN: N query vectors answered in ONE plan — probe cells per
+    # query (vectorized UDF), file pruning over the probed-cell union,
+    # single equi-join on the cell id + windowed per-query rerank
+    import tempfile
+
+    from olake_spark.operators.ann_index import ann_index_topk_batch, build_ann_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = build_ann_index(
+        spark, e.filter(F.col("vec_id") >= 10),
+        tempfile.mkdtemp(prefix="olake_annb_") + "/ivf", kind="ivf",
+        n_cells=16, seed=7,
+    )
+    queries = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out, _info = ann_index_topk_batch(idx, queries, k=5, n_probe=6)
+    return out
+
+
 def _media_metadata(spark, sf_dir):
     from olake_spark.operators.multimodal import attach_fake_payload, media_metadata
 
@@ -589,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_index_topk": _ann_ivf_index_topk,
+        "ann_batch_topk": _ann_batch_topk,
         "media_metadata": _media_metadata,
         "media_features": _media_features,
         "seq_table_stats": _seq_table_stats,

@@ -29,6 +29,7 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -202,6 +203,114 @@ def _probe_ids(index: AnnIndex, query_vec: list[float], n_probe: int, probe_hamm
             for j2 in range(j + 1, index.n_planes)
         }
     return sorted(probes)
+
+
+def ann_index_topk_batch(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    probe_hamming: int = 1,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> tuple[DataFrame, dict]:
+    """Top-k for a whole DataFrame of query vectors in ONE plan.
+
+    The per-query path scans its probe cells per call; a training-data
+    batch (dedupe N new docs against the corpus) wants one job: assign
+    each query its probe cells with the vectorized UDF, explode, prune
+    files to the UNION of probed cells, then a single equi-join on the
+    cell id + per-query exact rerank (window top-k). Shuffle key is the
+    cell id — uniform by construction of the codebook.
+
+    Returns (df[(qid, vec_id, cosine, rank)], plan_info).
+    """
+    from pyspark.sql.window import Window
+
+    if index.kind == "ivf":
+        C = index.centroids
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def probe_cells(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float32)
+            M = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-9)
+            order = np.argsort(-(M @ C.T), axis=1)[:, :n_probe]
+            return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    else:
+        H = _hyperplanes(index.dim, index.n_planes, index.seed)
+        n_planes = index.n_planes
+        ph = probe_hamming
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def probe_cells(v: pd.Series) -> pd.Series:
+            M = np.stack(v.to_numpy()).astype(np.float32)
+            bits = (M @ H) > 0
+            base = np.zeros(len(M), dtype=np.int64)
+            for j in range(n_planes):
+                base |= bits[:, j].astype(np.int64) << j
+            out = []
+            for b in base:
+                probes = {int(b)}
+                if ph >= 1:
+                    probes |= {int(b) ^ (1 << j) for j in range(n_planes)}
+                if ph >= 2:
+                    probes |= {
+                        int(b) ^ (1 << j) ^ (1 << j2)
+                        for j in range(n_planes)
+                        for j2 in range(j + 1, n_planes)
+                    }
+                out.append(sorted(probes))
+            return pd.Series(out)
+
+    q = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.col(qvec_col).cast("array<float>").alias("qvec"),
+        )
+        .withColumn(ASSIGN, F.explode(probe_cells(F.col("qvec"))))
+    )
+    probed = sorted(r[0] for r in q.select(ASSIGN).distinct().collect())
+    files = index.table.files()
+    cand_files = [
+        f for f in files if any(f.overlaps(ASSIGN, p, p) for p in probed)
+    ]
+    info = {
+        "files_total": len(files),
+        "files_scanned": len(cand_files),
+        "prune_fraction": round(1 - len(cand_files) / max(len(files), 1), 4),
+        "probes": len(probed),
+    }
+    base = index.table.scan(files=cand_files).filter(F.col(ASSIGN).isin(probed))
+    # typical batches are tiny next to the corpus: auto-broadcast picks
+    # them up; a huge batch degrades gracefully to a shuffle on the
+    # uniform cell id
+    joined = base.join(q, ASSIGN)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col(index.vec_col), F.col("qvec")) / (
+        F.sqrt(dot(F.col(index.vec_col), F.col(index.vec_col)))
+        * F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+    )
+    # no dedup needed: every corpus row lives in exactly one cell, and a
+    # query's probe cells are distinct — (qid, id) pairs appear once
+    scored = joined.select(
+        "qid", F.col(index.id_col), F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.col(index.id_col).asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return out, info
 
 
 def ann_index_topk(

@@ -79,6 +79,43 @@ def test_index_roundtrips_through_load(spark, ivf_setup, tmp_path):
     ]
 
 
+def test_batch_topk_matches_per_query_path(spark, ivf_setup):
+    from olake_spark.operators.ann_index import ann_index_topk_batch
+
+    emb, M, idx = ivf_setup
+    qids = [3, 17, 42, 99]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in qids],
+        "qid int, qvec array<float>",
+    )
+    out, info = ann_index_topk_batch(idx, queries, k=5, n_probe=3)
+    assert info["files_scanned"] <= info["files_total"]
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.vec_id, r.cosine))
+    assert set(got) == set(qids)
+    for qid in qids:
+        single, _ = ann_index_topk(idx, [float(x) for x in M[qid]], k=5, n_probe=3)
+        want = [(i + 1, r.vec_id, r.cosine) for i, r in enumerate(single.collect())]
+        assert sorted(got[qid]) == want
+
+
+def test_batch_topk_lsh_kind(spark, tmp_path):
+    from olake_spark.operators.ann_index import ann_index_topk_batch
+
+    emb, M = _mk_embeddings(spark)
+    idx = build_ann_index(
+        spark, emb, str(tmp_path / "lshb"), kind="lsh", n_planes=8, seed=7
+    )
+    queries = spark.createDataFrame(
+        [(0, [float(x) for x in M[0]])], "qid int, qvec array<float>"
+    )
+    out, _ = ann_index_topk_batch(idx, queries, k=10, probe_hamming=2)
+    got = {r.vec_id for r in out.collect()}
+    single, _ = ann_index_topk(idx, [float(x) for x in M[0]], k=10, probe_hamming=2)
+    assert got == {r.vec_id for r in single.collect()}
+
+
 def test_lsh_index_prunes_and_recalls(spark, tmp_path):
     emb, M = _mk_embeddings(spark)
     root = str(tmp_path / "lsh")
