@@ -61,6 +61,7 @@ def expire_snapshots(
     older_than_ms: int | None = None,
     clean_orphans: bool = True,
     orphan_grace_ms: int = 0,
+    abandoned_job_ms: int | None = None,
 ) -> ExpireResult:
     """Drop expired snapshots and delete unreferenced files.
 
@@ -68,6 +69,12 @@ def expire_snapshots(
     than ``older_than_ms``; the current snapshot is always kept.
     ``orphan_grace_ms`` protects files younger than the grace period
     (an in-flight job's not-yet-committed outputs).
+
+    ``abandoned_job_ms``: uncommitted job ledgers protect their outputs
+    from orphan GC (the resume contract) — but a job nobody will ever
+    resume would pin its outputs forever. Ledgers whose file hasn't been
+    touched for this long are deleted first; their outputs then age out
+    as ordinary orphans. None (default) = never expire ledgers.
     """
     table.refresh()
     res = ExpireResult()
@@ -93,6 +100,23 @@ def expire_snapshots(
         table.rewrite_metadata()
     res.expired_snapshots = [s.snapshot_id for s in drop]
     res.kept_snapshots = [s.snapshot_id for s in keep]
+
+    if abandoned_job_ms is not None:
+        import shutil
+
+        now_ms = time.time() * 1000
+        jobs_root = os.path.join(table.root, "jobs")
+        if os.path.isdir(jobs_root):
+            for jid in os.listdir(jobs_root):
+                lp = os.path.join(jobs_root, jid, "ledger.json")
+                try:
+                    with open(lp) as f:
+                        committed = json.load(f).get("committed_snapshot_id")
+                    age = now_ms - os.path.getmtime(lp) * 1000
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if committed is None and age > abandoned_job_ms:
+                    shutil.rmtree(os.path.join(jobs_root, jid), ignore_errors=True)
 
     if clean_orphans:
         now_ms = time.time() * 1000

@@ -60,8 +60,14 @@ def chunked_backfill(
     chunks = source.plan_chunks(
         stream, split_col, num_chunks=num_chunks, batch_size=batch_size
     )
+    # the destination snapshot id is part of the job identity: a killed
+    # run resumes (same snapshot -> same ledger), while a NEW sync after
+    # a committed one starts fresh (the commit advanced the snapshot) —
+    # otherwise a re-run would find the committed ledger and no-op
+    # forever instead of refreshing the data
+    dest_snap = table.refresh().current_snapshot_id
     jid = job_id or "backfill-" + hashlib.md5(
-        f"{stream}:{split_col}:{num_chunks}:{batch_size}:{mode}".encode()
+        f"{stream}:{split_col}:{num_chunks}:{batch_size}:{mode}:{dest_snap}".encode()
     ).hexdigest()[:10]
     ledger = Ledger.for_job(table.root, jid)
     if ledger.committed_snapshot_id is not None:

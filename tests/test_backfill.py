@@ -90,6 +90,22 @@ def test_backfill_resumes_without_rereading_done_chunks(
     assert res.rows == want and t.scan().count() == want
 
 
+def test_rerun_after_commit_syncs_fresh(spark, tmp_path):
+    """A completed backfill must NOT make later syncs no-ops: the job id
+    keys on the destination snapshot, so re-running refreshes the data
+    (overwrite) instead of skipping on the old committed ledger."""
+    src = ParquetDirSource(spark, SF)
+    t = _mk_table(spark, tmp_path, "region")
+    r1 = chunked_backfill(t, src, "region", "r_regionkey", num_chunks=2,
+                          mode="overwrite")
+    assert not r1.skipped and r1.rows == 5
+    r2 = chunked_backfill(t, src, "region", "r_regionkey", num_chunks=2,
+                          mode="overwrite")
+    assert not r2.skipped and r2.rows == 5
+    assert r2.snapshot_id > r1.snapshot_id
+    assert t.refresh().scan().count() == 5  # replaced, not duplicated
+
+
 def test_jdbc_predicates_are_half_open(spark):
     j = JdbcSource(spark, "jdbc:postgresql://example.invalid/db")
     chunks = j.plan_chunks_from_bounds(0, 99, batch_size=40)

@@ -361,6 +361,36 @@ def test_expire_and_orphan_cleanup(spark, small_table, seq_df):
     assert Table.load(spark, t.root).total_rows() == N_ROWS
 
 
+def test_abandoned_ledger_expiry_unpins_outputs(spark, small_table, monkeypatch):
+    """An uncommitted job nobody resumes must not pin its outputs
+    forever: with abandoned_job_ms the stale ledger is removed and the
+    outputs become GC-able orphans."""
+    t = small_table
+    monkeypatch.setattr(
+        Table, "commit", lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("kill"))
+    )
+    with pytest.raises(RuntimeError, match="kill"):
+        compact(t, target_file_bytes=512 * 1024)
+    monkeypatch.undo()
+
+    from olake_spark.plans.ledger import Ledger
+
+    jid = os.listdir(os.path.join(t.root, "jobs"))[0]
+    outs = [o["path"] for o in Ledger.for_job(t.root, jid).all_outputs()]
+    assert outs
+    # fresh ledger: protected even with aggressive orphan GC
+    expire_snapshots(t, keep_last=1, abandoned_job_ms=60_000)
+    assert all(os.path.exists(t.abs_path(p)) for p in outs)
+    # age the ledger past the threshold -> ledger dir removed, outputs GC'd
+    lp = os.path.join(t.root, "jobs", jid, "ledger.json")
+    old = os.path.getmtime(lp) - 120
+    os.utime(lp, (old, old))
+    expire_snapshots(t, keep_last=1, abandoned_job_ms=60_000)
+    assert not os.path.exists(os.path.join(t.root, "jobs", jid))
+    assert all(not os.path.exists(t.abs_path(p)) for p in outs)
+    assert t.scan().count() == N_ROWS  # current data untouched
+
+
 def test_orphan_cleanup_spares_uncommitted_job_outputs(
     spark, small_table, seq_df, monkeypatch
 ):
