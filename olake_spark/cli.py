@@ -286,10 +286,13 @@ def _validate_stream(spark, cfg: dict, meta: dict) -> str | None:
         cur = cfg.get("cursor_field")
         if not cur:
             return "incremental sync requires cursor_field"
-        cols = [
-            f.name
-            for f in spark.read.parquet(cfg["source"]).schema.fields
-        ]
+        src = cfg.get("source", "")
+        if src.rstrip("/").endswith((".json", ".jsonl")):
+            from olake_spark.sources.json_discover import discover_json
+
+            cols = [f.name for f in discover_json(spark, src).schema.fields]
+        else:
+            cols = [f.name for f in spark.read.parquet(src).schema.fields]
         if cur not in cols:
             return f"invalid cursor field [{cur}]; valid are {cols}"
     if mode == "cdc" and not cfg.get("feed"):

@@ -85,6 +85,19 @@ def with_partition_path(
     """
     from olake_spark.functions.partitioning import salts_for_bins
 
+    if now is None:
+        # pin now() to ONE driver-side instant: the path expression is
+        # evaluated twice (distinct-paths query + write query) and an
+        # unpinned current_timestamp() crossing a granularity boundary
+        # between the two would leave rows whose path has no salt-map
+        # entry (NULL salt -> one giant partition, purity silently lost)
+        import datetime
+
+        now = F.lit(
+            datetime.datetime.now(datetime.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+        ).cast("timestamp")
     out = df.withColumn(PARTITION_PATH, partition_path_expr(pattern, now))
     paths = [
         r[0]

@@ -162,8 +162,11 @@ def allocate_bits(specs: list[ClusterCol], budget: int = 63) -> list[int]:
     bits, not 21 — the padding dilutes every other dim's locality and
     directly costs manifest-stats pruning power. Widths:
     - categorical: ceil(log2(ncat)) (exact rank resolution);
-    - numeric: ceil(log2(span+1)) clamped to [4, 16] — beyond the
-      integer span extra bits encode nothing;
+    - numeric: FLEXIBLE (shares the remainder) unless ``spec.bits`` pins
+      it — only the caller knows whether the column is integer-valued;
+      a continuous float in [0,1] sized by its "span" would collapse to
+      16 quantization levels. integer_span_bits() is the helper callers
+      use to pin integer columns;
     - hash: flexible — splits whatever budget remains (>= 8 each).
     Explicit ``spec.bits`` wins. Falls back to uniform 63//k if the
     fixed dims alone would exceed the budget.
@@ -176,12 +179,7 @@ def allocate_bits(specs: list[ClusterCol], budget: int = 63) -> list[int]:
         elif s.kind == "categorical":
             ncat = max(len(s.categories), 2)
             widths.append(max(1, math.ceil(math.log2(ncat))))
-        elif s.kind == "numeric":
-            lo = 0.0 if s.lo is None else float(s.lo)
-            hi = lo + 1.0 if s.hi is None else float(s.hi)
-            span = max(hi - lo, 1.0)
-            widths.append(min(16, max(4, math.ceil(math.log2(span + 1)))))
-        else:  # hash — flexible
+        else:  # numeric (unpinned) and hash — flexible
             widths.append(None)
     fixed = sum(w for w in widths if w is not None)
     flex = [i for i, w in enumerate(widths) if w is None]
@@ -222,6 +220,13 @@ def _encode_col(s: pd.Series, spec: ClusterCol, bits: int) -> np.ndarray:
         q = (codes.clip(min=0).astype(np.float64) + 0.5) / ncat * n_levels
         return np.clip(q, 0, n_levels - 1).astype(_U64)
     raise ValueError(f"unknown ClusterCol kind: {spec.kind}")
+
+
+def integer_span_bits(lo: float, hi: float, cap: int = 16) -> int:
+    """Key width for an INTEGER-valued numeric dim: beyond
+    ceil(log2(span+1)) extra bits encode nothing."""
+    span = max(float(hi) - float(lo), 1.0)
+    return min(cap, max(4, math.ceil(math.log2(span + 1))))
 
 
 def curve_keys_np(

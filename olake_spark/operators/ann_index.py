@@ -42,7 +42,7 @@ from olake_spark.operators.similarity import (
     ivf_bucket_udf,
     lsh_bucket_udf,
 )
-from olake_spark.table.format import Table
+from olake_spark.table.format import Table, _atomic_write_json
 
 ASSIGN = "_cell"  # the materialized assignment column
 
@@ -148,8 +148,9 @@ def build_ann_index(
         "seed": seed,
         "centroids": centroids.tolist() if centroids is not None else None,
     }
-    with open(os.path.join(table.root, "index.json"), "w") as f:
-        json.dump(meta, f)
+    # atomic: a crash mid-write must not leave a torn codebook that makes
+    # an otherwise-consistent index unloadable
+    _atomic_write_json(os.path.join(table.root, "index.json"), meta)
     return AnnIndex(
         table=table,
         kind=kind,

@@ -81,7 +81,9 @@ def _sample_boundaries(
             for f in picks
         ]
         pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
-    except OSError:
+    except Exception:  # noqa: BLE001 — ArrowInvalid/OSError/missing column:
+        # any driver-side read failure (non-local filesystem, older file
+        # schema) degrades to the equivalent distributed narrow scan
         pdf = (
             table.scan(files=picks)
             .select(*in_cols)
@@ -138,9 +140,16 @@ def default_cluster_specs(table: Table, snapshot_id: int | None = None) -> list[
     n_hi = max(
         (f.stats["n_tok"]["max"] for f in files if "n_tok" in f.stats), default=1
     )
+    from olake_spark.functions.zorder import integer_span_bits
+
     return [
         ClusterCol("source", "categorical", categories=cats),
-        ClusterCol("n_tok", "numeric", lo=n_lo, hi=n_hi),
+        # n_tok is integer-valued: pin its key width to the span so the
+        # variable interleave doesn't spend levels on empty resolution
+        ClusterCol(
+            "n_tok", "numeric", lo=n_lo, hi=n_hi,
+            bits=integer_span_bits(n_lo, n_hi),
+        ),
         ClusterCol("doc_id", "hash"),
     ]
 

@@ -103,6 +103,7 @@ def _candidate_paths_distributed(
     ]
     if not bounded:
         return no_stats
+    key_type = keys_df.schema["doc_id"].dataType.simpleString()
     frac = min(1.0, (32 * n_buckets) / max(n_keys, 1))
     sample = sorted(
         r[0]
@@ -124,7 +125,12 @@ def _candidate_paths_distributed(
             return F.lit(0)
         return F.size(F.filter(F.lit(bnds), lambda x: x <= col))
 
-    fdf = spark.createDataFrame(bounded, "path string, lo string, hi string")
+    # manifest min/max carry the key column's native type (int for a
+    # bigint doc_id) — the bounds schema must match the keys' type, not
+    # assume string
+    fdf = spark.createDataFrame(
+        bounded, f"path string, lo {key_type}, hi {key_type}"
+    )
     fb = fdf.withColumn(
         "b", F.explode(F.sequence(_bin(F.col("lo")), _bin(F.col("hi"))))
     )

@@ -53,6 +53,13 @@ def pack_sequences(
     """
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # block ids must be unique across ALL Arrow batches of this
+        # partition (one fn invocation per partition, many batches when
+        # rows exceed arrow.maxRecordsPerBatch) — carry a running offset.
+        # Packing itself is per-batch so memory stays bounded by the
+        # Arrow batch; fill quality approaches global FFD once a batch
+        # holds >> block_len tokens.
+        next_block = 0
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -78,7 +85,7 @@ def pack_sequences(
                 toks = [t for chunk in chunks for t in chunk]
                 rows.append(
                     {
-                        "block_id": f"b-{pid:05d}-{j:06d}",
+                        "block_id": f"b-{pid:05d}-{next_block + j:06d}",
                         "n_seqs": len(ids),
                         "n_tok": len(toks),
                         "fill": round(len(toks) / block_len, 6),
@@ -86,6 +93,7 @@ def pack_sequences(
                         "tokens": toks,
                     }
                 )
+            next_block += len(bins)
             yield pd.DataFrame(rows)
 
     src = seq.select(id_col, tokens_col, n_tok_col)

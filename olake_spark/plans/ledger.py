@@ -139,16 +139,6 @@ class Ledger:
                 reset.append(key)
         return reset
 
-    def uncommitted_output_paths(self) -> set[str]:
-        """Output paths this job has produced but not yet committed —
-        orphan cleanup must treat these as live."""
-        if self.state["committed_snapshot_id"] is not None:
-            return set()
-        return {
-            o["path"]
-            for e in self.state["entries"].values()
-            for o in e["outputs"]
-        }
 
     @property
     def committed_snapshot_id(self) -> int | None:

@@ -57,9 +57,6 @@ def chunked_backfill(
     injection — e.g. partition_regex routing."""
     import hashlib
 
-    chunks = source.plan_chunks(
-        stream, split_col, num_chunks=num_chunks, batch_size=batch_size
-    )
     # the destination snapshot id is part of the job identity: a killed
     # run resumes (same snapshot -> same ledger), while a NEW sync after
     # a committed one starts fresh (the commit advanced the snapshot) —
@@ -79,15 +76,34 @@ def chunked_backfill(
             rows=t["rows"],
             skipped=True,
         )
-    if not chunks:
-        return BackfillResult(job_id=jid, snapshot_id=None, skipped=True)
 
-    for i, c in enumerate(chunks):
-        ledger.plan(
-            f"c-{i:05d}",
-            [f"{split_col}:[{c.min},{c.max}{']' if i == len(chunks) - 1 else ')'}"],
-            payload={"min": str(c.min), "max": str(c.max)},
+    if ledger.state["entries"]:
+        # RESUME: chunk bounds come from the ledger's persisted payloads,
+        # never from a re-plan — the source may have grown since the
+        # crash and shifted quantile boundaries, which would double-read
+        # or skip ranges relative to the already-done chunks
+        keys = sorted(ledger.state["entries"])
+        chunks = [
+            Chunk(
+                ledger.entry(k)["payload"]["min"],
+                ledger.entry(k)["payload"]["max"],
+            )
+            for k in keys
+        ]
+    else:
+        chunks = source.plan_chunks(
+            stream, split_col, num_chunks=num_chunks, batch_size=batch_size
         )
+        if not chunks:
+            return BackfillResult(job_id=jid, snapshot_id=None, skipped=True)
+        for i, c in enumerate(chunks):
+            ledger.plan(
+                f"c-{i:05d}",
+                [f"{split_col}:[{c.min},{c.max}{']' if i == len(chunks) - 1 else ')'}"],
+                # raw (json-native) values, NOT str() — the resume path
+                # rebuilds typed range filters from these
+                payload={"min": c.min, "max": c.max},
+            )
     ledger.reset_missing_outputs(table.root)
 
     by_key = {f"c-{i:05d}": (i, c) for i, c in enumerate(chunks)}

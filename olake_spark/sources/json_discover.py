@@ -15,8 +15,8 @@ typeutils/fields.go:104-129). Here:
   JSON-stringify (flatten.go:45-56);
 - the discover pass resolves a bounded sample driver-side (exactly the
   reference's 20k-document budget); the FULL read stays distributed and
-  JVM-side: from_json against the raw nested schema, the engine's
-  Catalyst flatten_struct, then T4 coercion (multi-format timestamps,
+  JVM-side: from_json against the raw nested schema, an explicit
+  collision-free projection, then T4 coercion (multi-format timestamps,
   bool truth table).
 """
 
@@ -32,9 +32,7 @@ from pyspark.sql import types as T
 
 from olake_spark.functions.reformat import (
     canon_name,
-    canonicalize_columns,
     coerce_to_schema,
-    flatten_struct,
     promote_type,
 )
 
@@ -50,10 +48,15 @@ class DiscoveredStream:
     raw_schema — what from_json parses (all leaves string; L1 structs
     kept as structs; arrays as array<string>).
     schema — the flat, lattice-resolved output schema (canon names).
+    projection — (kind, key, subkey, flat_name) per output column: the
+    explicit origin map the read applies, so name collisions (a struct
+    child canon-colliding with a top-level key) resolve to distinct
+    output columns instead of ambiguous duplicates.
     """
 
     raw_schema: T.StructType
     schema: T.StructType
+    projection: list[tuple[str, str, str | None, str]]
 
 
 def _value_type(v) -> T.DataType | None:
@@ -80,20 +83,43 @@ class _Resolver:
     def __init__(self) -> None:
         self.flat: dict[str, T.DataType] = {}
         self.flat_order: list[str] = []
+        # flat name -> origin (key, subkey|None); collisions from a
+        # DIFFERENT origin get a parent-prefixed / suffixed name so the
+        # read never produces two columns with one name
+        self.origin: dict[str, tuple[str, str | None]] = {}
         # top-level key -> 'scalar' | 'struct' | 'array'
         self.shape: dict[str, str] = {}
         self.shape_order: list[str] = []
         self.children: dict[str, list[str]] = {}
 
-    def _note_flat(self, name: str, vt: T.DataType | None) -> None:
+    def _flat_name(self, key: str, subkey: str | None) -> str:
+        cand = canon_name(subkey if subkey is not None else key)
+        if self.origin.get(cand, (key, subkey)) == (key, subkey):
+            return cand
+        if subkey is not None:
+            cand2 = canon_name(f"{key}_{subkey}")
+            if self.origin.get(cand2, (key, subkey)) == (key, subkey):
+                return cand2
+            cand = cand2
+        i = 2
+        while self.origin.get(f"{cand}_{i}", (key, subkey)) != (key, subkey):
+            i += 1
+        return f"{cand}_{i}"
+
+    def _note_flat(
+        self, key: str, subkey: str | None, vt: T.DataType | None
+    ) -> str:
+        name = self._flat_name(key, subkey)
         if name not in self.flat:
             self.flat_order.append(name)
+            self.origin[name] = (key, subkey)
             self.flat[name] = vt or T.NullType()
         elif vt is not None:
             if self.flat[name] == T.NullType():
                 self.flat[name] = vt
             elif self.flat[name] != vt:
                 self.flat[name] = promote_type(self.flat[name], vt)
+        return name
 
     def _note_shape(self, key: str, kind: str) -> None:
         if key not in self.shape:
@@ -110,17 +136,16 @@ class _Resolver:
                 for sk, sv in v.items():
                     if sk not in kids:
                         kids.append(sk)
-                    flat_name = canon_name(sk)
                     if isinstance(sv, (dict, list)):
-                        self._note_flat(flat_name, T.StringType())
+                        self._note_flat(k, sk, T.StringType())
                     else:
-                        self._note_flat(flat_name, _value_type(sv))
+                        self._note_flat(k, sk, _value_type(sv))
             elif isinstance(v, list):
                 self._note_shape(k, "array")
-                self._note_flat(canon_name(k), T.StringType())
+                self._note_flat(k, None, T.StringType())
             else:
                 self._note_shape(k, "scalar")
-                self._note_flat(canon_name(k), _value_type(v))
+                self._note_flat(k, None, _value_type(v))
 
     def result(self) -> DiscoveredStream:
         raw_fields = []
@@ -153,7 +178,14 @@ class _Resolver:
             )
             for n in self.flat_order
         ]
-        return DiscoveredStream(T.StructType(raw_fields), T.StructType(flat_fields))
+        projection = []
+        for n in self.flat_order:
+            key, subkey = self.origin[n]
+            kind = self.shape.get(key, "scalar") if subkey is None else "struct"
+            projection.append((kind, key, subkey, n))
+        return DiscoveredStream(
+            T.StructType(raw_fields), T.StructType(flat_fields), projection
+        )
 
 
 def discover_json(
@@ -192,17 +224,19 @@ def discover_json(
 
 def read_json(spark: SparkSession, path: str, disc: DiscoveredStream) -> DataFrame:
     """Distributed, JVM-side read of the discovered stream: from_json
-    parse -> Catalyst L1 flatten -> canon names -> T4 coercion."""
+    parse -> explicit projection (discovery's exact origin->name map,
+    collision-free by construction) -> T4 coercion."""
     parsed = (
         spark.read.text(path)
         .filter(F.length(F.trim("value")) > 0)
         .select(F.from_json(F.col("value"), disc.raw_schema).alias("r"))
-        .select("r.*")
     )
-    for f in disc.raw_schema.fields:
-        if isinstance(f.dataType, T.StructType):
-            parsed = flatten_struct(parsed, f.name)
-        elif isinstance(f.dataType, T.ArrayType):
-            parsed = parsed.withColumn(f.name, F.to_json(F.col(f.name)))
-    parsed = canonicalize_columns(parsed)
-    return coerce_to_schema(parsed, disc.schema)
+    cols = []
+    for kind, key, subkey, name in disc.projection:
+        if kind == "struct":
+            cols.append(F.col(f"r.`{key}`.`{subkey}`").alias(name))
+        elif kind == "array":
+            cols.append(F.to_json(F.col(f"r.`{key}`")).alias(name))
+        else:
+            cols.append(F.col(f"r.`{key}`").alias(name))
+    return coerce_to_schema(parsed.select(*cols), disc.schema)

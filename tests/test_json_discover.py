@@ -68,3 +68,21 @@ def test_sync_from_json_source(spark, tmp_path, capsys):
     df = t.scan()
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.filter("extra = 7").count() == 10
+
+
+def test_name_collisions_resolve_to_distinct_columns(spark, tmp_path):
+    """A struct child whose canon name collides with a top-level key
+    must land in its own column (parent-prefixed), not an ambiguous
+    duplicate."""
+    lines = [
+        {"id": 1, "meta": {"id": 7, "x": "a"}},
+        {"id": 2, "meta": {"id": 8, "x": "b"}},
+    ]
+    p = _write(tmp_path, lines)
+    disc = discover_json(spark, p)
+    names = [f.name for f in disc.schema.fields]
+    assert len(names) == len(set(names))
+    assert "id" in names and "meta_id" in names and "x" in names
+    rows = {r.id: r for r in read_json(spark, p, disc).collect()}
+    assert rows[1].meta_id == 7 and rows[2].meta_id == 8
+    assert rows[1].x == "a"

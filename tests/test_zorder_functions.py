@@ -111,20 +111,32 @@ def test_variable_interleave_narrow_dim_dominates_top_bits():
 
 
 def test_allocate_bits_cardinality_aware():
-    from olake_spark.functions.zorder import ClusterCol, allocate_bits
+    from olake_spark.functions.zorder import (
+        ClusterCol,
+        allocate_bits,
+        integer_span_bits,
+    )
 
+    assert integer_span_bits(8, 1024) == 10  # ceil(log2(1016 + 1))
     specs = [
         ClusterCol("source", "categorical", categories=[f"s{i}" for i in range(20)]),
-        ClusterCol("n_tok", "numeric", lo=8, hi=1024),
+        ClusterCol("n_tok", "numeric", lo=8, hi=1024,
+                   bits=integer_span_bits(8, 1024)),
         ClusterCol("doc_id", "hash"),
     ]
     w = allocate_bits(specs)
     assert w[0] == 5          # ceil(log2(20))
-    assert w[1] == 10         # ceil(log2(1016 + 1))
+    assert w[1] == 10         # pinned integer span
     assert w[2] == 63 - 15    # hash takes the remainder
     assert sum(w) <= 63
-    # explicit pin wins; degenerate fixed overload falls back to uniform
+    # UNPINNED numeric is flexible (a float score in [0,1] must not
+    # collapse to 4 bits): it splits the remainder with the hash dim
+    free = [
+        ClusterCol("score", "numeric", lo=0.0, hi=1.0),
+        ClusterCol("doc_id", "hash"),
+    ]
+    wf = allocate_bits(free)
+    assert min(wf) >= 31 and sum(wf) <= 63
+    # explicit pin wins
     specs[0].bits = 7
     assert allocate_bits(specs)[0] == 7
-    wide = [ClusterCol(f"c{i}", "numeric", lo=0, hi=2**40) for i in range(5)]
-    assert allocate_bits(wide) == [63 // 5] * 5
