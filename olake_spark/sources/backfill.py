@@ -30,6 +30,10 @@ from olake_spark.schema import with_system_columns
 from olake_spark.table.format import Table
 
 
+def _jsonable(v):
+    return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+
 @dataclass
 class BackfillResult:
     job_id: str
@@ -100,9 +104,11 @@ def chunked_backfill(
             ledger.plan(
                 f"c-{i:05d}",
                 [f"{split_col}:[{c.min},{c.max}{']' if i == len(chunks) - 1 else ')'}"],
-                # raw (json-native) values, NOT str() — the resume path
-                # rebuilds typed range filters from these
-                payload={"min": c.min, "max": c.max},
+                # json-native values stay typed for the resume path;
+                # non-native bounds (timestamps/dates) persist as their
+                # string form — Spark coerces string literals back in
+                # the range filter
+                payload={"min": _jsonable(c.min), "max": _jsonable(c.max)},
             )
     ledger.reset_missing_outputs(table.root)
 

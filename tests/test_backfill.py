@@ -90,6 +90,17 @@ def test_backfill_resumes_without_rereading_done_chunks(
     assert res.rows == want and t.scan().count() == want
 
 
+def test_timestamp_split_col(spark, tmp_path):
+    """Timestamp chunk bounds must survive the ledger's json payload
+    (persisted as strings; Spark coerces them back in range filters)."""
+    src = ParquetDirSource(spark, SF)
+    t = _mk_table(spark, tmp_path, "events")
+    res = chunked_backfill(t, src, "events", "ts", num_chunks=4)
+    want = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert res.rows == want and res.chunks >= 2
+    assert t.scan().count() == want
+
+
 def test_rerun_after_commit_syncs_fresh(spark, tmp_path):
     """A completed backfill must NOT make later syncs no-ops: the job id
     keys on the destination snapshot, so re-running refreshes the data
