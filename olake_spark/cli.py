@@ -314,19 +314,27 @@ def cmd_sync(args) -> int:
         # (/root/reference/types/catalog.go:34-44)
         with open(args.catalog) as f:
             catalog = json.load(f)
-        by_name = {
-            s["stream"]["name"]: s["stream"] for s in catalog.get("streams", [])
+        # streams are addressed by (namespace, name) — same-named streams
+        # in different namespaces are distinct (types/catalog.go:34-44)
+        by_key = {
+            (s["stream"].get("namespace", ""), s["stream"]["name"]): s["stream"]
+            for s in catalog.get("streams", [])
         }
         selected: list[tuple[dict, dict]] = []  # (stream cfg, metadata)
-        for _ns, metas in catalog.get("selected_streams", {}).items():
+        for ns, metas in catalog.get("selected_streams", {}).items():
             for m in metas:
-                cfg = by_name.get(m["stream_name"])
+                cfg = by_key.get((ns, m["stream_name"]))
                 if cfg is None:
-                    _msg("ERROR", {"message": f"selected stream {m['stream_name']} not in catalog"})
+                    _msg("ERROR", {"message": f"selected stream {ns}.{m['stream_name']} not in catalog"})
                     return 2
                 selected.append((cfg, m))
         if not selected:
             _msg("ERROR", {"message": "catalog selects no streams"})
+            return 2
+        names = [cfg["name"] for cfg, _m in selected]
+        if len(names) != len(set(names)):
+            # destinations are keyed by stream name under --dest
+            _msg("ERROR", {"message": f"duplicate stream names selected: {sorted(set(n for n in names if names.count(n) > 1))}"})
             return 2
         spark = get_spark("olake-sync", cores=args.cpus)
         for cfg, _m in selected:

@@ -115,6 +115,28 @@ def test_compaction_resume_after_kill(spark, small_table, monkeypatch):
     assert t.scan().count() == N_ROWS
 
 
+def test_compaction_sort_handles_extreme_source_skew(spark, tmp_path, seq_df):
+    """90%-hot source: the sampled range partitioner must split the hot
+    key across as many output files as its bytes require — no giant
+    straggler file (the north_star's skew-handling requirement)."""
+    hot = seq_df.withColumn(
+        "source",
+        F.when(F.rand(7) < 0.9, F.lit("hot")).otherwise(F.col("source")),
+    )
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(hot.repartition(40))
+    res = compact(t, target_file_bytes=64 * 1024, mode="sort")
+    assert res.rows == N_ROWS
+    files = t.files()
+    hot_files = [f for f in files if f.partition == "hot"]
+    assert len(hot_files) >= 5  # hot source spread over many files
+    sizes = sorted(f.file_size_bytes for f in files)
+    # no output file an order of magnitude above target
+    assert sizes[-1] < 64 * 1024 * 4
+    assert t.scan().filter(F.col("source") == "hot").count() == \
+        hot.filter(F.col("source") == "hot").count()
+
+
 def test_compaction_skips_when_nothing_small(spark, small_table):
     compact(small_table, target_file_bytes=1024 * 1024)
     res = compact(small_table, target_file_bytes=1024)  # everything is "big"
