@@ -123,21 +123,38 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), "sig", F.posexplode(band_arr).alias("band", "bkey")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # candidate pairs WITHOUT a self-join: group each (band, bucket) and
+    # emit in-bucket pairs with higher-order functions. A self-join
+    # evaluates the whole signature pipeline (shingle explode + 32-way
+    # min-agg) once per side — neither static ReuseExchange nor AQE
+    # stage reuse deduplicates it in practice; grouping computes it
+    # ONCE and shuffles each signature exactly once per band. Bucket
+    # pair-generation is O(b^2) per bucket — the same candidate count
+    # the join produces — with bucket state held in one task: run
+    # exact_dedup first so identical documents don't form giant buckets.
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), "sig"))).alias("m"))
+        .filter(F.size("m") > 1)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.sig").alias("sig_a"),
-            F.col("r.sig").alias("sig_b"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("m"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                            lambda y: F.struct(
+                                x["i"].alias("id_a"),
+                                y["i"].alias("id_b"),
+                                x["sig"].alias("sig_a"),
+                                y["sig"].alias("sig_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify:
@@ -219,20 +236,35 @@ def simhash_near_dup_pairs(
         ]
     )
     seged = sh.select(id_col, "simhash", F.posexplode(seg).alias("blk", "seg"))
-    l, r = seged.alias("l"), seged.alias("r")
+    # in-bucket pair generation instead of a self-join: the 64-agg
+    # simhash pipeline is computed once (see minhash_lsh_pairs)
     cand = (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.seg") == F.col("r.seg"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        seged.groupBy("blk", "seg")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))
+            ).alias("m")
         )
+        .filter(F.size("m") > 1)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("ha"),
-            F.col("r.simhash").alias("hb"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("m"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                            lambda y: F.struct(
+                                x["i"].alias("id_a"),
+                                y["i"].alias("id_b"),
+                                x["simhash"].alias("ha"),
+                                y["simhash"].alias("hb"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
