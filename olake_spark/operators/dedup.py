@@ -3,9 +3,12 @@
 Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
 table. Design notes for the 100 TB case are per-operator; the common
 theme is: shuffles happen on *hash keys* (uniform), signatures are
-fixed-width (bounded state), and candidate generation is always a
-bucket-equi-join — never an all-pairs product. Exact-similarity
-verification runs only on the candidate set.
+fixed-width (bounded state), and candidates come from hash buckets —
+never an all-pairs product. Tiny-by-construction buckets (LSH bands,
+simhash segments) generate pairs in-bucket after one grouping, so the
+signature pipeline runs once; potentially-large blocks (source/label
+blocking) use an equi-join, which distributes when a block outgrows a
+task. Exact-similarity verification runs only on the candidate set.
 
 References for the technique (public literature): Broder '97 (MinHash),
 Charikar '02 (SimHash), Leskovec et al., "Mining of Massive Datasets"
