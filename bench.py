@@ -111,23 +111,26 @@ def main() -> None:
     )
     maintenance["seq_per_s"] = round(2 * rows / max(maint_sec, 1e-9), 1)
 
-    # ---- analytic queries on the driver testdata
+    # ---- analytic queries on the driver testdata (same min-of-reps)
     qs = entrymod.queries()
-    for name in [
-        "q1_pricing_summary",
-        "merge_as_join",
-        "broadcast_dim_join",
-        "dedup_latest_event",
-        "doc_token_count",
-        "minhash_lsh",
-        "simhash_near_dup",
-        "embedding_topk",
-        "seq_table_stats",
-    ]:
-        with timed(name):
-            # noop sink: forces full computation of every output column
-            # without shipping rows to the driver
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for _rep in range(reps):
+        for name in [
+            "q1_pricing_summary",
+            "merge_as_join",
+            "broadcast_dim_join",
+            "dedup_latest_event",
+            "doc_token_count",
+            "minhash_lsh",
+            "simhash_near_dup",
+            "embedding_topk",
+            "seq_table_stats",
+        ]:
+            with timed(name):
+                # noop sink: forces full computation of every output
+                # column without shipping rows to the driver
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
 
     total = round(sum(timings.values()), 3)
     print(
