@@ -106,6 +106,10 @@ def with_partition_path(
         .limit(max_pure_paths + 1)
         .collect()
     ]
+    if not paths:
+        # empty source (e.g. a full_refresh of an empty stream):
+        # repartition(0, ...) would raise — there is nothing to route
+        return out
     if len(paths) > max_pure_paths:
         return out.repartition(F.col(PARTITION_PATH)).sortWithinPartitions(
             PARTITION_PATH

@@ -98,6 +98,9 @@ def build_ann_index(
     """
     if kind not in ("ivf", "lsh"):
         raise ValueError(f"unknown index kind: {kind}")
+    if not 1 <= n_planes <= 30:
+        # bucket ids live in the int32 ASSIGN column; 2**n_planes must fit
+        raise ValueError(f"n_planes must be in [1, 30], got {n_planes}")
     first = emb.select(vec_col).first()
     if first is None:
         raise ValueError("cannot index an empty embedding table")
@@ -116,8 +119,12 @@ def build_ann_index(
     else:
         assign_udf = lsh_bucket_udf(dim, n_planes, seed)
         n_routes = min(n_cells, 1 << n_planes)
-        # contiguous bucket ranges -> tight per-file min/max for pruning
-        route = (F.col(ASSIGN) * n_routes / (1 << n_planes)).cast("int")
+        # contiguous bucket ranges -> tight per-file min/max for pruning.
+        # Multiply in LONG: bucket_id * n_routes overflows int32 from
+        # n_planes ~27 up, silently corrupting the salt routing.
+        route = (
+            F.col(ASSIGN).cast("long") * n_routes / (1 << n_planes)
+        ).cast("int")
 
     id_type = emb.schema[id_col].dataType
     table = Table.create(

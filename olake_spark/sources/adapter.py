@@ -52,13 +52,24 @@ def chunk_filter(col: str, chunk: Chunk, is_last: bool) -> F.Column:
     return c & (F.col(col) <= F.lit(chunk.max) if is_last else F.col(col) < F.lit(chunk.max))
 
 
+def _sql_literal(v) -> str:
+    """ANSI-SQL literal: strings quote embedded ' by doubling (Python
+    repr would backslash-escape — invalid standard SQL and unsafe as a
+    pushed-down JDBC predicate for values like O'Brien)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
 def chunk_predicate_sql(col: str, chunk: Chunk, is_last: bool) -> str:
     """The same predicate as SQL text — what spark.read.jdbc(predicates=
     [...]) pushes to the database, one query per chunk/partition
     (reference query shape: /root/reference/pkg/jdbc/jdbc.go:41-52)."""
-    q = repr if isinstance(chunk.min, str) else str
     op = "<=" if is_last else "<"
-    return f"{col} >= {q(chunk.min)} AND {col} {op} {q(chunk.max)}"
+    return (
+        f"{col} >= {_sql_literal(chunk.min)} "
+        f"AND {col} {op} {_sql_literal(chunk.max)}"
+    )
 
 
 class ParquetDirSource:

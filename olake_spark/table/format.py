@@ -205,6 +205,21 @@ class Table:
         root = os.path.abspath(root)
         with open(os.path.join(root, "VERSION")) as f:
             version = int(f.read().strip())
+        # Heal an orphaned claim: a committer that died after linking
+        # v{N+1}.json but before flipping VERSION would otherwise wedge the
+        # table forever (every future commit loads N, fails to claim the
+        # existing v{N+1}.json, and CommitConflict retries re-read the same
+        # stale pointer). The claim file is fsynced before os.link, so it
+        # is always complete — adopting it loses nothing; repairing the
+        # pointer is idempotent if the original committer races us.
+        healed = version
+        while os.path.exists(
+            os.path.join(root, "metadata", f"v{healed + 1}.json")
+        ):
+            healed += 1
+        if healed != version:
+            _atomic_write_text(os.path.join(root, "VERSION"), str(healed))
+            version = healed
         with open(os.path.join(root, "metadata", f"v{version}.json")) as f:
             metadata = json.load(f)
         return cls(spark, root, metadata, version)

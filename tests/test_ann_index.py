@@ -132,3 +132,24 @@ def test_lsh_index_prunes_and_recalls(spark, tmp_path):
     for f in idx.table.files():
         st = f.stats[ASSIGN]
         assert st["max"] - st["min"] < (1 << idx.n_planes) // 4
+
+
+def test_lsh_route_survives_wide_bucket_space(spark, tmp_path):
+    """bucket_id * n_routes overflows int32 from n_planes ~27 up; the
+    route math runs in long so wide bucket spaces still salt-route every
+    row (no NULL salts / silently lost purity). n_planes beyond the int32
+    ASSIGN column is rejected at build time."""
+    emb, _ = _mk_embeddings(spark, n=80, dim=8, seed=5)
+    idx = build_ann_index(
+        spark, emb, str(tmp_path / "wide"), kind="lsh",
+        n_cells=4, n_planes=28, seed=3,
+    )
+    files = idx.table.files()
+    assert sum(f.record_count for f in files) == 80  # nothing dropped
+    for f in files:
+        st = f.stats[ASSIGN]
+        assert 0 <= st["min"] <= st["max"] < (1 << 28)
+    with pytest.raises(ValueError, match="n_planes"):
+        build_ann_index(
+            spark, emb, str(tmp_path / "bad"), kind="lsh", n_planes=31
+        )

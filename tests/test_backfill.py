@@ -130,6 +130,23 @@ def test_jdbc_predicates_are_half_open(spark):
     assert s == "name >= 'a' AND name < 'm'"
 
 
+def test_jdbc_predicate_quotes_are_ansi_sql():
+    """Embedded single quotes double (''), never backslash-escape: \\' is
+    invalid standard SQL and unsafe as a pushed-down JDBC predicate."""
+    s = chunk_predicate_sql("name", Chunk("O'Brien", "Z'ha'dum"), is_last=True)
+    assert s == "name >= 'O''Brien' AND name <= 'Z''ha''dum'"
+    assert "\\" not in s
+    # and DuckDB (an ANSI-compliant engine) accepts + round-trips it
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT name FROM (VALUES ('Aaron'), ('O''Brien'), ('zz')) t(name) "
+        f"WHERE {s}"
+    ).fetchall()
+    assert [r[0] for r in rows] == ["O'Brien"]
+
+
 def test_cli_sync_split_col(tmp_path, capsys, spark):
     from olake_spark.cli import main
 

@@ -81,3 +81,12 @@ def test_routed_write_is_path_pure(spark, tmp_path):
         for r in t.scan().select(PARTITION_PATH).distinct().collect()
     }
     assert got == parts
+
+
+def test_empty_input_routes_without_crash(spark):
+    """A full_refresh/catalog sync of an EMPTY source with partition_regex
+    set: repartition(0, ...) used to raise IllegalArgumentException."""
+    df = spark.createDataFrame([], "id int, ts timestamp, name string")
+    routed = with_partition_path(df, "/m={ts,'',MM}", now=_fixed_now())
+    assert routed.count() == 0
+    assert PARTITION_PATH in routed.columns

@@ -65,6 +65,58 @@ def test_version_claim_is_exclusive(tmp_path):
     assert os.listdir(tmp_path) == ["v2.json"]
 
 
+def test_orphaned_claim_heals_on_load(spark, tmp_path, monkeypatch):
+    """A committer dies after linking v{N+1}.json but before flipping
+    VERSION. Without healing, every later commit loads version N, fails
+    to claim the existing v{N+1}.json, and raises CommitConflict forever.
+    Table.load must adopt the (complete, fsynced) orphaned claim, repair
+    the pointer, and let the table make progress."""
+    import json
+
+    import olake_spark.table.format as fmt
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(generate_sequences(spark, 100, seed=1, max_tok=16))
+
+    orig = fmt._atomic_write_text
+
+    def dying(path, text):
+        if path.endswith("VERSION"):
+            raise RuntimeError("power cut")
+        orig(path, text)
+
+    monkeypatch.setattr(fmt, "_atomic_write_text", dying)
+    extra = generate_sequences(spark, 30, seed=2, max_tok=16).withColumn(
+        "doc_id", F.concat(F.lit("yy-"), F.col("doc_id"))
+    )
+    with pytest.raises(RuntimeError, match="power cut"):
+        t.append(extra)
+    monkeypatch.undo()
+
+    # on-disk state is the wedge: claim exists, pointer is stale
+    with open(os.path.join(t.root, "VERSION")) as f:
+        stale = int(f.read().strip())
+    assert os.path.exists(
+        os.path.join(t.root, "metadata", f"v{stale + 1}.json")
+    )
+
+    healed = Table.load(spark, t.root)
+    assert healed.version == stale + 1  # orphan adopted
+    with open(os.path.join(t.root, "VERSION")) as f:
+        assert int(f.read().strip()) == stale + 1  # pointer repaired
+    assert healed.scan().count() == 130  # the dying commit's rows are in
+    # and the table is not wedged: the next commit succeeds
+    healed.append(
+        generate_sequences(spark, 10, seed=3, max_tok=16).withColumn(
+            "doc_id", F.concat(F.lit("zz-"), F.col("doc_id"))
+        )
+    )
+    assert Table.load(spark, t.root).scan().count() == 140
+    # metadata chain is contiguous json
+    with open(os.path.join(t.root, "metadata", f"v{stale + 2}.json")) as f:
+        json.load(f)
+
+
 def test_commit_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
     """A concurrent append lands between compaction's refresh and commit:
     the first commit attempt raises CommitConflict, the retry refreshes,
