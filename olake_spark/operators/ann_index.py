@@ -271,14 +271,29 @@ def ann_index_topk_batch(
                 out.append(sorted(probes))
             return pd.Series(out)
 
-    q = (
-        queries.select(
-            F.col(qid_col).alias("qid"),
-            F.col(qvec_col).cast("array<float>").alias("qvec"),
-        )
-        .withColumn(ASSIGN, F.explode(probe_cells(F.col("qvec"))))
+    qbase = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<float>").alias("qvec"),
     )
-    probed = sorted(r[0] for r in q.select(ASSIGN).distinct().collect())
+    # evaluate the probe-cell UDF exactly ONCE: collect the (qid, cell)
+    # assignment driver-side (n_queries x n_probe ints — a query batch is
+    # tiny next to the corpus), then rejoin it as a literal relation.
+    # Leaving the UDF in the main plan would run it twice: once for the
+    # probed-cell set (file pruning) and again in the corpus join.
+    qcells = qbase.select(
+        "qid", F.explode(probe_cells(F.col("qvec"))).alias(ASSIGN)
+    ).collect()
+    probed = sorted({r[ASSIGN] for r in qcells})
+    cells_df = index.table.spark.createDataFrame(
+        [(r.qid, r[ASSIGN]) for r in qcells],
+        T.StructType(
+            [
+                T.StructField("qid", qbase.schema["qid"].dataType),
+                T.StructField(ASSIGN, T.IntegerType()),
+            ]
+        ),
+    )
+    q = qbase.join(cells_df, "qid")
     files = index.table.files()
     cand_files = [
         f for f in files if any(f.overlaps(ASSIGN, p, p) for p in probed)

@@ -4,11 +4,14 @@ Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
 table. Design notes for the 100 TB case are per-operator; the common
 theme is: shuffles happen on *hash keys* (uniform), signatures are
 fixed-width (bounded state), and candidates come from hash buckets —
-never an all-pairs product. Tiny-by-construction buckets (LSH bands,
-simhash segments) generate pairs in-bucket after one grouping, so the
-signature pipeline runs once; potentially-large blocks (source/label
-blocking) use an equi-join, which distributes when a block outgrows a
-task. Exact-similarity verification runs only on the candidate set.
+never an all-pairs product. Buckets (LSH bands, simhash segments)
+generate pairs in-bucket after one grouping, so the signature pipeline
+runs once — with per-bucket state BOUNDED by ``max_bucket``: oversized
+buckets (mega near-duplicate clusters) fall back to star pairs through
+the bucket representative (see _bucket_pairs). Potentially-large blocks
+(source/label blocking) use an equi-join, which distributes when a
+block outgrows a task. Exact-similarity verification runs only on the
+candidate set.
 
 References for the technique (public literature): Broder '97 (MinHash),
 Charikar '02 (SimHash), Leskovec et al., "Mining of Massive Datasets"
@@ -82,6 +85,86 @@ def minhash_signatures(
     )
 
 
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list[str], payload: str, max_bucket: int
+) -> DataFrame:
+    """Candidate pairs from hash buckets with BOUNDED per-bucket state.
+
+    One window pass (a single Exchange+Sort on the uniform bucket key)
+    ranks each bucket's members by id and attaches the bucket's first
+    (min-id) member as the representative. Members ranked within
+    ``max_bucket`` aggregate into ONE group per bucket and emit in-bucket
+    all-pairs (aggregation state capped at max_bucket structs, pair array
+    at max_bucket^2/2 — ~5*10^7 at the default 10^4: one task, fine).
+    Members beyond the cap — the tail of a mega near-duplicate cluster,
+    the very thing dedup targets — become SINGLETON groups that emit one
+    STAR pair (representative, member) each: O(tail) extra pairs instead
+    of O(b^2), per-group state O(1), and the whole cluster stays
+    connected through the representative for keep-one-per-cluster dedup.
+    The cost is pair recall among tail members (their mutual pairs are
+    not emitted); every emitted pair still flows through the downstream
+    exact-similarity verify/threshold.
+
+    The group key extends the bucket key, so the groupBy reuses the
+    window's partitioning — the whole operator is ONE shuffle of the
+    keyed rows on a uniform hash key, with the signature pipeline
+    evaluated once (no self-join, no union of branches; asserted in
+    tests/test_plan_shapes.py).
+
+    Returns (id_a, id_b, pay_a, pay_b) with id_a < id_b.
+    """
+    kc = [F.col(c) for c in key_cols]
+    wb = Window.partitionBy(*kc).orderBy(F.col("i"))
+    member = F.struct(F.col("i"), F.col(payload))
+    ranked = keyed.select(
+        *kc,
+        "i",
+        payload,
+        F.row_number().over(wb).alias("_rn"),
+        F.first(member).over(wb).alias("_rep"),
+    )
+    # capped members share group 0; each tail member is isolated by its
+    # rank so no group ever collects more than max_bucket structs
+    g = F.when(F.col("_rn") <= max_bucket, F.lit(0)).otherwise(F.col("_rn"))
+    grouped = ranked.groupBy(*kc, g.alias("_g")).agg(
+        F.sort_array(F.collect_list(member)).alias("m"),
+        F.first("_rep").alias("_r"),
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
+                lambda y: F.struct(
+                    x["i"].alias("id_a"),
+                    y["i"].alias("id_b"),
+                    x[payload].alias("pay_a"),
+                    y[payload].alias("pay_b"),
+                ),
+            ),
+        )
+    )
+    # tail member's id is > every capped member's id (ranked by id), so
+    # id_a = rep.i = bucket min < id_b always holds
+    star = F.array(
+        F.struct(
+            F.col("_r.i").alias("id_a"),
+            F.col("m")[0]["i"].alias("id_b"),
+            F.col(f"_r.{payload}").alias("pay_a"),
+            F.col("m")[0][payload].alias("pay_b"),
+        )
+    )
+    return (
+        grouped.select(
+            F.explode(F.when(F.col("_g") == 0, all_pairs).otherwise(star)).alias(
+                "p"
+            )
+        )
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -91,13 +174,15 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     verify: bool = False,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
 
     1. signatures (one shuffle);
     2. band keys: hash of each band's slice of the signature; explode
-       bands -> candidate buckets; self-equi-join on (band, key) with
-       id< id dedup — the join key is a uniform hash, so no skew;
+       bands -> candidate buckets; in-bucket pair generation after ONE
+       grouping on the uniform (band, key) hash, state bounded by
+       ``max_bucket`` (_bucket_pairs);
     3. ``verify=False`` (default): filter candidates on the MinHash
        *estimate* >= threshold; returns (id_a, id_b, est_jaccard) — the
        estimate, NOT exact similarity.
@@ -107,8 +192,9 @@ def minhash_lsh_pairs(
        set only (never all-pairs).
 
     At 10^12 docs the all-pairs product is impossible; this plan's cost
-    is O(docs x bands) rows through one equi-join plus, when verifying,
-    O(candidates) shingle-set intersections.
+    is O(docs x bands) rows through one uniform-key shuffle plus, when
+    verifying, O(candidates) shingle-set intersections — with every
+    per-bucket quantity capped by ``max_bucket``.
     """
     r = num_perm // bands
     sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
@@ -131,34 +217,20 @@ def minhash_lsh_pairs(
     # evaluates the whole signature pipeline (shingle explode + 32-way
     # min-agg) once per side — neither static ReuseExchange nor AQE
     # stage reuse deduplicates it in practice; grouping computes it
-    # ONCE and shuffles each signature exactly once per band. Bucket
-    # pair-generation is O(b^2) per bucket — the same candidate count
-    # the join produces — with bucket state held in one task: run
-    # exact_dedup first so identical documents don't form giant buckets.
-    cand = (
-        banded.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), "sig"))).alias("m"))
-        .filter(F.size("m") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("m"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
-                            lambda y: F.struct(
-                                x["i"].alias("id_a"),
-                                y["i"].alias("id_b"),
-                                x["sig"].alias("sig_a"),
-                                y["sig"].alias("sig_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
+    # ONCE and shuffles each signature exactly once per band. Buckets
+    # larger than ``max_bucket`` (a mega near-duplicate cluster) switch
+    # to star pair generation so per-task state stays bounded — see
+    # _bucket_pairs.
+    cand = _bucket_pairs(
+        banded.select(
+            "band", "bkey", F.col(id_col).alias("i"), F.col("sig")
+        ),
+        ["band", "bkey"],
+        "sig",
+        max_bucket,
+    ).select(
+        "id_a", "id_b",
+        F.col("pay_a").alias("sig_a"), F.col("pay_b").alias("sig_b"),
     )
     if verify:
         sh = docs.select(
@@ -224,11 +296,14 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Hamming-distance near-dup via the pigeonhole block trick: split
     the 64-bit simhash into ``blocks`` segments; any pair within
     ``max_hamming`` (< blocks) must agree on >= 1 segment, so candidate
-    generation is an equi-join per segment — no all-pairs."""
+    generation is an equi-join per segment — no all-pairs. Segments with
+    more than ``max_bucket`` members fall back to star pairs
+    (_bucket_pairs) so one mega-cluster cannot blow a single task."""
     width = 64 // blocks
     mask = (1 << width) - 1
     sh = simhash(docs, id_col, text_col)
@@ -241,34 +316,14 @@ def simhash_near_dup_pairs(
     seged = sh.select(id_col, "simhash", F.posexplode(seg).alias("blk", "seg"))
     # in-bucket pair generation instead of a self-join: the 64-agg
     # simhash pipeline is computed once (see minhash_lsh_pairs)
-    cand = (
-        seged.groupBy("blk", "seg")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))
-            ).alias("m")
-        )
-        .filter(F.size("m") > 1)
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("m"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
-                            lambda y: F.struct(
-                                x["i"].alias("id_a"),
-                                y["i"].alias("id_b"),
-                                x["simhash"].alias("ha"),
-                                y["simhash"].alias("hb"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = _bucket_pairs(
+        seged.select("blk", "seg", F.col(id_col).alias("i"), "simhash"),
+        ["blk", "seg"],
+        "simhash",
+        max_bucket,
+    ).select(
+        "id_a", "id_b",
+        F.col("pay_a").alias("ha"), F.col("pay_b").alias("hb"),
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
@@ -279,20 +334,53 @@ def simhash_near_dup_pairs(
 
 
 # -------------------------------------------------------------- exact jaccard
+_REQUIRED = object()  # sentinel: caller must choose blocking explicitly
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    block_col: str | None = "source",
+    block_col: str | None = _REQUIRED,  # type: ignore[assignment]
     shingle_k: int = 2,
     threshold: float = 0.6,
+    max_block: int | None = 1_000_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key.
 
-    The blocked self-join bounds the pair count (block_col=None is the
-    quadratic fallback for small inputs only). Used both standalone and
-    as the verifier behind MinHash candidates.
+    The self-join is QUADRATIC within a block — this is the small-input /
+    candidate-verifier path, not a standalone dedup strategy at scale
+    (use minhash_lsh_pairs(verify=True) for that). Two guards enforce it:
+
+    - ``block_col`` has no default: the caller must name a blocking
+      column (or pass None for the all-pairs product) so quadratic
+      blow-up is an explicit choice, never an accident;
+    - before planning the join, one cheap count-aggregation checks that
+      no block exceeds ``max_block`` rows (~10^12 pairs at the 10^6
+      default) and raises with guidance otherwise. Pass max_block=None
+      to skip the pre-check when block sizes are known.
     """
+    if block_col is _REQUIRED:
+        raise TypeError(
+            "ngram_jaccard_pairs requires an explicit block_col: name a "
+            "blocking column, or pass block_col=None to accept the "
+            "quadratic all-pairs product on a small input"
+        )
+    if max_block is not None:
+        if block_col:
+            biggest = (
+                docs.groupBy(block_col).count().agg(F.max("count")).first()[0]
+            )
+        else:
+            biggest = docs.count()
+        if biggest and biggest > max_block:
+            raise ValueError(
+                f"largest {block_col or 'input'} block has {biggest} rows > "
+                f"max_block={max_block}: the in-block self-join is "
+                f"quadratic ({biggest * (biggest - 1) // 2} pairs). Use "
+                "minhash_lsh_pairs(verify=True) for near-dup detection at "
+                "this scale, or raise max_block deliberately."
+            )
     with_sh = docs.select(
         F.col(id_col),
         *( [F.col(block_col)] if block_col else [] ),

@@ -45,8 +45,20 @@ from olake_spark.schema import (
 )
 from olake_spark.table.format import Table
 
-# broadcast the change-key side when below this
-BROADCAST_KEYS_MAX = 4_000_000
+# Broadcast the change-key side only while its estimated on-heap size
+# stays comfortably inside executor memory: each _olake_id is a 32-char
+# md5 string, ~72 bytes as a JVM String + row overhead. A row-count cap
+# (the old 4M) let ~300 MB broadcasts through — a driver/executor OOM
+# risk. Above the byte cap we drop the hint and let AQE choose the join
+# strategy from runtime stats.
+BROADCAST_KEY_BYTES = 72
+BROADCAST_MAX_BYTES = 32 << 20  # ~466k keys
+
+
+def _keys_for_join(keys: DataFrame, n_keys: int) -> DataFrame:
+    if n_keys * BROADCAST_KEY_BYTES <= BROADCAST_MAX_BYTES:
+        return F.broadcast(keys)
+    return keys
 
 
 @dataclass
@@ -198,7 +210,7 @@ def merge_into(
         candidates = list(files)
 
     keys = ch.select(OLAKE_ID)
-    keys_b = F.broadcast(keys) if n_changes <= BROADCAST_KEYS_MAX else keys
+    keys_b = _keys_for_join(keys, n_changes)
 
     # --- 2. which candidates actually contain a matched key?
     touched_paths: set[str] = set()

@@ -153,3 +153,20 @@ def test_lsh_route_survives_wide_bucket_space(spark, tmp_path):
         build_ann_index(
             spark, emb, str(tmp_path / "bad"), kind="lsh", n_planes=31
         )
+
+
+def test_batch_topk_probe_udf_runs_once(spark, ivf_setup):
+    """The returned batch plan must contain NO Python/Arrow eval stage:
+    probe assignment was evaluated exactly once (driver-side collect) and
+    rejoined as a literal relation — not recomputed in the corpus join."""
+    from olake_spark.operators.ann_index import ann_index_topk_batch
+
+    emb, _, idx = ivf_setup
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out, info = ann_index_topk_batch(idx, queries, k=3, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # covers ArrowEvalPython + BatchEvalPython
+    assert info["probes"] >= 1
+    assert out.count() == 5 * 3

@@ -448,3 +448,37 @@ def test_orphan_cleanup_spares_uncommitted_job_outputs(
     assert all(os.path.exists(t.abs_path(f.path)) for f in t.files())
     assert t.scan().count() == N_ROWS
     assert _tokens_equal(t.scan(), seq_df)
+
+
+def test_merge_broadcast_threshold_is_bytes_based(spark, small_table, seq_df, monkeypatch):
+    """The change-key broadcast decision is a BYTE estimate, not a row
+    count: a 1M-key batch (~72 MB of md5 strings on-heap) must not carry
+    a broadcast hint; below the cap it must. And forcing the non-hint
+    path produces identical merge results."""
+    import olake_spark.operators.merge as m
+
+    def has_hint(df):
+        return "hints=[" in df._jdf.queryExecution().analyzed().toString() or \
+               "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    keys = spark.range(1_000_000).select(F.md5(F.col("id").cast("string")).alias("_olake_id"))
+    assert 1_000_000 * m.BROADCAST_KEY_BYTES > m.BROADCAST_MAX_BYTES
+    assert not has_hint(m._keys_for_join(keys, 1_000_000))
+    assert has_hint(m._keys_for_join(keys.limit(10), 10))
+
+    # results are unchanged when the hint is withheld (AQE path)
+    t = small_table
+    compact(t, target_file_bytes=1024 * 1024)
+    batch = (
+        seq_df.orderBy("doc_id").limit(25)
+        .select(*DATA_COLUMNS)
+        .withColumn("tokens", F.array(F.lit(9)).cast("array<int>"))
+        .withColumn("n_tok", F.lit(1))
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    monkeypatch.setattr(m, "BROADCAST_MAX_BYTES", 0)  # never hint
+    res = m.merge_into(t, batch)
+    assert (res.inserted, res.updated, res.deleted) == (0, 25, 0)
+    cur = t.scan()
+    assert cur.count() == N_ROWS
+    assert cur.filter(F.col("n_tok") == 1).count() == 25

@@ -152,3 +152,24 @@ def test_merge_discovery_join_is_broadcast(spark, tmp_path):
         .join(F.broadcast(keys), OLAKE_ID, "left_semi")
     )
     assert "BroadcastHashJoin" in _plan(probe)
+
+
+def test_bucket_pair_generation_is_single_pipeline(spark):
+    """The LSH candidate generator must be one linear pipeline: the
+    signature pipeline (scan + shingle explode + 32-way min-agg) appears
+    ONCE (no self-join, no union of branches re-evaluating it), and the
+    capped/star pair aggregation reuses the window's (band,bkey)
+    partitioning instead of adding an Exchange of its own."""
+    from olake_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = minhash_lsh_pairs(
+        docs, num_perm=32, bands=8, shingle_k=2, jaccard_threshold=0.5
+    )
+    plan = _plan(out)
+    # executedPlan before materialization = the initial physical plan
+    assert plan.count("FileScan") == 1
+    assert "Union" not in plan
+    # exactly 3 shuffles: doc-id signature agg, (band,bkey) window,
+    # pair dropDuplicates — the pair groupBy must NOT add a 4th
+    assert plan.count("Exchange hashpartitioning") == 3

@@ -54,7 +54,9 @@ def test_ngram_jaccard_matches_python_oracle(spark):
     rows = {r.doc_id: r.text for r in docs.collect()}
     got = {
         (r.id_a, r.id_b): r.jaccard
-        for r in ngram_jaccard_pairs(docs, threshold=0.3, shingle_k=2).collect()
+        for r in ngram_jaccard_pairs(
+            docs, block_col=None, threshold=0.3, shingle_k=2
+        ).collect()
     }
     want = {}
     for a, b in itertools.combinations(sorted(rows), 2):
@@ -273,3 +275,93 @@ def test_multimodal_resize_and_frames(spark):
         0, 500, 1000, 1500,
     ]
     assert all(len(f.payload) > 0 for f in frames)
+
+
+def test_minhash_giant_cluster_is_bounded_and_connected(spark):
+    """One ~50k-member near-duplicate cluster (templated boilerplate —
+    the exact thing dedup exists for) used to concentrate b members and
+    O(b^2) pairs in a single task. With the bucket cap, candidate volume
+    is O(b), per-group aggregation state is bounded by max_bucket, and
+    the cluster stays connected through the bucket representative so
+    keep-one-per-cluster dedup still collapses it."""
+    n = 50_000
+    cap = 200
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    docs = (
+        spark.range(n)
+        .select(
+            F.format_string("c%06d", F.col("id")).alias("doc_id"),
+            # vary ONE trailing token out of ~13 -> jaccard stays high and
+            # every doc shares all band signatures with the template
+            F.concat(F.lit(template + " tail"), (F.col("id") % 7).cast("string")).alias("text"),
+            F.lit("s").alias("source"),
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=32, bands=8, shingle_k=2,
+        jaccard_threshold=0.5, max_bucket=cap,
+    )
+    rows = pairs.collect()
+    # O(b) candidate volume: the 7 tail variants form up to 7 buckets per
+    # band, each contributing <= cap^2/2 all-pairs + its tail stars —
+    # nowhere near the uncapped ~1.8e8 in-bucket all-pairs
+    assert len(rows) <= 8 * (cap * cap // 2 + n)
+    # connectivity: every member participates in >= 1 surviving pair
+    seen = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert len(seen) == n
+    # star pairs hang off the bucket's min-id representative
+    assert min(seen) == "c000000"
+    for r in rows:
+        assert r.id_a < r.id_b and r.est_jaccard >= 0.5
+
+
+def test_simhash_giant_cluster_is_bounded(spark):
+    n = 20_000
+    docs = spark.range(n).select(
+        F.format_string("c%06d", F.col("id")).alias("doc_id"),
+        F.lit("identical boilerplate text repeated across the corpus").alias("text"),
+    )
+    pairs = simhash_near_dup_pairs(
+        docs, max_hamming=3, blocks=4, max_bucket=100
+    )
+    rows = pairs.collect()
+    assert len(rows) <= 100 * 100 // 2 + n
+    seen = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert len(seen) == n  # identical docs -> hamming 0 -> all connected
+
+
+def test_bucket_cap_is_noop_below_threshold(spark):
+    """On a corpus whose largest bucket is far below the cap, results are
+    IDENTICAL with and without a small cap — the capped path only changes
+    behavior for oversized buckets."""
+    docs = _mk_docs(spark)
+    base = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, jaccard_threshold=0.4
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs(
+            docs, num_perm=32, bands=16, shingle_k=2, jaccard_threshold=0.4,
+            max_bucket=50,
+        ).collect()
+    }
+    assert base == capped
+
+
+def test_ngram_jaccard_guards_against_quadratic_misuse(spark):
+    docs = _mk_docs(spark)
+    # blocking must be an explicit choice
+    with pytest.raises(TypeError, match="explicit block_col"):
+        ngram_jaccard_pairs(docs)
+    # oversized block -> refuse with guidance to the LSH-verify path
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, block_col="source", max_block=5)
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(docs, block_col=None, max_block=5)
+    # max_block=None skips the pre-check for known-small inputs
+    assert ngram_jaccard_pairs(
+        docs, block_col=None, threshold=0.9, max_block=None
+    ).count() >= 0
