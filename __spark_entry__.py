@@ -3,10 +3,13 @@
 ``queries()`` maps one entry per implemented operator family from
 SURVEY.md §2 (+ the training-data ops) to a (spark, sf_dir) -> DataFrame
 callable; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Column
-names/aliases match exactly on both sides. Ops that SQL cannot express
-(LSH banding, simhash blocking, curve keys, ANN probing) have no oracle
-entry — the driver records the weaker rows-only check; their exactness
-is covered by brute-force oracles in tests/.
+names/aliases match exactly on both sides. The ANN queries oracle as
+exact-cosine reranks over candidate id sets computed driver-side with
+the same numpy probing as the query path (_ann_oracle_candidates). Ops
+SQL genuinely cannot express (LSH banding pairs, simhash blocking,
+curve keys) have no oracle entry — the driver records the weaker
+rows-only check; their exactness is covered by brute-force oracles in
+tests/.
 """
 
 from __future__ import annotations
@@ -502,6 +505,125 @@ def _ann_batch_topk(spark, sf_dir):
     return out
 
 
+# ------------------------------------------------------- ANN oracle support
+_ANN_CAND_CACHE: dict[tuple, dict] = {}
+
+
+def _ann_oracle_candidates() -> dict:
+    """Driver-side replication of the ANN probe planning — the SAME numpy
+    ops, seeds, and sample ordering as the pandas UDFs / codebook builders
+    in operators/similarity.py and operators/ann_index.py — over the
+    oracle's parquet. This yields the literal candidate id sets whose
+    EXACT-cosine rerank the DuckDB oracles express in SQL (probing itself
+    is not SQL-expressible; the rerank over the shared candidate set is).
+
+    The correctness gate runs oracles at sf0.01 by contract, so the sf
+    dir defaults there; tools/check_oracles.py overrides via
+    OLAKE_ORACLE_SF_DIR when checking other scales.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from olake_spark.operators.similarity import _hyperplanes, _ivf_centroids
+
+    sf_dir = os.environ.get("OLAKE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if (sf_dir,) in _ANN_CAND_CACHE:
+        return _ANN_CAND_CACHE[(sf_dir,)]
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    M = np.asarray(t.column("embedding").to_pylist()).astype(np.float32)
+    dim = M.shape[1]
+
+    def _norm(X):
+        return X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-9)
+
+    out: dict = {}
+    # --- lsh_topk(n_planes=12, seed=7, probe_hamming=2), corpus vec_id != 0
+    H = _hyperplanes(dim, 12, 7)
+    corpus = ids != 0
+    bits = (M[corpus] @ H) > 0
+    bkt = np.zeros(int(corpus.sum()), dtype=np.int64)
+    for j in range(12):
+        bkt |= bits[:, j].astype(np.int64) << j
+    q = M[ids == 0][0]
+    qbits = (q @ H) > 0
+    qb = int(sum(int(b) << j for j, b in enumerate(qbits)))
+    probes = {qb}
+    probes |= {qb ^ (1 << j) for j in range(12)}
+    probes |= {
+        qb ^ (1 << j) ^ (1 << j2) for j in range(12) for j2 in range(j + 1, 12)
+    }
+    out["lsh"] = sorted(ids[corpus][np.isin(bkt, sorted(probes))].tolist())
+
+    # --- ivf_topk / ann_index_topk (n_cells=16, seed=7, n_probe=6),
+    # corpus vec_id != 0 — identical codebook + probes for both paths
+    Mc = M[corpus]
+    C = _ivf_centroids(dim, 16, 7, _norm(Mc[:2048].copy()))
+    assign = np.argmax(_norm(Mc) @ C.T, axis=1)
+    qn = q / (np.linalg.norm(q) + 1e-9)
+    ivf_probes = np.argsort(-(C @ qn))[:6]
+    out["ivf"] = sorted(ids[corpus][np.isin(assign, ivf_probes)].tolist())
+
+    # --- ann_batch_topk: corpus vec_id >= 10, queries vec_id < 10,
+    # per-query probe cells from the batch UDF (n_probe=6)
+    bmask = ids >= 10
+    Mb = M[bmask]
+    sample_b = _norm(Mb[:2048].copy())
+    Cb = _ivf_centroids(dim, 16, 7, sample_b)
+    assign_b = np.argmax(_norm(Mb) @ Cb.T, axis=1)
+    qmask = ids < 10
+    Mq = _norm(M[qmask].copy())
+    order = np.argsort(-(Mq @ Cb.T), axis=1)[:, :6]
+    pairs = []
+    for qi, qid in enumerate(ids[qmask]):
+        cand = ids[bmask][np.isin(assign_b, order[qi])]
+        pairs.extend((int(qid), int(v)) for v in cand)
+    out["batch"] = sorted(pairs)
+    _ANN_CAND_CACHE[(sf_dir,)] = out
+    return out
+
+
+def _ann_rerank_sql(cand_ids: list) -> str:
+    ids = ", ".join(str(i) for i in cand_ids)
+    return f"""
+        WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_cosine_similarity(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
+                 AS cosine
+        FROM embeddings, q WHERE vec_id IN ({ids})
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+
+def _ann_batch_rerank_sql(pairs: list[tuple[int, int]]) -> str:
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    return f"""
+        WITH cand(qid, vid) AS (VALUES {vals}),
+        q AS (SELECT vec_id AS qid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id >= 10)
+        SELECT qid, vec_id, cosine, rank FROM (
+          SELECT q.qid AS qid, c.vec_id AS vec_id,
+                 round(list_cosine_similarity(c.cv, q.qv), 6) AS cosine,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(c.cv, q.qv), 6) DESC,
+                            c.vec_id ASC
+                 ) AS rank
+          FROM cand
+          JOIN q ON q.qid = cand.qid
+          JOIN c ON c.vec_id = cand.vid
+        ) WHERE rank <= 5
+    """
+
+
 def _media_metadata(spark, sf_dir):
     from olake_spark.operators.multimodal import attach_fake_payload, media_metadata
 
@@ -628,7 +750,18 @@ _ES = "['el','la','los','y','es','un','una','en','por','que']"
 
 
 def oracle_sql() -> dict[str, str]:
+    # ANN oracles: candidate probing replicated driver-side (same numpy
+    # ops/seeds as the query path — _ann_oracle_candidates), exact-cosine
+    # rerank over the literal candidate set expressed in SQL
+    cand = _ann_oracle_candidates()
+    ann = {
+        "ann_lsh_topk": _ann_rerank_sql(cand["lsh"]),
+        "ann_ivf_topk": _ann_rerank_sql(cand["ivf"]),
+        "ann_ivf_index_topk": _ann_rerank_sql(cand["ivf"]),
+        "ann_batch_topk": _ann_batch_rerank_sql(cand["batch"]),
+    }
     return {
+        **ann,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    sum(l_quantity) AS sum_qty,

@@ -42,6 +42,11 @@ def value_hash(rows: list[dict], cols: list[str]) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the ANN oracles embed candidate ids computed from the oracle's
+    # parquet — point them at the sf under test (driver default: sf0.01)
+    import os
+
+    os.environ["OLAKE_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("check-oracles", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
