@@ -93,6 +93,26 @@ def _split_bounds(spark, sf_dir):
     return ntile_bounds(_t(spark, sf_dir, "orders"), "o_orderkey", 8)
 
 
+def _split_density_chunks(spark, sf_dir):
+    # S3: ObjectID-timestamp density chunk planner (reference
+    # timestampStrategy, drivers/mongodb/internal/backfill.go:179-209) —
+    # chunk width derived from the time span (10 s per 6 h of span),
+    # rows assigned to their planned chunk, per-chunk row counts
+    from olake_spark.plans.split import time_density_chunks
+
+    ev = _t(spark, sf_dir, "events")
+    chunks = time_density_chunks(ev, "ts")
+    first, width = chunks[0].min, chunks[0].max - chunks[0].min
+    idx = F.floor(
+        (F.unix_timestamp("ts") - F.lit(first)) / F.lit(width)
+    ).cast("bigint")
+    return (
+        ev.select(idx.alias("chunk_idx"))
+        .groupBy("chunk_idx")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _planning_stats(spark, sf_dir):
     # S8: planning scalars count/min/max per group
     li = _t(spark, sf_dir, "lineitem")
@@ -699,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "range_scan": _range_scan,
         "split_bounds": _split_bounds,
+        "split_density_chunks": _split_density_chunks,
         "planning_stats": _planning_stats,
         "key_hash": _key_hash,
         "flatten_props": _flatten_props,
@@ -785,6 +806,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
                    count(*) AS cnt
             FROM b GROUP BY bucket
+        """,
+        "split_density_chunks": """
+            WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+            b AS (SELECT min(es) AS lo, max(es) AS hi FROM e),
+            w AS (SELECT lo,
+                         CAST(greatest(1, floor(((hi - lo) / 3600.0) / 6.0))
+                              AS BIGINT) * 10 AS width
+                  FROM b)
+            SELECT CAST(floor((es - lo) / width) AS BIGINT) AS chunk_idx,
+                   count(*) AS n
+            FROM e, w GROUP BY 1
         """,
         "planning_stats": """
             SELECT l_returnflag, count(*) AS cnt,

@@ -74,6 +74,39 @@ def ntile_bounds(df: DataFrame, col: str, num_chunks: int) -> DataFrame:
     )
 
 
+def time_density_chunks(df: DataFrame, ts_col: str) -> list[Chunk]:
+    """S3 — the reference's ObjectID-timestamp density strategy
+    (timestampStrategy, /root/reference/drivers/mongodb/internal/
+    backfill.go:179-209): fetch the time extremes, derive the chunk
+    WIDTH from the total span — every 6 h of span adds 10 s of width
+    (width = max(1, span_hours/6) * 10 s, so chunk count saturates at
+    ~2160 however large the collection grows) — then stride [first,
+    last] by that width. The reference converts each boundary to a
+    minimal ObjectID; here chunks stay native timestamps (epoch seconds,
+    the same granularity an ObjectID encodes), with the last chunk
+    closed just past the max like generateMinObjectID(last + 1 s).
+
+    One extremes aggregation plans the whole scan — no data pass.
+    Boundaries are epoch SECONDS (unix_timestamp — the granularity an
+    ObjectID encodes), so chunk assignment is a pure integer floor and
+    invariant to timezone interpretation of naive timestamps."""
+    e = F.unix_timestamp(F.col(ts_col))
+    row = df.agg(F.min(e).alias("lo"), F.max(e).alias("hi")).first()
+    if row.lo is None:
+        return []
+    first = int(row.lo)
+    last = int(row.hi)
+    span_hours = (last - first) / 3600.0
+    width = int(max(1.0, span_hours / 6.0)) * 10  # seconds
+    chunks = []
+    start = first
+    while start <= last:
+        end = start + width
+        chunks.append(Chunk(start, end if end <= last else last + 1))
+        start = end
+    return chunks
+
+
 def chunked_read(df: DataFrame, col: str, chunk: Chunk) -> DataFrame:
     """S4 — one chunk's range scan (WHERE k BETWEEN lo AND hi, the query
     shape of /root/reference/pkg/jdbc/jdbc.go:41-52). With parquet the
