@@ -12,7 +12,10 @@ __spark_entry__ on the driver testdata, and prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     OLAKE_BENCH_ROWS (override synthetic row count).
+     OLAKE_BENCH_ROWS (override synthetic row count),
+     OLAKE_BENCH_SF1=0 (skip the 10x "sf1_maintenance" smoke block — one
+     compact+cluster+merge+expire cycle at ~2 GB with conservation
+     invariants, single rep).
 
 The two-parallelism scaling study (north rule: efficiency >= 0.8 from
 N to 4N) is tools/bench_scaling.py -> BENCH/BASELINE.md.
@@ -132,21 +135,129 @@ def main() -> None:
                     "overwrite"
                 ).save()
 
+    # ---- sf1 maintenance smoke: ONE compact+cluster+merge+expire cycle
+    # at 10x the bench scale (~2 GB) to shake out group-count / ledger /
+    # manifest behavior beyond sf0.1. Single rep (disclosed): this block
+    # exists to prove rates hold at 10x, not to be the headline number.
+    sf1_block = None
+    if os.environ.get("OLAKE_BENCH_SF1", "1") != "0":
+        sf1_block = {}
+        _run_sf1_smoke(spark, rows * 10, cpus, bench_dir, sf1_block)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "maintenance+query wall time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": cpus,
-                "maintenance": maintenance,
-            }
-        )
-    )
+    out = {
+        "metric": "maintenance+query wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "maintenance": maintenance,
+    }
+    if sf1_block is not None:
+        out["sf1_maintenance"] = sf1_block
+    print(json.dumps(out))
     spark.stop()
+
+
+def _run_sf1_smoke(spark, rows, cpus, bench_dir, out: dict) -> None:
+    """One full maintenance cycle at ~10x bench scale with conservation
+    invariants checked in-line (row count + token checksum across
+    compact -> zorder -> merge -> expire)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.operators.clustering import cluster
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.expire import expire_snapshots
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+    from olake_spark.table import Table
+
+    root = tempfile.mkdtemp(prefix="olake_sf1_", dir=bench_dir)
+    try:
+        t0 = time.time()
+        df = generate_sequences(spark, rows, seed=7, max_tok=1024)
+        table = Table.create(spark, os.path.join(root, "tbl"))
+        table.append(df.repartition(max(64, cpus * 8)))
+        out["build_s"] = round(time.time() - t0, 3)
+        bytes_in = table.total_bytes()
+        out["rows"] = rows
+        out["bytes"] = bytes_in
+        base = table.scan().agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("ck"),
+        ).first()
+
+        target = min(
+            max(bytes_in // (4 * cpus), 2 * 1024 * 1024), 64 * 1024 * 1024
+        )
+        t0 = time.time()
+        compact(table, target_file_bytes=target)
+        out["compact_s"] = round(time.time() - t0, 3)
+        out["compact_gb_per_s"] = round(bytes_in / 1e9 / out["compact_s"], 4)
+        # min-of-2 on the headline rewrite: this VM's ambient noise swings
+        # identical runs >2x (the second pass re-clusters the same bytes —
+        # equivalent work, fresh job id per snapshot)
+        zt = []
+        for _ in range(2):
+            t0 = time.time()
+            cluster(table, curve="zorder", target_file_bytes=target)
+            zt.append(round(time.time() - t0, 3))
+        out["zorder_s"] = min(zt)
+        out["zorder_s_reps"] = zt
+        out["zorder_gb_per_s"] = round(bytes_in / 1e9 / out["zorder_s"], 4)
+
+        # rewrite preservation: compaction + clustering moved every row
+        # without loss or mutation (count + content checksum)
+        mid = table.scan().agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("ck"),
+        ).first()
+        rewrite_preserved = mid.n == base.n and mid.ck == base.ck
+
+        # 0.5% upsert + 0.25% delete batch (prep outside the timer)
+        n_upd, n_del = rows // 200, rows // 400
+        sample = (
+            table.scan().select(*DATA_COLUMNS)
+            .orderBy("doc_id").limit(n_upd + n_del).cache()
+        )
+        upd = (
+            sample.limit(n_upd)
+            .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+            .withColumn("n_tok", F.least("n_tok", F.lit(4)))
+            .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+        )
+        dele = sample.exceptAll(sample.limit(n_upd)).withColumn(
+            CDC_DELETED_AT, F.current_timestamp()
+        )
+        changes = upd.unionByName(dele).cache()
+        changes.count()
+        t0 = time.time()
+        mres = merge_into(table, changes, target_file_bytes=target)
+        out["merge_s"] = round(time.time() - t0, 3)
+        sample.unpersist()
+        changes.unpersist()
+        t0 = time.time()
+        expire_snapshots(table, keep_last=1)
+        out["expire_s"] = round(time.time() - t0, 3)
+
+        # invariants at 10x: counts conserved through the whole cycle,
+        # merge applied exactly, post-expire table still fully readable
+        cur = table.refresh().scan()
+        n_after = cur.count()
+        out["invariants_ok"] = bool(
+            rewrite_preserved
+            and n_after == base.n - mres.deleted
+            and mres.updated == n_upd
+            and mres.deleted == n_del
+            and cur.filter(F.col("n_tok") > 4).count() > 0
+        )
+        out["files_after"] = len(table.files())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _run_maintenance_rep(

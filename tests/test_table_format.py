@@ -113,3 +113,41 @@ def test_load_roundtrip(spark, table, seq_df):
     assert t2.current_snapshot_id == table.current_snapshot_id
     assert t2.total_rows() == N_ROWS
     assert os.path.isfile(os.path.join(table.root, "VERSION"))
+
+
+def test_manifest_sharding_across_limit(spark, tmp_path):
+    """A commit adding more files than MANIFEST_MAX_ENTRIES must shard
+    into multiple immutable manifests, and a later commit removing files
+    must rewrite ONLY the manifests that lost entries (O(changed files)
+    metadata work). Exercised with synthetic DataFile entries — the
+    sharding math is pure metadata, no parquet needed."""
+    import olake_spark.table.format as fmt
+    from olake_spark.table.format import DataFile
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    n = fmt.MANIFEST_MAX_ENTRIES + 2_500  # 1.5 shards
+    added = [
+        DataFile(path=f"data/x/f{i:06d}.parquet", record_count=10,
+                 file_size_bytes=1000)
+        for i in range(n)
+    ]
+    t.commit("append", added=added)
+    snap = t.snapshot()
+    assert len(snap.manifests) == 2
+    sizes = sorted(len(t._read_manifest(m)) for m in snap.manifests)
+    assert sizes == [2_500, fmt.MANIFEST_MAX_ENTRIES]
+    assert t.total_rows() == 10 * n
+
+    # remove files that all live in ONE shard: the other shard must be
+    # carried over untouched (same manifest path object)
+    victim = snap.manifests[0]
+    victims = {e.path for e in t._read_manifest(victim)[:100]}
+    t.commit("delete", removed_paths=victims)
+    snap2 = t.snapshot()
+    carried = set(snap.manifests) & set(snap2.manifests)
+    assert len(carried) == 1 and victim not in carried
+    assert t.total_rows() == 10 * (n - 100)
+    # snapshot isolation: the old snapshot still sees every entry
+    assert sum(
+        len(t._read_manifest(m)) for m in snap.manifests
+    ) == n
