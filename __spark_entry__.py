@@ -525,6 +525,36 @@ def _ann_batch_topk(spark, sf_dir):
     return out
 
 
+def _near_dup_edges(spark, sf_dir):
+    from olake_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    # same config as minhash_lsh_verified: exact-Jaccard-verified pairs,
+    # banding recall 1.0 on this corpus (asserted in tests) — so a
+    # quadratic DuckDB pair oracle reproduces the edge set exactly
+    return d, minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=32, bands=8, shingle_k=2,
+        jaccard_threshold=0.7, verify=True,
+    )
+
+
+def _near_dup_clusters(spark, sf_dir):
+    # connected components over verified near-dup pairs: every doc gets
+    # its cluster representative (min id); singletons rep themselves
+    from olake_spark.operators.dedup import near_dup_clusters
+
+    d, pairs = _near_dup_edges(spark, sf_dir)
+    return near_dup_clusters(d, pairs)
+
+
+def _doc_near_dedup(spark, sf_dir):
+    # keep-one-per-cluster near-duplicate dedup (min-id keeper)
+    from olake_spark.operators.dedup import dedup_near_duplicates
+
+    d, pairs = _near_dup_edges(spark, sf_dir)
+    return dedup_near_duplicates(d, pairs).select("doc_id")
+
+
 # ------------------------------------------------------- ANN oracle support
 _ANN_CAND_CACHE: dict[tuple, dict] = {}
 
@@ -747,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _ngram_jaccard,
         "minhash_lsh": _minhash_lsh,
         "minhash_lsh_verified": _minhash_lsh_verified,
+        "near_dup_clusters": _near_dup_clusters,
+        "doc_near_dedup": _doc_near_dedup,
         "simhash_near_dup": _simhash_near_dup,
         "embedding_topk": _embedding_topk,
         "embedding_near_dup": _embedding_near_dup,
@@ -1066,6 +1098,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
                   / greatest(len(l.s) + len(r.s)
                              - len(list_intersect(l.s, r.s)), 1) >= 0.7
+        """,
+        "near_dup_clusters": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text,' '))),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1])) AS s
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 2
+            ),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+              WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                    / greatest(len(l.s) + len(r.s)
+                               - len(list_intersect(l.s, r.s)), 1) >= 0.7
+            ),
+            e AS (SELECT a AS u, b AS v FROM p
+                  UNION ALL SELECT b, a FROM p),
+            walk(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, w.lbl FROM e JOIN walk w ON w.id = e.v
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_rep
+            FROM walk GROUP BY id
+        """,
+        "doc_near_dedup": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text,' '))),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1])) AS s
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 2
+            ),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+              WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                    / greatest(len(l.s) + len(r.s)
+                               - len(list_intersect(l.s, r.s)), 1) >= 0.7
+            ),
+            e AS (SELECT a AS u, b AS v FROM p
+                  UNION ALL SELECT b, a FROM p),
+            walk(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, w.lbl FROM e JOIN walk w ON w.id = e.v
+            )
+            SELECT id AS doc_id FROM walk GROUP BY id HAVING min(lbl) = id
         """,
         "media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

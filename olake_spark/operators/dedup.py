@@ -333,6 +333,98 @@ def simhash_near_dup_pairs(
     )
 
 
+# ------------------------------------------------------------ dedup clusters
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph — the step
+    that turns pairwise candidates (minhash_lsh_pairs / ngram_jaccard /
+    simhash) into keep-one-per-cluster dedup decisions.
+
+    Iterative min-label propagation with pointer doubling: every doc
+    starts labeled with its own id; each round a doc adopts the minimum
+    label among itself and its neighbors, then compresses one hop
+    through the label table (label := label(label)) — the doubling step
+    makes convergence O(log diameter) rounds instead of O(diameter)
+    (the standard Hash-to-Min-style shortcut, Rastogi et al. 2012).
+    Each round is two uniform equi-joins + one min-agg — all shuffled
+    on the doc id, no skew, no driver-side graph. Labels persist per
+    round (and the previous round unpersists) so the plan does not grow
+    exponentially with iterations.
+
+    Returns (id_col, cluster_rep) for EVERY doc; singletons are their
+    own rep. The canonical keeper of a cluster is its min id.
+    """
+    labels = docs.select(F.col(id_col).alias("_id")).withColumn(
+        "_lbl", F.col("_id")
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = labels.persist()
+    labels.count()
+    try:
+        for _ in range(max_iter):
+            msgs = edges.join(
+                labels.select(F.col("_id").alias("_v"), "_lbl"), "_v"
+            ).select(F.col("_u").alias("_id"), "_lbl")
+            stepped = (
+                labels.select("_id", "_lbl")
+                .unionByName(msgs)
+                .groupBy("_id")
+                .agg(F.min("_lbl").alias("_lbl"))
+            )
+            # pointer doubling: follow the label one extra hop
+            hop = stepped.select(
+                F.col("_id").alias("_lbl"), F.col("_lbl").alias("_hop")
+            )
+            new_labels = (
+                stepped.join(hop, "_lbl", "left")
+                .select(
+                    "_id",
+                    F.least(
+                        F.col("_lbl"), F.coalesce("_hop", "_lbl")
+                    ).alias("_lbl"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("_lbl", "_old"), "_id"
+                )
+                .filter(F.col("_lbl") != F.col("_old"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("_id").alias(id_col), F.col("_lbl").alias("cluster_rep")
+        )
+    finally:
+        edges.unpersist()
+
+
+def dedup_near_duplicates(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one document per near-duplicate cluster (the min-id
+    representative); singletons survive untouched. ``pairs`` is any
+    (id_a, id_b) candidate output (verified or thresholded upstream)."""
+    clusters = near_dup_clusters(docs, pairs, id_col)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_rep")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
 # -------------------------------------------------------------- exact jaccard
 _REQUIRED = object()  # sentinel: caller must choose blocking explicitly
 

@@ -365,3 +365,57 @@ def test_ngram_jaccard_guards_against_quadratic_misuse(spark):
     assert ngram_jaccard_pairs(
         docs, block_col=None, threshold=0.9, max_block=None
     ).count() >= 0
+
+
+def test_near_dup_clusters_match_union_find(spark):
+    """Connected components by min-label propagation vs a python
+    union-find oracle on a random graph (chains force >1 propagation
+    round), plus keep-one-per-cluster dedup semantics."""
+    from olake_spark.operators.dedup import (
+        dedup_near_duplicates,
+        near_dup_clusters,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 200
+    ids = [f"n{i:03d}" for i in range(n)]
+    # a long chain (diameter ~30), some random edges, many singletons
+    edges = [(ids[i], ids[i + 1]) for i in range(30)]
+    edges += [
+        tuple(sorted((ids[int(a)], ids[int(b)])))
+        for a, b in rng.integers(40, 120, size=(25, 2))
+        if a != b
+    ]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+
+    # python union-find oracle
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in ids}
+    # canonicalize: rep = min member of each component
+    comp: dict = {}
+    for i, r in want.items():
+        comp.setdefault(r, []).append(i)
+    want = {i: min(members) for r, members in comp.items() for i in members}
+
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == want
+
+    kept = {r.doc_id for r in dedup_near_duplicates(docs, pairs).collect()}
+    assert kept == {rep for rep in want.values()}
+    # one keeper per component + all singletons
+    assert len(kept) == len(set(want.values()))
