@@ -155,6 +155,7 @@ def _render_as_string(v, batch_type):
 @settings(
     max_examples=6,
     deadline=None,
+    derandomize=True,  # deterministic examples: CI-stable, still diverse
     suppress_health_check=list(HealthCheck),
 )
 @given(batches=st.lists(_batch_st, min_size=2, max_size=3))
