@@ -357,6 +357,12 @@ def near_dup_clusters(
 
     Returns (id_col, cluster_rep) for EVERY doc; singletons are their
     own rep. The canonical keeper of a cluster is its min id.
+
+    Notes: ``pairs`` must reference ids present in ``docs`` (foreign ids
+    would surface as extra rows). The edge set and the final label table
+    stay persisted — the iterative lineage is not cheaply re-executable,
+    so callers running many clusterings in one long session should
+    materialize the result and ``spark.catalog.clearCache()``.
     """
     labels = docs.select(F.col(id_col).alias("_id")).withColumn(
         "_lbl", F.col("_id")

@@ -419,3 +419,34 @@ def test_near_dup_clusters_match_union_find(spark):
     assert kept == {rep for rep in want.values()}
     # one keeper per component + all singletons
     assert len(kept) == len(set(want.values()))
+
+
+def test_cluster_loop_materializes_edges_once(spark, tmp_path):
+    """The label-propagation loop must read the PERSISTED edge set each
+    round — if the persist is ever dropped, every round re-evaluates the
+    full candidate-pair pipeline (at scale: the whole MinHash job per
+    round). Traced with a side-effect UDF counting evaluated rows."""
+    import pandas as pd
+
+    from olake_spark.operators.dedup import near_dup_clusters
+
+    marker = str(tmp_path / "evals")
+
+    @F.pandas_udf("string")
+    def traced(s: pd.Series) -> pd.Series:
+        with open(marker, "a") as f:
+            f.write(f"{len(s)}\n")
+        return s
+
+    ids = [f"d{i:03d}" for i in range(50)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    base = [(ids[i], ids[i + 1]) for i in range(0, 40, 2)]
+    pairs = spark.createDataFrame(base, "id_a string, id_b string").withColumn(
+        "id_a", traced("id_a")
+    )
+    out = near_dup_clusters(docs, pairs).collect()
+    assert len(out) == 50
+    # the union of (a,b)+(b,a) evaluates the pairs subtree twice during
+    # the ONE edge materialization; the loop's rounds must add nothing
+    rows_traced = sum(int(x) for x in open(marker))
+    assert rows_traced <= 2 * len(base), rows_traced
