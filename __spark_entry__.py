@@ -199,6 +199,33 @@ def _multi_format_dates(spark, sf_dir):
     )
 
 
+def _objectid_canon(spark, sf_dir):
+    # T6: Mongo ObjectID unwrap (handleObjectID analog) + embedded
+    # creation-time extraction, pure Catalyst. Three deterministic input
+    # shapes routed by an md5 digit: the wrapped wire form, bare
+    # uppercase hex, and garbage (tombstoned to NULL).
+    from olake_spark.functions.reformat import objectid_canon, objectid_timestamp
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    hex24 = F.substring(h, 1, 24)
+    route = F.substring(h, 25, 1)
+    raw = (
+        F.when(
+            route.rlike("^[0-4]$"),
+            F.concat(F.lit('ObjectID("'), hex24, F.lit('")')),
+        )
+        .when(route.rlike("^[5-9]$"), F.upper(hex24))
+        .otherwise(F.concat(F.lit("oid:"), hex24))
+    )
+    oid = objectid_canon(raw)
+    return d.select(
+        "doc_id",
+        oid.alias("oid"),
+        objectid_timestamp(oid).alias("oid_unix"),
+    )
+
+
 def _dedup_latest_event(spark, sf_dir):
     # window dedup: latest event per user (reader-side olake_id dedup shape)
     ev = _t(spark, sf_dir, "events")
@@ -755,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten_props": _flatten_props,
         "date_granularity": _date_granularity,
         "multi_format_dates": _multi_format_dates,
+        "objectid_canon": _objectid_canon,
         "partition_regex_routing": _partition_regex_routing,
         "dedup_latest_event": _dedup_latest_event,
         "top_k_per_group": _top_k_per_group,
@@ -882,6 +910,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_iso,
                    CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_us
             FROM orders
+        """,
+        "objectid_canon": r"""
+            WITH b AS (
+              SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+            ), r AS (
+              SELECT doc_id,
+                CASE
+                  WHEN substr(h, 25, 1) BETWEEN '0' AND '4'
+                    THEN concat('ObjectID("', substr(h, 1, 24), '")')
+                  WHEN substr(h, 25, 1) BETWEEN '5' AND '9'
+                    THEN upper(substr(h, 1, 24))
+                  ELSE concat('oid:', substr(h, 1, 24))
+                END AS raw
+              FROM b
+            ), c AS (
+              SELECT doc_id,
+                CASE
+                  WHEN regexp_matches(raw, '^ObjectID\("([0-9a-fA-F]{24})"\)$')
+                    THEN lower(regexp_extract(
+                           raw, '^ObjectID\("([0-9a-fA-F]{24})"\)$', 1))
+                  WHEN regexp_matches(raw, '^[0-9a-fA-F]{24}$') THEN lower(raw)
+                  ELSE NULL
+                END AS oid
+              FROM r
+            )
+            SELECT doc_id, oid,
+                   TRY_CAST(('0x' || substr(oid, 1, 8)) AS BIGINT) AS oid_unix
+            FROM c
         """,
         "partition_regex_routing": """
             SELECT '/' || event_type || '/'

@@ -192,6 +192,42 @@ def coerce_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+# -------------------------------------------------------------- T6 ObjectID
+# Mongo ObjectIDs arrive from the wire as the driver's string form
+# `ObjectID("65f1...3b")`; the reference unwraps the primary id in place
+# (handleObjectID, /root/reference/drivers/mongodb/internal/backfill.go:332-335,
+# prefix/suffix constants /root/reference/constants/constants.go:6).
+_OID_WRAPPED_RE = r'^ObjectID\("([0-9a-fA-F]{24})"\)$'
+_OID_BARE_RE = r"^[0-9a-fA-F]{24}$"
+
+
+def objectid_canon(col: Column) -> Column:
+    """Canonicalize an ObjectID-ish string to the bare lowercase 24-hex id.
+
+    Accepts the wrapped wire form and already-bare hex; anything else
+    becomes NULL (the reference type-asserts and would panic on non-OID
+    input — a typed table tombstones instead). Pure Catalyst: regexp +
+    lower, no UDF."""
+    inner = F.regexp_extract(col, _OID_WRAPPED_RE, 1)
+    return (
+        F.when(inner != "", F.lower(inner))
+        .when(col.rlike(_OID_BARE_RE), F.lower(col))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def objectid_timestamp(col: Column) -> Column:
+    """Embedded creation time of a canonical 24-hex ObjectID as unix
+    seconds (the id's first 4 bytes, per the public BSON spec — the same
+    field the reference's density chunk planner keys on,
+    /root/reference/drivers/mongodb/internal/backfill.go:179-209).
+    NULL-safe on NULL/garbage input."""
+    return F.when(
+        col.rlike(_OID_BARE_RE),
+        F.conv(F.substring(col, 1, 8), 16, 10).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
+
+
 # ----------------------------------------------------------------- T7 cursor
 def max_cursor(df: DataFrame, cursor_col: str, group_cols: list[str]) -> DataFrame:
     """Cursor advancement under max-on-type semantics

@@ -142,3 +142,36 @@ def test_flatten_struct_and_canon(spark):
 def test_canonicalize_columns(spark):
     df = spark.createDataFrame([(1, 2)], "`Col One` int, ok int")
     assert canonicalize_columns(df).columns == ["col_one", "ok"]
+
+
+def test_objectid_canon_and_timestamp(spark):
+    # T6: handleObjectID analog (reference
+    # drivers/mongodb/internal/backfill.go:332-335) — unwrap, normalize
+    # case, tombstone garbage; embedded creation time = first 4 id bytes.
+    from olake_spark.functions.reformat import (
+        objectid_canon,
+        objectid_timestamp,
+    )
+
+    hexid = "65f1a2b3c4d5e6f708192a3b"
+    rows = [
+        (f'ObjectID("{hexid}")',),          # wrapped wire form
+        (hexid.upper(),),                    # bare, uppercase
+        (hexid,),                            # bare, already canonical
+        ('ObjectID("xyz")',),                # wrapped but not 24-hex
+        ("not-an-oid",),                     # garbage
+        (None,),                             # NULL-safe
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    out = df.select(
+        objectid_canon(F.col("raw")).alias("oid"),
+    ).collect()
+    assert [r.oid for r in out] == [hexid, hexid, hexid, None, None, None]
+
+    ts = (
+        spark.createDataFrame([(hexid,), (None,)], "oid string")
+        .select(objectid_timestamp(F.col("oid")).alias("u"))
+        .collect()
+    )
+    assert ts[0].u == int(hexid[:8], 16)
+    assert ts[1].u is None
