@@ -226,6 +226,121 @@ def _objectid_canon(spark, sf_dir):
     )
 
 
+def _snapshot_changelog(spark, sf_dir):
+    # Row-level changelog between two snapshots (Iceberg changelog /
+    # Delta CDF shape): build a small table from documents, compact
+    # (must produce NO changes), apply a deterministic MERGE batch, and
+    # recover the exact insert/update/delete set from the manifest diff
+    # + one full-outer join. The oracle replays the same change routing
+    # in pure SQL.
+    import shutil
+    import tempfile
+
+    from olake_spark.operators.changelog import CHANGE_TYPE, snapshot_changes
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import (
+        CDC_DELETED_AT,
+        OLAKE_ID,
+        with_system_columns,
+    )
+    from olake_spark.table import Table
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(10)).alias("_m"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"olake_changelog_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    base = with_system_columns(d.filter(F.col("_m") < 8).drop("_m"))
+    t = Table.create(
+        spark,
+        root,
+        schema=base.schema,
+        stats_columns=["doc_id", "source", OLAKE_ID],
+    )
+    t.append(base.repartition(8))
+    s1 = t.current_snapshot_id
+    compact(t, target_file_bytes=1 << 20)
+    updates = (
+        d.filter(F.col("_m").isin(0, 1))
+        .drop("_m")
+        .withColumn("lang", F.lit("xx"))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    deletes = (
+        d.filter(F.col("_m").isin(2, 3))
+        .drop("_m")
+        .withColumn(CDC_DELETED_AT, F.current_timestamp())
+    )
+    inserts = (
+        d.filter(F.col("_m") >= 8)
+        .drop("_m")
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    merge_into(t.refresh(), updates.unionByName(deletes).unionByName(inserts))
+    return snapshot_changes(t.refresh(), s1).select(
+        "doc_id",
+        F.col(CHANGE_TYPE).alias("change_type"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _dataset_split(spark, sf_dir):
+    # deterministic train/val/test assignment by key hash (holdout
+    # stability: growing the table never moves existing docs). Weights
+    # 2/1/1 make the cumulative thresholds exact binary fractions, so
+    # the oracle's 0.5/0.75 literals are bit-identical.
+    from olake_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    out = hash_split(d, {"train": 2, "val": 1, "test": 1}, seed=1)
+    return out.groupBy("split").agg(F.count("*").alias("cnt"))
+
+
+def _mixture_sample(spark, sf_dir):
+    # source-weighted mixture: per-stratum Bernoulli-by-hash
+    from olake_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    return stratified_sample(d, {"src0": 0.5, "src1": 0.25}, seed=0)
+
+
+def _token_budget_select(spark, sf_dir):
+    # fill a per-source token budget in seeded-shuffle order (documents
+    # weighted by n_chars here; n_tok on the sequences table)
+    from olake_spark.operators.sampling import token_budget_select
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "n_chars"
+    )
+    return token_budget_select(d, 4096, weight_col="n_chars", seed=2)
+
+
+def _decontaminate(spark, sf_dir):
+    # n-gram decontamination: drop training docs sharing any 3-gram with
+    # the (deterministically chosen) benchmark slice
+    from olake_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(50))
+    bench = d.filter(m == 0)
+    train = d.filter(m != 0)
+    return decontaminate(train, bench, shingle_k=3).select("doc_id")
+
+
 def _dedup_latest_event(spark, sf_dir):
     # window dedup: latest event per user (reader-side olake_id dedup shape)
     ev = _t(spark, sf_dir, "events")
@@ -783,6 +898,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_granularity": _date_granularity,
         "multi_format_dates": _multi_format_dates,
         "objectid_canon": _objectid_canon,
+        "snapshot_changelog": _snapshot_changelog,
+        "dataset_split": _dataset_split,
+        "mixture_sample": _mixture_sample,
+        "token_budget_select": _token_budget_select,
+        "decontaminate": _decontaminate,
         "partition_regex_routing": _partition_regex_routing,
         "dedup_latest_event": _dedup_latest_event,
         "top_k_per_group": _top_k_per_group,
@@ -938,6 +1058,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, oid,
                    TRY_CAST(('0x' || substr(oid, 1, 8)) AS BIGINT) AS oid_unix
             FROM c
+        """,
+        "snapshot_changelog": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, doc_id % 10 AS m,
+                     lang, source, n_chars
+              FROM documents
+            )
+            SELECT id AS doc_id, 'insert' AS change_type, lang, source,
+                   n_chars
+            FROM d WHERE m >= 8
+            UNION ALL
+            SELECT id, 'update', 'xx', source, n_chars + 1000
+            FROM d WHERE m IN (0, 1)
+            UNION ALL
+            SELECT id, 'delete', lang, source, n_chars
+            FROM d WHERE m IN (2, 3)
+        """,
+        "decontaminate": """
+            WITH sp AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+              FROM sp WHERE len(w) >= 3
+            ), bench AS (
+              SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0
+            ), cont AS (
+              SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (g)
+              WHERE sh.doc_id % 50 <> 0
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM cont)
+        """,
+        "dataset_split": """
+            WITH u AS (
+              SELECT CAST(('0x' || substr(
+                       md5('1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) / 4294967296.0 AS u
+              FROM documents
+            )
+            SELECT CASE WHEN u < 0.5 THEN 'train'
+                        WHEN u < 0.75 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS cnt
+            FROM u GROUP BY 1
+        """,
+        "mixture_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+            FROM documents
+            WHERE CAST(('0x' || substr(
+                    md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0
+                  < CASE source WHEN 'src0' THEN 0.5
+                                WHEN 'src1' THEN 0.25
+                                ELSE 0.0 END
+        """,
+        "token_budget_select": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, source, n_chars,
+                     CAST(('0x' || substr(
+                       md5('2|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) / 4294967296.0 AS u
+              FROM documents
+            ), c AS (
+              SELECT id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY u, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM d
+            )
+            SELECT id AS doc_id, source, n_chars FROM c WHERE cum <= 4096
         """,
         "partition_regex_routing": """
             SELECT '/' || event_type || '/'

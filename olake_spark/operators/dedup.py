@@ -59,6 +59,42 @@ def word_shingles(text_col: str, k: int = 3) -> F.Column:
     return F.array_distinct(sh)
 
 
+# ------------------------------------------------------- decontamination
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop every training document sharing ANY k-word shingle with the
+    benchmark/eval set (n-gram decontamination, the public-practice
+    guard against test-set leakage into training corpora).
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB corpus,
+    so its distinct shingles are hashed to int64 (xxhash64 — 8 bytes a
+    shingle instead of the string) and broadcast; the corpus side is a
+    flatMap explode feeding a broadcast semi-join — no shuffle until the
+    final distinct on contaminated ids (small). Set
+    ``broadcast_benchmark=False`` for a benchmark too large to ship
+    (falls back to a hash-partitioned semi-join).
+    """
+    bsh = benchmark.select(
+        F.explode(word_shingles(text_col, shingle_k)).alias("_sh")
+    ).select(F.xxhash64("_sh").alias("_h")).distinct()
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    dsh = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_k)).alias("_sh"),
+    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+    contaminated = (
+        dsh.join(bsh, "_h", "left_semi").select(id_col).distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------ minhash
 def minhash_signatures(
     docs: DataFrame,
@@ -367,11 +403,25 @@ def near_dup_clusters(
     labels = docs.select(F.col(id_col).alias("_id")).withColumn(
         "_lbl", F.col("_id")
     )
+    # both edge directions from ONE pass over pairs: a union of two
+    # selects would evaluate the (potentially expensive — at scale, the
+    # whole MinHash candidate pipeline) pairs subtree twice, and Spark
+    # 4.1 AQE does not ReuseExchange across union branches even when
+    # canonically identical
     edges = (
-        pairs.select(F.col("id_a").alias("_u"), F.col("id_b").alias("_v"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("_u"), F.col("id_a").alias("_v"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("_u"), F.col("id_b").alias("_v")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("_u"), F.col("id_a").alias("_v")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e._u", "_e._v")
         .distinct()
         .persist()
     )

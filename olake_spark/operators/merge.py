@@ -18,9 +18,10 @@ Physical plan, designed for 100 TB:
    manifest ranges vs keys above that (the analog of Iceberg's manifest
    filtering);
 2. *touched-file discovery* — one scan of candidates joined (broadcast
-   when small) with the change keys on ``_olake_id`` over
+   when small) with the flagged change keys on ``_olake_id`` over
    ``input_file_name()`` finds files that actually contain a matched
-   key; untouched candidates carry over to the new snapshot unchanged;
+   key AND yields the matched/deleted row counts in the same job;
+   untouched candidates carry over to the new snapshot unchanged;
 3. *rewrite* — touched rows anti-joined against matched keys, unioned
    with upserted change rows, written doc_id-clustered.
 
@@ -36,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olake_spark.functions.partitioning import exact_range_partition
 from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
 from olake_spark.schema import (
     CDC_DELETED_AT,
@@ -53,6 +55,16 @@ from olake_spark.table.format import Table
 # strategy from runtime stats.
 BROADCAST_KEY_BYTES = 72
 BROADCAST_MAX_BYTES = 32 << 20  # ~466k keys
+
+# boundary-sample bounds for the output range partitioning (mirrors
+# operators/clustering._sample_boundaries): enough keys for stable
+# per-bin quantiles, bounded driver memory at any batch/file size
+_SAMPLE_MAX = 100_000
+_SAMPLE_FILES = 8
+# sorts below every printable character, so concat(source, SEP, doc_id)
+# lexicographic order == (source, doc_id) tuple order even when one
+# source value is a prefix of another
+_KEY_SEP = "\t"
 
 
 def _keys_for_join(keys: DataFrame, n_keys: int) -> DataFrame:
@@ -157,6 +169,54 @@ def _candidate_paths_distributed(
     return {r.path for r in hits} | no_stats
 
 
+def _output_boundaries(
+    table: Table, touched, ch: DataFrame, n_changes: int, n_bins: int
+) -> list[str] | None:
+    """(source, doc_id) range boundaries for the rewrite output, sampled
+    driver-side so the output exchange never re-evaluates its child (the
+    repartitionByRange sampling pass would scan the touched files and run
+    the anti-join TWICE). Touched-file keys come from a column-pruned
+    pyarrow read of a few evenly-spaced files; an insert-only batch
+    samples the (cached) change batch instead. Returns None when no
+    usable sample exists — caller falls back to repartitionByRange."""
+    if n_bins <= 1:
+        return []
+    import pandas as pd
+
+    picks = list(touched)
+    if len(picks) > _SAMPLE_FILES:
+        step = len(picks) / _SAMPLE_FILES
+        picks = [picks[int(i * step)] for i in range(_SAMPLE_FILES)]
+    pdf = None
+    if picks:
+        try:
+            import pyarrow.parquet as pq
+
+            frames = [
+                pq.read_table(
+                    table.abs_path(f.path), columns=["source", "doc_id"]
+                ).to_pandas()
+                for f in picks
+            ]
+            pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+        except Exception:  # noqa: BLE001 — non-local fs / old schema
+            pdf = None
+    if pdf is None:
+        frac = min(1.0, _SAMPLE_MAX / max(n_changes, 1))
+        sample = ch.sample(False, frac, seed=42) if frac < 1.0 else ch
+        pdf = sample.select("source", "doc_id").toPandas()
+    if len(pdf) > _SAMPLE_MAX:
+        pdf = pdf.sample(n=_SAMPLE_MAX, random_state=42)
+    if pdf.empty:
+        return None
+    keys = sorted(
+        pdf["source"].astype(str) + _KEY_SEP + pdf["doc_id"].astype(str)
+    )
+    return sorted(
+        {keys[min(len(keys) - 1, (i * len(keys)) // n_bins)] for i in range(1, n_bins)}
+    )
+
+
 def merge_into(
     table: Table,
     changes: DataFrame,
@@ -165,6 +225,16 @@ def merge_into(
     exact_prune_max_keys: int = 100_000,
 ) -> MergeResult:
     """Apply a CDC-shaped change batch to the table, copy-on-write."""
+    import time
+
+    phase_t: dict[str, float] = {}
+    t0 = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal t0
+        phase_t[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+
     table.refresh()
     snap = table.snapshot()
     schema = table.schema()
@@ -177,6 +247,7 @@ def merge_into(
     ).first()
     n_changes = stats.n or 0
     n_deletes_total = stats.n_del or 0
+    _mark("prepare_s")
     if n_changes == 0:
         return MergeResult(snapshot_id=None)
 
@@ -209,45 +280,48 @@ def merge_into(
     else:
         candidates = list(files)
 
+    _mark("prune_s")
     keys = ch.select(OLAKE_ID)
     keys_b = _keys_for_join(keys, n_changes)
 
-    # --- 2. which candidates actually contain a matched key?
+    # --- 2. which candidates actually contain a matched key — and how
+    # many rows match, split by delete flag? ONE job over the candidate
+    # scan answers both (it used to be a semi-join discovery pass plus a
+    # second matched-stats scan of the touched files): inner-join the
+    # pruned olake_id column with the flagged change keys, aggregate per
+    # file. With duplicate target keys the counts are affected *target
+    # rows* (standard MERGE semantics); on the unique-key tables this
+    # engine maintains, that equals the matched change-key count.
     touched_paths: set[str] = set()
+    n_matched = n_deletes_matched = 0
     if candidates:
         cand_df = table.scan(snapshot_id=snap.snapshot_id, files=candidates)
-        touched_rows = (
+        flags = ch.select(
+            OLAKE_ID,
+            F.col(CDC_DELETED_AT).isNotNull().cast("int").alias("_isdel"),
+        )
+        per_file = (
             cand_df.select(OLAKE_ID, F.input_file_name().alias("_file"))
-            .join(keys_b, OLAKE_ID, "left_semi")
-            .select("_file")
-            .distinct()
+            .join(_keys_for_join(flags, n_changes), OLAKE_ID)
+            .groupBy("_file")
+            .agg(F.count("*").alias("_n"), F.sum("_isdel").alias("_nd"))
             .collect()
         )
         abs_to_rel = {table.abs_path(f.path): f.path for f in candidates}
-        for r in touched_rows:
+        for r in per_file:
             p = r._file.removeprefix("file://")
             touched_paths.add(abs_to_rel.get(p, p))
+            n_matched += r._n
+            n_deletes_matched += r._nd or 0
+    _mark("discover_s")
     touched = [f for f in candidates if f.path in touched_paths]
+    # single downstream consumer (the rewrite's anti-join) — stream from
+    # parquet, don't persist
     touched_scan = (
-        table.scan(snapshot_id=snap.snapshot_id, files=touched).persist()
+        table.scan(snapshot_id=snap.snapshot_id, files=touched)
         if touched
         else None
     )
-
-    # matched key count -> split updates vs inserts
-    if touched:
-        existing_keys = touched_scan.select(OLAKE_ID)
-        mstats = (
-            ch.join(existing_keys, OLAKE_ID, "left_semi")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.col(CDC_DELETED_AT).isNotNull().cast("int")).alias("n_del"),
-            )
-            .first()
-        )
-        n_matched, n_deletes_matched = mstats.n or 0, mstats.n_del or 0
-    else:
-        n_matched = n_deletes_matched = 0
     n_updates = n_matched - n_deletes_matched
     n_inserts = (n_changes - n_deletes_total) - n_updates
 
@@ -277,10 +351,31 @@ def merge_into(
         or 1
     )
     n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
-    out_df = result.repartitionByRange(
-        n_bins, F.col("source"), F.col("doc_id")
-    ).sortWithinPartitions("source", "doc_id")
+    str_keys = all(
+        schema[c].dataType.simpleString() == "string"
+        for c in ("source", "doc_id")
+        if c in schema.names
+    ) and {"source", "doc_id"} <= set(out_cols)
+    bnds = (
+        _output_boundaries(table, touched, ch, n_changes, n_bins)
+        if str_keys
+        else None
+    )
+    if bnds is not None:
+        out_df = exact_range_partition(
+            result,
+            F.concat_ws(_KEY_SEP, F.col("source"), F.col("doc_id")),
+            bnds,
+            ["source", "doc_id"],
+        )
+    else:
+        # non-string keys or no usable driver-side sample: accept the
+        # sampling pass's double evaluation
+        out_df = result.repartitionByRange(
+            n_bins, F.col("source"), F.col("doc_id")
+        ).sortWithinPartitions("source", "doc_id")
     outputs = table.write_data_files(out_df)
+    _mark("write_s")
     new_snap = table.commit(
         "overwrite",
         added=outputs,
@@ -293,8 +388,7 @@ def merge_into(
         },
     )
     ch.unpersist()
-    if touched_scan is not None:
-        touched_scan.unpersist()
+    _mark("commit_s")
     return MergeResult(
         snapshot_id=new_snap,
         candidate_files=len(candidates),
@@ -302,4 +396,5 @@ def merge_into(
         inserted=n_inserts,
         updated=n_updates,
         deleted=n_deletes_matched,
+        details={"phase_seconds": phase_t},
     )

@@ -1,0 +1,108 @@
+"""Snapshot changelog scan: row-level insert/update/delete recovery
+between copy-on-write snapshots (read-side inverse of the reference's
+CDC record production, data_types.go:26-31)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.datagen import generate_sequences
+from olake_spark.operators.changelog import CHANGE_TYPE, snapshot_changes
+from olake_spark.operators.compaction import compact
+from olake_spark.operators.expire import expire_snapshots
+from olake_spark.operators.merge import merge_into
+from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+from olake_spark.table import Table
+
+N = 800
+
+
+@pytest.fixture(scope="module")
+def changelog_table(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("chlog")
+    df = generate_sequences(spark, N, seed=5, max_tok=48)
+    t = Table.create(spark, str(root / "tbl"))
+    t.append(df.repartition(12))
+    return t, df
+
+
+def _apply_merge(spark, t, df):
+    sample = df.orderBy("doc_id").limit(30).collect()
+    upd = [r.doc_id for r in sample[:12]]
+    dele = [r.doc_id for r in sample[12:20]]
+    updates = (
+        df.filter(F.col("doc_id").isin(upd))
+        .select(*DATA_COLUMNS)
+        .withColumn("tokens", F.expr("slice(tokens, 1, 3)"))
+        .withColumn("n_tok", F.least("n_tok", F.lit(3)))
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    deletes = (
+        df.filter(F.col("doc_id").isin(dele))
+        .select(*DATA_COLUMNS)
+        .withColumn(CDC_DELETED_AT, F.current_timestamp())
+    )
+    inserts = spark.createDataFrame(
+        [("zz-chg-01", [9, 9], 2, "web"), ("zz-chg-02", [8], 1, "books")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    ).withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    merge_into(t, updates.unionByName(deletes).unionByName(inserts))
+    return set(upd), set(dele), {"zz-chg-01", "zz-chg-02"}
+
+
+def test_compaction_produces_no_changes(spark, changelog_table):
+    t, _ = changelog_table
+    s1 = t.refresh().current_snapshot_id
+    compact(t, target_file_bytes=1 << 20)
+    s2 = t.refresh().current_snapshot_id
+    assert s2 != s1
+    # every file rewritten, yet zero row-level changes detected
+    assert snapshot_changes(t, s1, s2).count() == 0
+
+
+def test_merge_changes_classified_exactly(spark, changelog_table):
+    t, df = changelog_table
+    s2 = t.refresh().current_snapshot_id
+    upd, dele, ins = _apply_merge(spark, t, df)
+    s3 = t.refresh().current_snapshot_id
+
+    ch = snapshot_changes(t, s2, s3).cache()
+    got = {
+        r.doc_id: r[CHANGE_TYPE]
+        for r in ch.select("doc_id", CHANGE_TYPE).collect()
+    }
+    assert {k for k, v in got.items() if v == "insert"} == ins
+    assert {k for k, v in got.items() if v == "update"} == upd
+    assert {k for k, v in got.items() if v == "delete"} == dele
+    # updates carry the NEW row, deletes the last OLD row
+    upd_rows = ch.filter(F.col(CHANGE_TYPE) == "update").collect()
+    assert all(r.n_tok <= 3 for r in upd_rows)
+    del_rows = ch.filter(F.col(CHANGE_TYPE) == "delete").collect()
+    assert all(r.n_tok >= 1 and r.tokens for r in del_rows)
+    ch.unpersist()
+
+    # cumulative diff across the intermediate compaction snapshot
+    # collapses to the same net change set
+    s1 = t.snapshots()[0].snapshot_id
+    net = {
+        r.doc_id: r[CHANGE_TYPE]
+        for r in snapshot_changes(t, s1, s3)
+        .select("doc_id", CHANGE_TYPE)
+        .collect()
+    }
+    assert net == got
+
+
+def test_expired_snapshot_raises(spark, changelog_table):
+    t, _ = changelog_table
+    s_old = t.snapshots()[0].snapshot_id
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(KeyError):
+        snapshot_changes(t.refresh(), s_old)
+
+
+def test_same_snapshot_empty_and_schema(spark, changelog_table):
+    t, _ = changelog_table
+    cur = t.refresh().current_snapshot_id
+    out = snapshot_changes(t, cur, cur)
+    assert out.count() == 0
+    assert out.columns[-1] == CHANGE_TYPE

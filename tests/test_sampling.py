@@ -1,0 +1,121 @@
+"""Deterministic sampling / splitting / mixing (training-data curation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.datagen import generate_sequences
+from olake_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+    token_budget_select,
+    uniform_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = generate_sequences(spark, 4000, seed=11, max_tok=64).cache()
+    df.count()
+    return df
+
+
+def test_uniform_hash_range_and_determinism(spark, docs):
+    u = docs.select(uniform_hash(F.col("doc_id"), seed=3).alias("u"))
+    mm = u.agg(F.min("u"), F.max("u"), F.avg("u")).first()
+    assert 0.0 <= mm[0] and mm[1] < 1.0
+    assert 0.4 < mm[2] < 0.6  # roughly uniform over 4000 draws
+    # same seed -> identical; different seed -> different draws
+    a = deterministic_sample(docs, 0.3, seed=7).select("doc_id")
+    b = deterministic_sample(docs, 0.3, seed=7).select("doc_id")
+    c = deterministic_sample(docs, 0.3, seed=8).select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.exceptAll(c).count() > 0
+    assert abs(a.count() / 4000 - 0.3) < 0.05
+
+
+def test_hash_split_partition_and_stability(spark, docs):
+    out = hash_split(docs, {"train": 8, "val": 1, "test": 1}, seed=1)
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 4000 == pytest.approx(0.8, abs=0.05)
+    # holdout stability: the assignment of existing docs is unchanged
+    # when the table grows
+    sub = hash_split(docs.limit(1000), {"train": 8, "val": 1, "test": 1}, seed=1)
+    j = sub.select("doc_id", F.col("split").alias("s2")).join(
+        out.select("doc_id", "split"), "doc_id"
+    )
+    assert j.filter(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_stratified_sample_rates(spark, docs):
+    rates = {"web": 0.5, "books": 0.1}
+    out = stratified_sample(docs, rates, default_rate=0.0)
+    got = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    base = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert set(got) <= set(rates)  # unlisted sources dropped entirely
+    for s, r in rates.items():
+        assert got.get(s, 0) / base[s] == pytest.approx(r, abs=0.07)
+
+
+def test_token_budget_select(spark, docs):
+    budget = 20_000
+    out = token_budget_select(docs, budget).cache()
+    sums = {
+        r.source: r.tok
+        for r in out.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    total = {
+        r.source: r.tok
+        for r in docs.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    # every source lands under budget; sources with more material than
+    # the budget fill it to within one document (max_tok=64 slack),
+    # exhausted sources keep everything
+    for s, tok in sums.items():
+        assert tok <= budget
+        if total[s] > budget:
+            assert tok > budget - 200
+        else:
+            assert tok == total[s]
+    # deterministic: rerun selects the identical set
+    again = token_budget_select(docs, budget)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    # per-source dict budgets override
+    capped = token_budget_select(docs, {"web": 5000})
+    got = {
+        r.source: r.tok
+        for r in capped.groupBy("source").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    assert set(got) == {"web"} and got["web"] <= 5000
+    out.unpersist()
+
+
+def test_decontaminate_removes_ngram_overlap(spark):
+    from olake_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            ("t1", "the quick brown fox jumps"),      # shares 3-gram with b1
+            ("t2", "completely different training text here"),
+            ("t3", "short"),                          # no shingles -> safe
+            ("t4", "quick brown fox somewhere else"), # shares via b1 too
+        ],
+        "doc_id string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "a quick brown fox appears")], "doc_id string, text string"
+    )
+    kept = {
+        r.doc_id
+        for r in decontaminate(docs, bench, shingle_k=3).select("doc_id").collect()
+    }
+    assert kept == {"t2", "t3"}
+    # non-broadcast path agrees
+    kept2 = {
+        r.doc_id
+        for r in decontaminate(
+            docs, bench, shingle_k=3, broadcast_benchmark=False
+        ).select("doc_id").collect()
+    }
+    assert kept2 == kept

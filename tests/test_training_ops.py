@@ -446,7 +446,7 @@ def test_cluster_loop_materializes_edges_once(spark, tmp_path):
     )
     out = near_dup_clusters(docs, pairs).collect()
     assert len(out) == 50
-    # the union of (a,b)+(b,a) evaluates the pairs subtree twice during
-    # the ONE edge materialization; the loop's rounds must add nothing
+    # both edge directions explode from ONE evaluation of the pairs
+    # subtree, and the loop's rounds must add nothing
     rows_traced = sum(int(x) for x in open(marker))
-    assert rows_traced <= 2 * len(base), rows_traced
+    assert rows_traced <= len(base), rows_traced
