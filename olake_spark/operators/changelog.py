@@ -113,3 +113,38 @@ def snapshot_changes(
     return diff.select(
         *[row.getField(c).alias(c) for c in out_cols], CHANGE_TYPE
     )
+
+
+def changes_since(
+    table: Table,
+    cursor_snapshot_id: int | None,
+    key_col: str = OLAKE_ID,
+) -> tuple[DataFrame, int | None]:
+    """Resumable CDC-out: ``(changes, new_cursor)`` from the cursor
+    snapshot (exclusive) to the table's current snapshot.
+
+    A ``None`` cursor bootstraps: the full current snapshot streams out
+    as inserts (the reference's snapshot-then-tail shape, read
+    direction). Persist ``new_cursor`` only AFTER downstream processing
+    succeeds — ack-after-commit, mirroring the CDC-in ledger — and pass
+    it back next call; a crashed consumer simply replays the same diff
+    (net changes are idempotent to re-apply). Expiry must keep the
+    cursor snapshot alive (``expire_snapshots(keep_last=...)`` sized to
+    the consumer lag), else this raises ``KeyError`` and the consumer
+    re-bootstraps."""
+    table.refresh()
+    cur = table.current_snapshot_id
+    if cur is None:
+        schema = table.schema()
+        return (
+            table.spark.createDataFrame([], schema).withColumn(
+                CHANGE_TYPE, F.lit("insert")
+            ),
+            None,
+        )
+    if cursor_snapshot_id is None:
+        return (
+            table.scan().withColumn(CHANGE_TYPE, F.lit("insert")),
+            cur,
+        )
+    return snapshot_changes(table, cursor_snapshot_id, cur, key_col), cur

@@ -170,15 +170,23 @@ def _candidate_paths_distributed(
 
 
 def _output_boundaries(
-    table: Table, touched, ch: DataFrame, n_changes: int, n_bins: int
+    table: Table,
+    touched,
+    ch: DataFrame,
+    n_changes: int,
+    n_bins: int,
+    sample_changes: bool = False,
 ) -> list[str] | None:
     """(source, doc_id) range boundaries for the rewrite output, sampled
     driver-side so the output exchange never re-evaluates its child (the
     repartitionByRange sampling pass would scan the touched files and run
     the anti-join TWICE). Touched-file keys come from a column-pruned
-    pyarrow read of a few evenly-spaced files; an insert-only batch
-    samples the (cached) change batch instead. Returns None when no
-    usable sample exists — caller falls back to repartitionByRange."""
+    pyarrow read of a few evenly-spaced files; when the batch's inserts
+    are a material fraction of the output (or there are no touched files
+    at all), a bounded sample of the (cached) change batch joins the
+    pool so insert keys outside the touched ranges still get bins.
+    Returns None when no usable sample exists — caller falls back to
+    repartitionByRange."""
     if n_bins <= 1:
         return []
     import pandas as pd
@@ -187,7 +195,7 @@ def _output_boundaries(
     if len(picks) > _SAMPLE_FILES:
         step = len(picks) / _SAMPLE_FILES
         picks = [picks[int(i * step)] for i in range(_SAMPLE_FILES)]
-    pdf = None
+    frames = []
     if picks:
         try:
             import pyarrow.parquet as pq
@@ -198,13 +206,13 @@ def _output_boundaries(
                 ).to_pandas()
                 for f in picks
             ]
-            pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
         except Exception:  # noqa: BLE001 — non-local fs / old schema
-            pdf = None
-    if pdf is None:
+            frames = []
+    if not frames or sample_changes:
         frac = min(1.0, _SAMPLE_MAX / max(n_changes, 1))
         sample = ch.sample(False, frac, seed=42) if frac < 1.0 else ch
-        pdf = sample.select("source", "doc_id").toPandas()
+        frames.append(sample.select("source", "doc_id").toPandas())
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
     if len(pdf) > _SAMPLE_MAX:
         pdf = pdf.sample(n=_SAMPLE_MAX, random_state=42)
     if pdf.empty:
@@ -356,8 +364,12 @@ def merge_into(
         for c in ("source", "doc_id")
         if c in schema.names
     ) and {"source", "doc_id"} <= set(out_cols)
+    insert_heavy = int(n_inserts * avg_row_bytes) > bytes_est // 4
     bnds = (
-        _output_boundaries(table, touched, ch, n_changes, n_bins)
+        _output_boundaries(
+            table, touched, ch, n_changes, n_bins,
+            sample_changes=insert_heavy,
+        )
         if str_keys
         else None
     )

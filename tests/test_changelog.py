@@ -106,3 +106,41 @@ def test_same_snapshot_empty_and_schema(spark, changelog_table):
     out = snapshot_changes(t, cur, cur)
     assert out.count() == 0
     assert out.columns[-1] == CHANGE_TYPE
+
+
+def test_changes_since_cursor_protocol(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "cdc_out"))
+    df = generate_sequences(spark, 300, seed=9, max_tok=32)
+
+    from olake_spark.operators.changelog import changes_since
+
+    # empty table bootstraps to an empty insert stream, cursor stays None
+    out, cur = changes_since(t, None)
+    assert out.count() == 0 and cur is None
+
+    t.append(df.repartition(6))
+    out, cur = changes_since(t, None)
+    assert out.count() == 300
+    assert out.filter(F.col(CHANGE_TYPE) != "insert").count() == 0
+
+    # no new snapshot -> empty diff, cursor unchanged
+    out2, cur2 = changes_since(t, cur)
+    assert out2.count() == 0 and cur2 == cur
+
+    # compaction advances the cursor but emits nothing
+    compact(t, target_file_bytes=1 << 20)
+    out3, cur3 = changes_since(t, cur)
+    assert out3.count() == 0 and cur3 == t.current_snapshot_id
+
+    # a merge shows up as the net diff; replay from the OLD cursor is
+    # identical (crash-before-ack consumer)
+    dele = (
+        df.orderBy("doc_id").limit(5)
+        .select(*DATA_COLUMNS)
+        .withColumn(CDC_DELETED_AT, F.current_timestamp())
+    )
+    merge_into(t, dele)
+    out4, cur4 = changes_since(t, cur3)
+    assert out4.filter(F.col(CHANGE_TYPE) == "delete").count() == 5
+    replay, _ = changes_since(t, cur3)
+    assert replay.exceptAll(out4).count() == 0
