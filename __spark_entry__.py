@@ -253,9 +253,10 @@ def _snapshot_changelog(spark, sf_dir):
         "source",
         "n_chars",
     )
-    root = os.path.join(
-        tempfile.gettempdir(), f"olake_changelog_{abs(hash(sf_dir)) % 10**8}"
-    )
+    import hashlib
+
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"olake_changelog_{digest}")
     shutil.rmtree(root, ignore_errors=True)
     base = with_system_columns(d.filter(F.col("_m") < 8).drop("_m"))
     t = Table.create(

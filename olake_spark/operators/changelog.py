@@ -59,6 +59,13 @@ def snapshot_changes(
     # raises KeyError on expired/unknown snapshots before any scan
     to_snap = table.snapshot(to_sid)
     table.snapshot(from_snapshot_id)
+    # snapshot ids are monotonic (commit assigns parent+1): reject
+    # swapped arguments, which would silently invert insert<->delete
+    if to_sid is not None and from_snapshot_id > to_sid:
+        raise ValueError(
+            f"from_snapshot_id={from_snapshot_id} is newer than "
+            f"to_snapshot_id={to_sid}: swapped arguments?"
+        )
     schema = table.schema(to_snap.schema_id if to_snap else None)
     out_cols = [f.name for f in schema.fields]
     if key_col not in out_cols:
@@ -67,12 +74,10 @@ def snapshot_changes(
     empty = table.spark.createDataFrame([], schema).withColumn(
         CHANGE_TYPE, F.lit("insert")
     )
-    from_paths = {f.path for f in table.files(from_snapshot_id)}
-    to_paths = {f.path for f in table.files(to_sid)}
-    to_by_path = {f.path: f for f in table.files(to_sid)}
     from_by_path = {f.path: f for f in table.files(from_snapshot_id)}
-    added = [f for p, f in to_by_path.items() if p not in from_paths]
-    removed = [f for p, f in from_by_path.items() if p not in to_paths]
+    to_by_path = {f.path: f for f in table.files(to_sid)}
+    added = [f for p, f in to_by_path.items() if p not in from_by_path]
+    removed = [f for p, f in from_by_path.items() if p not in to_by_path]
     if not added and not removed:
         return empty
 

@@ -233,6 +233,21 @@ def merge_into(
     exact_prune_max_keys: int = 100_000,
 ) -> MergeResult:
     """Apply a CDC-shaped change batch to the table, copy-on-write."""
+    ch = _prepare_changes(changes, dedup_order_col).cache()
+    try:
+        return _merge_apply(table, ch, target_file_bytes, exact_prune_max_keys)
+    finally:
+        # unpersist on EVERY exit — the empty-batch early return and any
+        # raise between cache and commit must not leak executor storage
+        ch.unpersist()
+
+
+def _merge_apply(
+    table: Table,
+    ch: DataFrame,
+    target_file_bytes: int,
+    exact_prune_max_keys: int,
+) -> MergeResult:
     import time
 
     phase_t: dict[str, float] = {}
@@ -248,7 +263,6 @@ def merge_into(
     schema = table.schema()
     out_cols = [f.name for f in schema.fields]
 
-    ch = _prepare_changes(changes, dedup_order_col).cache()
     stats = ch.agg(
         F.count("*").alias("n"),
         F.sum(F.col(CDC_DELETED_AT).isNotNull().cast("int")).alias("n_del"),
@@ -323,15 +337,20 @@ def merge_into(
             n_deletes_matched += r._nd or 0
     _mark("discover_s")
     touched = [f for f in candidates if f.path in touched_paths]
-    # single downstream consumer (the rewrite's anti-join) — stream from
-    # parquet, don't persist
+    # on the exact-partition path the rewrite's anti-join is the single
+    # consumer — stream from parquet, no persist (the fallback branch
+    # below persists, because repartitionByRange evaluates twice)
     touched_scan = (
         table.scan(snapshot_id=snap.snapshot_id, files=touched)
         if touched
         else None
     )
+    # with duplicate target keys (possible via raw append(), never via
+    # merge itself) the counts are affected TARGET rows, so n_updates can
+    # exceed the matched change-key count; clamp the derived insert count
+    # at zero rather than report a negative
     n_updates = n_matched - n_deletes_matched
-    n_inserts = (n_changes - n_deletes_total) - n_updates
+    n_inserts = max(0, (n_changes - n_deletes_total) - n_updates)
 
     # --- 3. rewrite touched files + append upserts
     now_ms = F.unix_micros(F.current_timestamp()) / F.lit(1000)
@@ -373,20 +392,32 @@ def merge_into(
         if str_keys
         else None
     )
+    fallback_persisted = None
     if bnds is not None:
+        # NULL keys must bin the same way the pandas boundary sample
+        # rendered them (astype(str) -> 'None'); concat_ws would silently
+        # DROP nulls, putting null-keyed rows in a different key space
+        key = F.concat(
+            F.coalesce(F.col("source").cast("string"), F.lit("None")),
+            F.lit(_KEY_SEP),
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("None")),
+        )
         out_df = exact_range_partition(
-            result,
-            F.concat_ws(_KEY_SEP, F.col("source"), F.col("doc_id")),
-            bnds,
-            ["source", "doc_id"],
+            result, key, bnds, ["source", "doc_id"]
         )
     else:
-        # non-string keys or no usable driver-side sample: accept the
-        # sampling pass's double evaluation
+        # non-string keys or no usable driver-side sample:
+        # repartitionByRange's sampling pass evaluates the child twice —
+        # persist the touched scan so the second pass reads from cache
+        # instead of re-scanning parquet and re-running the anti-join
+        if touched_scan is not None:
+            fallback_persisted = touched_scan.persist()
         out_df = result.repartitionByRange(
             n_bins, F.col("source"), F.col("doc_id")
         ).sortWithinPartitions("source", "doc_id")
     outputs = table.write_data_files(out_df)
+    if fallback_persisted is not None:
+        fallback_persisted.unpersist()
     _mark("write_s")
     new_snap = table.commit(
         "overwrite",
@@ -399,7 +430,6 @@ def merge_into(
             "deleted": n_deletes_matched,
         },
     )
-    ch.unpersist()
     _mark("commit_s")
     return MergeResult(
         snapshot_id=new_snap,

@@ -94,6 +94,7 @@ def token_budget_select(
     strata_col: str = "source",
     key_col: str = "doc_id",
     seed: int = 0,
+    n_buckets: int | None = 1024,
 ) -> DataFrame:
     """Select documents per source, in seeded-shuffle order, until the
     cumulative token budget is reached (running sum INCLUDES the row
@@ -101,24 +102,106 @@ def token_budget_select(
 
     The order is u(key) with key as tie-break — a deterministic shuffle,
     so the selected set is a uniform prefix sample of each source sized
-    by tokens, not rows. One hash exchange on the (uniformly
-    distributed) strata column; per-source skew in row counts is real
-    but the window computes a single running sum — no state blow-up."""
+    by tokens, not rows.
+
+    Scale: a plain per-source running-sum window hash-partitions an
+    ENTIRE source into one task — with a handful of sources at 100 TB
+    that is a terabyte single-task sort. Instead (default): bucketize u
+    into ``n_buckets`` ranges, aggregate per-(source, bucket) token
+    totals (one small shuffle, ~sources x buckets rows to the driver),
+    prefix-sum driver-side to find each source's boundary bucket, then
+    keep every bucket strictly before it outright and run the window
+    ONLY on the boundary bucket (~1/n_buckets of a source per task).
+    The selected set is IDENTICAL to the naive window's — bucket order
+    refines u order — verified by a parity test. ``n_buckets=None``
+    forces the naive single-window path (small inputs / verification).
+    Falls back to it automatically when sources x buckets would flood
+    the driver (high-cardinality strata means small per-source groups,
+    where the single-task window is harmless)."""
     if isinstance(budget, dict):
         b: Column = F.lit(None).cast("long")
         for name, v in budget.items():
             b = F.when(F.col(strata_col) == name, F.lit(int(v))).otherwise(b)
+        budgets = {name: int(v) for name, v in budget.items()}
     else:
         b = F.lit(int(budget))
+        budgets = None
     u = uniform_hash(F.col(key_col), seed)
+    wt = F.col(weight_col).cast("long")
+
+    def _naive() -> DataFrame:
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(u.asc(), F.col(key_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("_cum_tok", F.sum(wt).over(w))
+            .filter(F.col("_cum_tok") <= b)
+            .drop("_cum_tok")
+        )
+
+    if n_buckets is None:
+        return _naive()
+
+    bucket = F.floor(u * F.lit(float(n_buckets))).cast("int")
+    stats = (
+        df.select(F.col(strata_col).alias("_s"), bucket.alias("_bk"), wt.alias("_w"))
+        .groupBy("_s", "_bk")
+        .agg(F.sum("_w").alias("_tok"))
+        .collect()
+    )
+    if not stats:
+        return _naive()  # empty input — exact and trivially cheap
+    if len(stats) > 1_000_000 or len({r._s for r in stats}) > 10_000:
+        return _naive()
+    per_strata: dict = {}
+    for r in stats:
+        per_strata.setdefault(r._s, []).append((r._bk, r._tok))
+    cutoff: dict = {}  # strata -> (boundary bucket, tokens before it)
+    full_until: dict = {}  # strata -> first non-fully-kept bucket
+    for s_val, entries in per_strata.items():
+        limit = budgets.get(s_val) if budgets is not None else int(budget)
+        if limit is None:
+            full_until[s_val] = -1  # unbudgeted stratum: drop everything
+            continue
+        acc = 0
+        boundary = None
+        for bk, tok in sorted(entries):
+            if acc + tok > limit:
+                boundary = bk
+                break
+            acc += tok
+        if boundary is None:
+            full_until[s_val] = n_buckets  # whole stratum fits
+        else:
+            full_until[s_val] = boundary
+            cutoff[s_val] = (boundary, acc)
+
+    s_col = F.col(strata_col)
+    items = [x for s_val, fu in full_until.items() for x in (F.lit(s_val), F.lit(fu))]
+    fu_map = F.create_map(*items) if items else F.create_map()
+    fu_col = F.coalesce(F.element_at(fu_map, s_col), F.lit(-1))
+    out = df.withColumn("_bk", bucket)
+    kept_full = out.filter(F.col("_bk") < fu_col).drop("_bk")
+    if not cutoff:
+        return kept_full
+    citems = []
+    oitems = []
+    for s_val, (bk, acc) in cutoff.items():
+        citems += [F.lit(s_val), F.lit(bk)]
+        oitems += [F.lit(s_val), F.lit(acc)]
+    c_col = F.element_at(F.create_map(*citems), s_col)
+    offset = F.element_at(F.create_map(*oitems), s_col)
+    boundary_rows = out.filter(F.col("_bk") == c_col)
     w = (
         Window.partitionBy(strata_col)
         .orderBy(u.asc(), F.col(key_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(F.col(weight_col).cast("long")).over(w)
-    return (
-        df.withColumn("_cum_tok", cum)
+    kept_boundary = (
+        boundary_rows.withColumn("_cum_tok", F.sum(wt).over(w) + offset)
         .filter(F.col("_cum_tok") <= b)
-        .drop("_cum_tok")
+        .drop("_cum_tok", "_bk")
     )
+    return kept_full.unionByName(kept_boundary)

@@ -119,3 +119,18 @@ def test_decontaminate_removes_ngram_overlap(spark):
         ).select("doc_id").collect()
     }
     assert kept2 == kept
+
+
+def test_token_budget_two_level_parity(spark, docs):
+    # the bucketized scale path must select the IDENTICAL set as the
+    # naive single-window form, for scalar and per-source dict budgets
+    for budget in (20_000, {"web": 5000, "books": 900}):
+        fast = token_budget_select(docs, budget).select("doc_id")
+        naive = token_budget_select(docs, budget, n_buckets=None).select("doc_id")
+        assert fast.exceptAll(naive).count() == 0
+        assert naive.exceptAll(fast).count() == 0
+    # tiny bucket count stresses boundary handling
+    fast8 = token_budget_select(docs, 20_000, n_buckets=8).select("doc_id")
+    naive = token_budget_select(docs, 20_000, n_buckets=None).select("doc_id")
+    assert fast8.exceptAll(naive).count() == 0
+    assert naive.exceptAll(fast8).count() == 0
