@@ -144,3 +144,41 @@ def test_changes_since_cursor_protocol(spark, tmp_path):
     assert out4.filter(F.col(CHANGE_TYPE) == "delete").count() == 5
     replay, _ = changes_since(t, cur3)
     assert replay.exceptAll(out4).count() == 0
+
+
+def test_changelog_tailer_ack_after_process(spark, tmp_path):
+    from olake_spark.streaming.changelog_stream import ChangelogTailer
+
+    t = Table.create(spark, str(tmp_path / "tail"))
+    df = generate_sequences(spark, 200, seed=21, max_tok=24)
+    t.append(df.repartition(4))
+
+    seen = []
+    tailer = ChangelogTailer(t)
+    cur = tailer.run(lambda d, sid: seen.append((sid, d.count())), bounded=True)
+    assert cur == t.current_snapshot_id
+    assert [n for _, n in seen] == [200]  # bootstrap delivers everything
+
+    # compaction-only snapshot: cursor advances, callback NOT invoked
+    compact(t, target_file_bytes=1 << 20)
+    tailer.run(lambda d, sid: seen.append((sid, d.count())), bounded=True)
+    assert len(seen) == 1
+    assert tailer.current_cursor() == t.current_snapshot_id
+
+    # a crashing consumer leaves the cursor unmoved, then replays
+    dele = (
+        df.orderBy("doc_id").limit(3)
+        .select(*DATA_COLUMNS)
+        .withColumn(CDC_DELETED_AT, F.current_timestamp())
+    )
+    merge_into(t, dele)
+    before = tailer.current_cursor()
+
+    def boom(d, sid):
+        raise RuntimeError("consumer died")
+
+    with pytest.raises(RuntimeError):
+        tailer.poll_once(boom)
+    assert tailer.current_cursor() == before
+    tailer.run(lambda d, sid: seen.append((sid, d.count())), bounded=True)
+    assert seen[-1][1] == 3 and tailer.current_cursor() == t.current_snapshot_id
