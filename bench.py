@@ -315,6 +315,7 @@ def _run_maintenance_rep(
         cur = table.scan()
         n_upd = max(rows // 100, 10)
         n_del = max(rows // 200, 5)
+        pre_merge_snap = table.current_snapshot_id
         sample = (
             cur.select(*DATA_COLUMNS).orderBy("doc_id").limit(n_upd + n_del).cache()
         )
@@ -333,6 +334,15 @@ def _run_maintenance_rep(
             merge_into(table, changes, target_file_bytes=target)
         sample.unpersist()
         changes.unpersist()
+
+        # CDC-out: recover the merge's net row-level diff from the
+        # manifest diff + one full-outer join (O(churned files) scan)
+        from olake_spark.operators.changelog import snapshot_changes
+
+        with timed("changelog"):
+            snapshot_changes(table.refresh(), pre_merge_snap).write.format(
+                "noop"
+            ).mode("overwrite").save()
 
         # persisted ANN index: build once, probe via manifest pruning —
         # ann_prune_fraction is the files-skipped evidence (VERDICT #3)

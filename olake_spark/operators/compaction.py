@@ -219,16 +219,29 @@ def compact(
             # read partitions; write is narrow (partition -> one file)
             old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
             old_open = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+            old_minp = spark.conf.get("spark.sql.files.minPartitionNum", None)
             try:
                 spark.conf.set(
                     "spark.sql.files.maxPartitionBytes", str(target_file_bytes)
                 )
                 spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+                # Spark sizes splits as min(maxPartitionBytes,
+                # max(openCost, totalBytes / minPartitionNum)) with
+                # minPartitionNum defaulting to defaultParallelism — a
+                # group smaller than cores x target would be split
+                # per-core and UNDER-packed (8 tiny files in, 8 tiny
+                # files out). Compaction wants ~target-size outputs;
+                # parallelism comes from many concurrent groups.
+                spark.conf.set("spark.sql.files.minPartitionNum", "1")
                 out = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
                 outputs = table.write_data_files(out)
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
                 spark.conf.set("spark.sql.files.openCostInBytes", old_open)
+                if old_minp is None:
+                    spark.conf.unset("spark.sql.files.minPartitionNum")
+                else:
+                    spark.conf.set("spark.sql.files.minPartitionNum", old_minp)
         else:
             n_bins = max(1, math.ceil(gbytes / target_file_bytes))
             df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)

@@ -165,3 +165,41 @@ def test_sync_catalog_validation_rejects_bad_cursor(tmp_path, capsys, spark):
         for m in msgs
     )
     assert not os.path.exists(os.path.join(dest, "events", "VERSION"))
+
+
+def test_maintain_lifecycle(tmp_path, capsys, spark):
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.table import Table
+
+    dest = str(tmp_path / "mt")
+    t = Table.create(spark, dest)
+    t.append(generate_sequences(spark, 500, seed=3, max_tok=32).repartition(10))
+    s1 = t.current_snapshot_id
+
+    for op in ("compact", "zorder"):
+        assert main(["maintain", "--dest", dest, "--op", op,
+                     "--cpus", "8", "--target-bytes", str(1 << 20)]) == 0
+        msgs = _lines(capsys)
+        assert msgs[0]["type"] == "MAINTENANCE" and msgs[0]["op"] == op
+        assert not msgs[0]["skipped"] and msgs[0]["rows"] == 500
+        assert msgs[-1]["total_rows"] == 500
+
+    out = str(tmp_path / "diff")
+    assert main(["maintain", "--dest", dest, "--op", "changelog",
+                 "--from-snapshot", str(s1), "--out", out, "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    # compaction+clustering only: net diff is empty, cursor at current
+    assert msgs[0]["changes"] == {}
+    assert msgs[0]["cursor"] == t.refresh().current_snapshot_id
+    assert spark.read.parquet(out).count() == 0
+
+    assert main(["maintain", "--dest", dest, "--op", "expire",
+                 "--keep-last", "1", "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "expire" and msgs[0]["deleted_data_files"] > 0
+
+    assert main(["maintain", "--dest", dest, "--op", "changelog",
+                 "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    # bootstrap (no cursor): full table as inserts
+    assert msgs[0]["changes"] == {"insert": 500}
