@@ -257,6 +257,19 @@ class Table:
                 return Snapshot.from_dict(d)
         raise KeyError(f"snapshot {sid} not found (expired?)")
 
+    def snapshot_as_of(self, ts_ms: int) -> Snapshot | None:
+        """Time travel: the latest snapshot committed at or before
+        ``ts_ms`` (Iceberg's SYSTEM_TIME AS OF). None when the table had
+        no snapshot yet; raises KeyError only via the caller's scan if
+        the snapshot was expired meanwhile."""
+        best: Snapshot | None = None
+        for d in self.metadata["snapshots"]:
+            if d["timestamp_ms"] <= ts_ms and (
+                best is None or d["timestamp_ms"] > best.timestamp_ms
+            ):
+                best = Snapshot.from_dict(d)
+        return best
+
     def _read_manifest(self, rel: str) -> list[DataFile]:
         if rel not in self._manifest_cache:
             with open(os.path.join(self.root, rel)) as f:

@@ -151,3 +151,31 @@ def test_manifest_sharding_across_limit(spark, tmp_path):
     assert sum(
         len(t._read_manifest(m)) for m in snap.manifests
     ) == n
+
+
+def test_snapshot_as_of_time_travel(spark, tmp_path):
+    import time as _time
+
+    from olake_spark.datagen import generate_sequences
+
+    t = Table.create(spark, str(tmp_path / "tt"))
+    assert t.snapshot_as_of(int(_time.time() * 1000)) is None
+
+    df = generate_sequences(spark, 100, seed=2, max_tok=16)
+    t.append(df.repartition(2))
+    ts_after_append = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    t.append(df.limit(10).repartition(1))
+
+    # before any snapshot -> None
+    first = t.snapshots()[0]
+    assert t.snapshot_as_of(first.timestamp_ms - 1) is None
+    # between the snapshots -> the first one, and its scan sees 100 rows
+    s = t.snapshot_as_of(ts_after_append)
+    assert s.snapshot_id == first.snapshot_id
+    assert t.scan(snapshot_id=s.snapshot_id).count() == 100
+    # far future -> current
+    assert (
+        t.snapshot_as_of(int(_time.time() * 1000) + 10_000).snapshot_id
+        == t.current_snapshot_id
+    )
