@@ -225,6 +225,78 @@ def _output_boundaries(
     )
 
 
+def commit_merge(
+    table: Table,
+    planned_snapshot_id: int | None,
+    touched,
+    outputs,
+    change_ids: list | None,
+    summary_extra: dict,
+) -> int:
+    """Commit a merge rewrite with Iceberg-style conflict validation.
+
+    A raw commit fails on ANY concurrent version bump; most bumps are
+    harmless appends. Each attempt refreshes and revalidates:
+    - a touched file vanishing means a concurrent rewrite of our inputs
+      — NOT retryable, the merge must be recomputed (RuntimeError);
+    - files added since planning are safe only if their doc_id stats
+      cannot contain any change key (serializable-MERGE validation —
+      a concurrent append of a matched key would silently escape the
+      update/delete). ``change_ids`` is the sorted key list from the
+      driver-side prune; when the batch was too large to hold driver-
+      side (None), any concurrent add is conservatively a conflict.
+    """
+    import bisect
+
+    from olake_spark.plans.retry import retry_on_backoff
+    from olake_spark.table.format import CommitConflict
+
+    touched_paths = {f.path: f for f in touched}
+
+    def _overlaps(f) -> bool:
+        st = f.stats.get("doc_id")
+        if change_ids is None or not st or st.get("min") is None:
+            return True
+        i = bisect.bisect_left(change_ids, st["min"])
+        return i < len(change_ids) and change_ids[i] <= st["max"]
+
+    def attempt() -> int:
+        table.refresh()
+        if table.current_snapshot_id != planned_snapshot_id:
+            live = {f.path: f for f in table.files()}
+            missing = set(touched_paths) - set(live)
+            if missing:
+                raise RuntimeError(
+                    "merge inputs were rewritten concurrently; recompute "
+                    f"the merge (missing: {sorted(missing)[:3]}...)"
+                )
+            conflicting = [
+                f.path
+                for p, f in live.items()
+                if p not in touched_paths
+                and f.path not in _planned_paths
+                and _overlaps(f)
+            ]
+            if conflicting:
+                raise RuntimeError(
+                    "files added concurrently may contain matched keys; "
+                    f"recompute the merge ({sorted(conflicting)[:3]}...)"
+                )
+        return table.commit(
+            "overwrite",
+            added=outputs,
+            removed_paths=set(touched_paths),
+            summary_extra=summary_extra,
+        )
+
+    _planned_paths = {
+        f.path for f in table.files(planned_snapshot_id)
+    } if planned_snapshot_id is not None else set()
+    return retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+
+
 def merge_into(
     table: Table,
     changes: DataFrame,
@@ -281,10 +353,12 @@ def _merge_apply(
     # change keys (no global-bounds fallback, which on a hash-distributed
     # doc_id space would select ~every file).
     files = table.files(snap.snapshot_id) if snap else []
-    if files and n_changes <= exact_prune_max_keys:
+    change_ids: list | None = None
+    if n_changes <= exact_prune_max_keys:
         import bisect
 
         ids = sorted(r.doc_id for r in ch.select("doc_id").distinct().collect())
+        change_ids = ids
 
         def _file_hits(f) -> bool:
             st = f.stats.get("doc_id")
@@ -419,11 +493,13 @@ def _merge_apply(
     if fallback_persisted is not None:
         fallback_persisted.unpersist()
     _mark("write_s")
-    new_snap = table.commit(
-        "overwrite",
-        added=outputs,
-        removed_paths={f.path for f in touched},
-        summary_extra={
+    new_snap = commit_merge(
+        table,
+        snap.snapshot_id if snap else None,
+        touched,
+        outputs,
+        change_ids,
+        {
             "kind": "merge",
             "inserted": n_inserts,
             "updated": n_updates,

@@ -146,3 +146,77 @@ def test_commit_retries_past_concurrent_append(spark, tmp_path, monkeypatch):
     assert state["raced"]
     assert res.snapshot_id == t.refresh().current_snapshot_id
     assert t.scan().count() == 850  # compacted 800 + raced-in 50
+
+
+def test_merge_commit_survives_concurrent_nonoverlapping_append(spark, tmp_path):
+    """Serializable-MERGE validation: a concurrent append whose doc_id
+    range cannot contain any change key is NOT a conflict — the merge
+    commit retries and lands; an overlapping append or a rewrite of the
+    merge's inputs forces a recompute."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.merge import commit_merge, merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+    from olake_spark.table import Table
+
+    root = str(tmp_path / "race")
+    t = Table.create(spark, root)
+    df = generate_sequences(spark, 500, seed=6, max_tok=16)
+    t.append(df.repartition(4))
+    compact(t, target_file_bytes=1 << 20)
+    planned = t.current_snapshot_id
+    files = t.files()
+
+    # stage a rewrite the way merge does: rewrite one touched file's rows
+    touched = [files[0]]
+    outputs = t.write_data_files(
+        t.scan(files=touched).repartition(1).sortWithinPartitions("doc_id")
+    )
+    ids = sorted(
+        r.doc_id for r in t.scan(files=touched).select("doc_id").limit(5).collect()
+    )
+
+    # concurrent append with keys far outside the change-id range
+    other = Table.load(spark, root)
+    extra = spark.createDataFrame(
+        [("zzz-outside-1", [1], 1, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    from olake_spark.schema import with_system_columns
+
+    other.append(with_system_columns(extra).repartition(1))
+
+    snap = commit_merge(t, planned, touched, outputs, ids, {"kind": "merge"})
+    assert snap == t.current_snapshot_id
+    # rewrite landed: touched file gone, its rewritten rows + append present
+    assert t.scan().count() == 501
+
+    # overlapping concurrent append -> recompute required
+    planned2 = t.current_snapshot_id
+    touched2 = [f for f in t.files() if f.path != touched[0].path][:1]
+    outputs2 = t.write_data_files(
+        t.scan(files=touched2).repartition(1).sortWithinPartitions("doc_id")
+    )
+    clash = with_system_columns(
+        spark.createDataFrame(
+            [(ids[0], [2], 1, "web")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+    )
+    Table.load(spark, root).append(clash.repartition(1))
+    with pytest.raises(RuntimeError, match="matched keys"):
+        commit_merge(t, planned2, touched2, outputs2, ids, {"kind": "merge"})
+
+    # inputs rewritten concurrently -> recompute required
+    t.refresh()
+    planned3 = t.current_snapshot_id
+    touched3 = t.files()[:1]
+    outputs3 = t.write_data_files(
+        t.scan(files=touched3).repartition(1).sortWithinPartitions("doc_id")
+    )
+    compact(Table.load(spark, root), target_file_bytes=1 << 20)
+    with pytest.raises(RuntimeError, match="rewritten concurrently"):
+        commit_merge(t, planned3, touched3, outputs3, ids, {"kind": "merge"})
