@@ -331,7 +331,8 @@ def _run_maintenance_rep(
         changes = upd.unionByName(dele).cache()
         changes.count()
         with timed("merge"):
-            merge_into(table, changes, target_file_bytes=target)
+            mres = merge_into(table, changes, target_file_bytes=target)
+        maintenance["merge_phases"] = mres.details.get("phase_seconds", {})
         sample.unpersist()
         changes.unpersist()
 

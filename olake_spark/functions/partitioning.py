@@ -91,6 +91,72 @@ def bin_expr(key: Column, boundaries: list) -> Column:
     return _tree(0, len(vals))
 
 
+KEY_SEP = "\t"  # sorts below printable ASCII: concat order == tuple order
+_SAMPLE_MAX = 100_000
+_SAMPLE_FILES = 8
+
+
+def sample_file_boundaries(
+    table, files, cols: list[str], n_bins: int, extra_frames=None
+) -> list[str] | None:
+    """Composite-string range boundaries for ``n_bins`` from a
+    driver-side pyarrow sample of a few evenly-spaced data files'
+    key columns (column-pruned — token arrays untouched). The point:
+    feed ``exact_range_partition`` so the output exchange never pays
+    repartitionByRange's sampling pass, which re-evaluates the child
+    (for a rewrite: a second full scan of the input files).
+
+    ``extra_frames``: additional pandas key frames to pool (e.g. a
+    change-batch sample whose keys lie outside the files' ranges).
+    Returns None when nothing is sampleable — caller falls back."""
+    if n_bins <= 1:
+        return []
+    import pandas as pd
+
+    picks = list(files)
+    if len(picks) > _SAMPLE_FILES:
+        step = len(picks) / _SAMPLE_FILES
+        picks = [picks[int(i * step)] for i in range(_SAMPLE_FILES)]
+    frames = []
+    if picks:
+        try:
+            import pyarrow.parquet as pq
+
+            frames = [
+                pq.read_table(table.abs_path(f.path), columns=cols).to_pandas()
+                for f in picks
+            ]
+        except Exception:  # noqa: BLE001 — non-local fs / old schema
+            frames = []
+    frames += list(extra_frames or [])
+    if not frames:
+        return None
+    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
+    if len(pdf) > _SAMPLE_MAX:
+        pdf = pdf.sample(n=_SAMPLE_MAX, random_state=42)
+    if pdf.empty:
+        return None
+    key = pdf[cols[0]].astype(str)
+    for c in cols[1:]:
+        key = key + KEY_SEP + pdf[c].astype(str)
+    keys = sorted(key)
+    return sorted(
+        {keys[min(len(keys) - 1, (i * len(keys)) // n_bins)] for i in range(1, n_bins)}
+    )
+
+
+def composite_key_expr(cols: list[str]) -> Column:
+    """The runtime key matching ``sample_file_boundaries``' rendering —
+    NULLs become the literal 'None' exactly as pandas ``astype(str)``
+    renders them (concat_ws would silently drop them)."""
+    parts: list[Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(F.lit(KEY_SEP))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("None")))
+    return F.concat(*parts)
+
+
 def exact_range_partition(
     df: DataFrame, key: Column, boundaries: list[int], sort_cols: list[str]
 ) -> DataFrame:

@@ -33,6 +33,11 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import functions as F
 
+from olake_spark.functions.partitioning import (
+    composite_key_expr,
+    exact_range_partition,
+    sample_file_boundaries,
+)
 from olake_spark.plans.ledger import Ledger
 from olake_spark.table.format import DataFile, Table
 
@@ -245,10 +250,35 @@ def compact(
         else:
             n_bins = max(1, math.ceil(gbytes / target_file_bytes))
             df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
-            out = (
-                df.repartitionByRange(n_bins, F.col("source"), F.col("doc_id"))
-                .sortWithinPartitions("source", "doc_id")
+            # boundaries from a driver-side pyarrow key sample so the
+            # range exchange never pays repartitionByRange's sampling
+            # pass — which would SCAN THE GROUP TWICE (2x read I/O on a
+            # rewrite). String keys require the schema check; non-string
+            # key tables fall back to the sampling pass.
+            schema = table.schema(snap.schema_id if snap else None)
+            str_keys = all(
+                schema[c].dataType.simpleString() == "string"
+                for c in ("source", "doc_id")
+                if c in schema.names
+            ) and {"source", "doc_id"} <= set(schema.names)
+            bnds = (
+                sample_file_boundaries(
+                    table, gfiles, ["source", "doc_id"], n_bins
+                )
+                if str_keys
+                else None
             )
+            if bnds is not None:
+                out = exact_range_partition(
+                    df,
+                    composite_key_expr(["source", "doc_id"]),
+                    bnds,
+                    ["source", "doc_id"],
+                )
+            else:
+                out = df.repartitionByRange(
+                    n_bins, F.col("source"), F.col("doc_id")
+                ).sortWithinPartitions("source", "doc_id")
             outputs = table.write_data_files(out)
         ledger.mark_done(
             key,

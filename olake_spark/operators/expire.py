@@ -62,6 +62,7 @@ def expire_snapshots(
     clean_orphans: bool = True,
     orphan_grace_ms: int = 0,
     abandoned_job_ms: int | None = None,
+    protect_snapshot_ids: set[int] | None = None,
 ) -> ExpireResult:
     """Drop expired snapshots and delete unreferenced files.
 
@@ -69,6 +70,11 @@ def expire_snapshots(
     than ``older_than_ms``; the current snapshot is always kept.
     ``orphan_grace_ms`` protects files younger than the grace period
     (an in-flight job's not-yet-committed outputs).
+
+    ``protect_snapshot_ids`` pins snapshots (and everything NEWER — a
+    changelog diff scans files added after the cursor too) regardless of
+    age: pass each changelog consumer's acked cursor so expiry never
+    breaks an in-flight CDC-out tail.
 
     ``abandoned_job_ms``: uncommitted job ledgers protect their outputs
     from orphan GC (the resume contract) — but a job nobody will ever
@@ -84,10 +90,12 @@ def expire_snapshots(
     current_id = table.current_snapshot_id
     keep: list = []
     drop: list = []
+    min_protected = min(protect_snapshot_ids) if protect_snapshot_ids else None
     for i, s in enumerate(snaps):
         is_recent = i >= len(snaps) - keep_last
         is_young = older_than_ms is not None and s.timestamp_ms >= older_than_ms
-        if s.snapshot_id == current_id or is_recent or is_young:
+        is_pinned = min_protected is not None and s.snapshot_id >= min_protected
+        if s.snapshot_id == current_id or is_recent or is_young or is_pinned:
             keep.append(s)
         else:
             drop.append(s)

@@ -37,7 +37,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from olake_spark.functions.partitioning import exact_range_partition
+from olake_spark.functions.partitioning import (
+    _SAMPLE_MAX,
+    bin_expr,
+    composite_key_expr,
+    exact_range_partition,
+    sample_file_boundaries,
+)
 from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
 from olake_spark.schema import (
     CDC_DELETED_AT,
@@ -55,17 +61,6 @@ from olake_spark.table.format import Table
 # strategy from runtime stats.
 BROADCAST_KEY_BYTES = 72
 BROADCAST_MAX_BYTES = 32 << 20  # ~466k keys
-
-# boundary-sample bounds for the output range partitioning (mirrors
-# operators/clustering._sample_boundaries): enough keys for stable
-# per-bin quantiles, bounded driver memory at any batch/file size
-_SAMPLE_MAX = 100_000
-_SAMPLE_FILES = 8
-# sorts below every printable character, so concat(source, SEP, doc_id)
-# lexicographic order == (source, doc_id) tuple order even when one
-# source value is a prefix of another
-_KEY_SEP = "\t"
-
 
 def _keys_for_join(keys: DataFrame, n_keys: int) -> DataFrame:
     if n_keys * BROADCAST_KEY_BYTES <= BROADCAST_MAX_BYTES:
@@ -145,9 +140,11 @@ def _candidate_paths_distributed(
     )
 
     def _bin(col):
-        if not bnds:
-            return F.lit(0)
-        return F.size(F.filter(F.lit(bnds), lambda x: x <= col))
+        # nested-when binary search (bin_expr): the literal-array HOF
+        # filter is interpreted per element — at 1024 boundaries x a
+        # multi-million-key batch that is billions of interpreted
+        # comparisons
+        return bin_expr(col, bnds)
 
     # manifest min/max carry the key column's native type (int for a
     # bigint doc_id) — the bounds schema must match the keys' type, not
@@ -189,39 +186,13 @@ def _output_boundaries(
     repartitionByRange."""
     if n_bins <= 1:
         return []
-    import pandas as pd
-
-    picks = list(touched)
-    if len(picks) > _SAMPLE_FILES:
-        step = len(picks) / _SAMPLE_FILES
-        picks = [picks[int(i * step)] for i in range(_SAMPLE_FILES)]
-    frames = []
-    if picks:
-        try:
-            import pyarrow.parquet as pq
-
-            frames = [
-                pq.read_table(
-                    table.abs_path(f.path), columns=["source", "doc_id"]
-                ).to_pandas()
-                for f in picks
-            ]
-        except Exception:  # noqa: BLE001 — non-local fs / old schema
-            frames = []
-    if not frames or sample_changes:
+    extra = []
+    if not touched or sample_changes:
         frac = min(1.0, _SAMPLE_MAX / max(n_changes, 1))
         sample = ch.sample(False, frac, seed=42) if frac < 1.0 else ch
-        frames.append(sample.select("source", "doc_id").toPandas())
-    pdf = frames[0] if len(frames) == 1 else pd.concat(frames)
-    if len(pdf) > _SAMPLE_MAX:
-        pdf = pdf.sample(n=_SAMPLE_MAX, random_state=42)
-    if pdf.empty:
-        return None
-    keys = sorted(
-        pdf["source"].astype(str) + _KEY_SEP + pdf["doc_id"].astype(str)
-    )
-    return sorted(
-        {keys[min(len(keys) - 1, (i * len(keys)) // n_bins)] for i in range(1, n_bins)}
+        extra.append(sample.select("source", "doc_id").toPandas())
+    return sample_file_boundaries(
+        table, touched, ["source", "doc_id"], n_bins, extra_frames=extra
     )
 
 
@@ -468,16 +439,9 @@ def _merge_apply(
     )
     fallback_persisted = None
     if bnds is not None:
-        # NULL keys must bin the same way the pandas boundary sample
-        # rendered them (astype(str) -> 'None'); concat_ws would silently
-        # DROP nulls, putting null-keyed rows in a different key space
-        key = F.concat(
-            F.coalesce(F.col("source").cast("string"), F.lit("None")),
-            F.lit(_KEY_SEP),
-            F.coalesce(F.col("doc_id").cast("string"), F.lit("None")),
-        )
         out_df = exact_range_partition(
-            result, key, bnds, ["source", "doc_id"]
+            result, composite_key_expr(["source", "doc_id"]), bnds,
+            ["source", "doc_id"],
         )
     else:
         # non-string keys or no usable driver-side sample:

@@ -182,3 +182,29 @@ def test_changelog_tailer_ack_after_process(spark, tmp_path):
     assert tailer.current_cursor() == before
     tailer.run(lambda d, sid: seen.append((sid, d.count())), bounded=True)
     assert seen[-1][1] == 3 and tailer.current_cursor() == t.current_snapshot_id
+
+
+def test_expire_protects_changelog_cursor(spark, tmp_path):
+    from olake_spark.operators.changelog import changes_since
+
+    t = Table.create(spark, str(tmp_path / "protect"))
+    df = generate_sequences(spark, 300, seed=31, max_tok=16)
+    t.append(df.repartition(3))
+    _, cursor = changes_since(t, None)  # consumer acked here
+    # churn several snapshots past keep_last
+    for _ in range(3):
+        compact(t, target_file_bytes=1 << 20)
+        dele = (
+            t.scan().select(*DATA_COLUMNS).orderBy("doc_id").limit(1)
+            .withColumn(CDC_DELETED_AT, F.current_timestamp())
+        )
+        merge_into(t, dele)
+
+    # unprotected expiry would drop the cursor snapshot...
+    res = expire_snapshots(
+        t, keep_last=1, protect_snapshot_ids={cursor}
+    )
+    assert cursor not in res.expired_snapshots
+    # ...and the consumer can still diff from it
+    diff, _ = changes_since(t.refresh(), cursor)
+    assert diff.filter(F.col(CHANGE_TYPE) == "delete").count() == 3
