@@ -482,3 +482,39 @@ def test_merge_broadcast_threshold_is_bytes_based(spark, small_table, seq_df, mo
     cur = t.scan()
     assert cur.count() == N_ROWS
     assert cur.filter(F.col("n_tok") == 1).count() == 25
+
+
+def test_incremental_clustering_rewrites_only_churn(spark, tmp_path):
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.operators.clustering import cluster
+    from olake_spark.table import Table
+
+    t = Table.create(spark, str(tmp_path / "inc"))
+    a = generate_sequences(spark, 1500, seed=41, max_tok=32)
+    t.append(a.repartition(8))
+    cluster(t, curve="zorder", target_file_bytes=256 * 1024)
+    s_sorted = t.current_snapshot_id
+    sorted_paths = {f.path for f in t.files()}
+
+    b = generate_sequences(spark, 500, seed=43, max_tok=32).withColumn(
+        "doc_id", F.concat(F.lit("zz-"), F.col("doc_id"))
+    )
+    t.append(b.repartition(4))
+
+    res = cluster(
+        t, curve="zorder", target_file_bytes=256 * 1024,
+        since_snapshot_id=s_sorted,
+    )
+    assert not res.skipped and res.rows == 500  # only the churn
+    after = {f.path for f in t.refresh().files()}
+    # every previously-sorted file kept its path; B's 4 files are gone
+    assert sorted_paths <= after
+    assert t.scan().count() == 2000
+    assert t.scan().filter(F.col("doc_id").startswith("zz-")).count() == 500
+
+    # nothing new since the incremental pass -> skip, no snapshot
+    res2 = cluster(
+        t, curve="zorder", target_file_bytes=256 * 1024,
+        since_snapshot_id=t.current_snapshot_id,
+    )
+    assert res2.skipped
