@@ -145,6 +145,16 @@ def sample_file_boundaries(
     )
 
 
+def string_key_cols(schema, cols: list[str]) -> bool:
+    """True iff every ``cols`` exists in ``schema`` as a string — the
+    precondition for ``sample_file_boundaries``' lexicographic
+    boundaries (and the matching runtime key) to be valid."""
+    names = set(schema.names)
+    return set(cols) <= names and all(
+        schema[c].dataType.simpleString() == "string" for c in cols
+    )
+
+
 def composite_key_expr(cols: list[str]) -> Column:
     """The runtime key matching ``sample_file_boundaries``' rendering —
     NULLs become the literal 'None' exactly as pandas ``astype(str)``

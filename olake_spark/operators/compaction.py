@@ -37,6 +37,7 @@ from olake_spark.functions.partitioning import (
     composite_key_expr,
     exact_range_partition,
     sample_file_boundaries,
+    string_key_cols,
 )
 from olake_spark.plans.ledger import Ledger
 from olake_spark.table.format import DataFile, Table
@@ -256,11 +257,7 @@ def compact(
             # rewrite). String keys require the schema check; non-string
             # key tables fall back to the sampling pass.
             schema = table.schema(snap.schema_id if snap else None)
-            str_keys = all(
-                schema[c].dataType.simpleString() == "string"
-                for c in ("source", "doc_id")
-                if c in schema.names
-            ) and {"source", "doc_id"} <= set(schema.names)
+            str_keys = string_key_cols(schema, ["source", "doc_id"])
             bnds = (
                 sample_file_boundaries(
                     table, gfiles, ["source", "doc_id"], n_bins

@@ -43,6 +43,7 @@ from olake_spark.functions.partitioning import (
     composite_key_expr,
     exact_range_partition,
     sample_file_boundaries,
+    string_key_cols,
 )
 from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
 from olake_spark.schema import (
@@ -61,6 +62,19 @@ from olake_spark.table.format import Table
 # strategy from runtime stats.
 BROADCAST_KEY_BYTES = 72
 BROADCAST_MAX_BYTES = 32 << 20  # ~466k keys
+
+def stats_overlap(sorted_keys: list, stats: dict | None) -> bool:
+    """May a file whose column stats are ``stats`` ({'min':..,'max':..})
+    contain any of ``sorted_keys``? Conservative True on missing stats.
+    The single bisect predicate shared by candidate pruning and the
+    commit-time conflict validation."""
+    import bisect
+
+    if not stats or stats.get("min") is None or stats.get("max") is None:
+        return True
+    i = bisect.bisect_left(sorted_keys, stats["min"])
+    return i < len(sorted_keys) and sorted_keys[i] <= stats["max"]
+
 
 def _keys_for_join(keys: DataFrame, n_keys: int) -> DataFrame:
     if n_keys * BROADCAST_KEY_BYTES <= BROADCAST_MAX_BYTES:
@@ -186,14 +200,25 @@ def _output_boundaries(
     repartitionByRange."""
     if n_bins <= 1:
         return []
-    extra = []
-    if not touched or sample_changes:
+    def _ch_frame():
         frac = min(1.0, _SAMPLE_MAX / max(n_changes, 1))
         sample = ch.sample(False, frac, seed=42) if frac < 1.0 else ch
-        extra.append(sample.select("source", "doc_id").toPandas())
-    return sample_file_boundaries(
+        return sample.select("source", "doc_id").toPandas()
+
+    extra = [_ch_frame()] if (not touched or sample_changes) else []
+    bnds = sample_file_boundaries(
         table, touched, ["source", "doc_id"], n_bins, extra_frames=extra
     )
+    if bnds is None and not extra:
+        # touched files not driver-readable (non-local fs): the change
+        # batch is still sampleable — its keys mirror the touched-row
+        # key distribution for update-shaped batches, which keeps the
+        # single-shuffle exact path instead of regressing to
+        # repartitionByRange's double evaluation
+        bnds = sample_file_boundaries(
+            table, [], ["source", "doc_id"], n_bins, extra_frames=[_ch_frame()]
+        )
+    return bnds
 
 
 def commit_merge(
@@ -217,19 +242,15 @@ def commit_merge(
       driver-side prune; when the batch was too large to hold driver-
       side (None), any concurrent add is conservatively a conflict.
     """
-    import bisect
-
     from olake_spark.plans.retry import retry_on_backoff
     from olake_spark.table.format import CommitConflict
 
     touched_paths = {f.path: f for f in touched}
 
     def _overlaps(f) -> bool:
-        st = f.stats.get("doc_id")
-        if change_ids is None or not st or st.get("min") is None:
+        if change_ids is None:
             return True
-        i = bisect.bisect_left(change_ids, st["min"])
-        return i < len(change_ids) and change_ids[i] <= st["max"]
+        return stats_overlap(change_ids, f.stats.get("doc_id"))
 
     def attempt() -> int:
         table.refresh()
@@ -326,19 +347,11 @@ def _merge_apply(
     files = table.files(snap.snapshot_id) if snap else []
     change_ids: list | None = None
     if n_changes <= exact_prune_max_keys:
-        import bisect
-
         ids = sorted(r.doc_id for r in ch.select("doc_id").distinct().collect())
         change_ids = ids
-
-        def _file_hits(f) -> bool:
-            st = f.stats.get("doc_id")
-            if not st or st.get("min") is None:
-                return True
-            i = bisect.bisect_left(ids, st["min"])
-            return i < len(ids) and ids[i] <= st["max"]
-
-        candidates = [f for f in files if _file_hits(f)]
+        candidates = [
+            f for f in files if stats_overlap(ids, f.stats.get("doc_id"))
+        ]
     elif files:
         hit_paths = _candidate_paths_distributed(
             table.spark, files, ch.select("doc_id"), n_changes
@@ -423,11 +436,7 @@ def _merge_apply(
         or 1
     )
     n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
-    str_keys = all(
-        schema[c].dataType.simpleString() == "string"
-        for c in ("source", "doc_id")
-        if c in schema.names
-    ) and {"source", "doc_id"} <= set(out_cols)
+    str_keys = string_key_cols(schema, ["source", "doc_id"])
     insert_heavy = int(n_inserts * avg_row_bytes) > bytes_est // 4
     bnds = (
         _output_boundaries(

@@ -50,23 +50,62 @@ class ChangelogTailer:
             {"snapshot_id": snapshot_id, "ts_ms": int(time.time() * 1000)},
         )
 
+    def _rows_changed_since(self, cursor: int) -> bool:
+        """Metadata-only pre-check: could any snapshot after the cursor
+        carry row-level changes? Pure rewrites commit as 'replace' /
+        'expire' with zero added rows beyond what they removed — their
+        polls must not pay the changelog's full-outer join just to learn
+        the diff is empty. Only trustworthy while the cursor snapshot
+        itself is retained (expiry keeps a SUFFIX of the snapshot log,
+        so cursor present => every newer snapshot's operation is
+        visible); an expired cursor conservatively reports True and the
+        diff path raises into the re-bootstrap."""
+        snaps = self.table.snapshots()
+        if not any(s.snapshot_id == cursor for s in snaps):
+            return True
+        return any(
+            s.snapshot_id > cursor
+            and s.operation not in ("replace", "expire")
+            for s in snaps
+        )
+
     def poll_once(
         self, process: Callable[[DataFrame, int], None]
     ) -> bool:
         """One poll: deliver the diff since the acked cursor, ack after
-        the callback succeeds. Returns True iff the cursor advanced."""
+        the callback succeeds. Returns True iff the cursor advanced.
+
+        An expired cursor snapshot (expiry outran the consumer despite
+        ``protect_snapshot_ids``) re-bootstraps: the full current table
+        streams out as inserts — net changes are idempotent to
+        re-apply, so the consumer converges."""
         cursor = self.current_cursor()
-        diff, new_cursor = changes_since(self.table, cursor)
+        try:
+            self.table.refresh()
+            if (
+                cursor is not None
+                and self.table.current_snapshot_id is not None
+                and not self._rows_changed_since(cursor)
+            ):
+                new_cursor = self.table.current_snapshot_id
+                if new_cursor == cursor:
+                    return False
+                self._ack(new_cursor)
+                return True
+            diff, new_cursor = changes_since(self.table, cursor)
+        except KeyError:
+            diff, new_cursor = changes_since(self.table, None)
         if new_cursor is None or new_cursor == cursor:
             return False
-        if diff.isEmpty():
-            # rewrite-only snapshots (compact/cluster/expire): nothing
-            # to deliver, but the cursor must still advance so expiry
-            # can reclaim the old snapshot
+        # one evaluation serves both the emptiness check and the
+        # consumer callback
+        diff = diff.persist()
+        try:
+            if not diff.isEmpty():
+                process(diff, new_cursor)
             self._ack(new_cursor)
-            return True
-        process(diff, new_cursor)
-        self._ack(new_cursor)
+        finally:
+            diff.unpersist()
         return True
 
     def run(

@@ -263,9 +263,11 @@ class Table:
         no snapshot yet; raises KeyError only via the caller's scan if
         the snapshot was expired meanwhile."""
         best: Snapshot | None = None
+        # append-ordered list + '>=' so several commits in the same
+        # millisecond resolve to the LATEST one (Iceberg semantics)
         for d in self.metadata["snapshots"]:
             if d["timestamp_ms"] <= ts_ms and (
-                best is None or d["timestamp_ms"] > best.timestamp_ms
+                best is None or d["timestamp_ms"] >= best.timestamp_ms
             ):
                 best = Snapshot.from_dict(d)
         return best

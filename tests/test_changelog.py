@@ -208,3 +208,56 @@ def test_expire_protects_changelog_cursor(spark, tmp_path):
     # ...and the consumer can still diff from it
     diff, _ = changes_since(t.refresh(), cursor)
     assert diff.filter(F.col(CHANGE_TYPE) == "delete").count() == 3
+
+
+def test_tailer_rebootstraps_after_cursor_expiry(spark, tmp_path):
+    from olake_spark.streaming.changelog_stream import ChangelogTailer
+
+    t = Table.create(spark, str(tmp_path / "reboot"))
+    df = generate_sequences(spark, 150, seed=51, max_tok=16)
+    t.append(df.repartition(2))
+    tailer = ChangelogTailer(t)
+    seen = []
+    tailer.run(lambda d, sid: seen.append(d.count()), bounded=True)
+
+    # churn snapshots past retention WITHOUT protecting the cursor
+    for _ in range(3):
+        dele = (
+            t.scan().select(*DATA_COLUMNS).orderBy("doc_id").limit(1)
+            .withColumn(CDC_DELETED_AT, F.current_timestamp())
+        )
+        merge_into(t, dele)
+    expire_snapshots(t, keep_last=1)
+    with pytest.raises(KeyError):
+        snapshot_changes(t.refresh(), tailer.current_cursor())
+
+    # the tailer recovers: full re-bootstrap as inserts, cursor current
+    tailer.run(lambda d, sid: seen.append(d.count()), bounded=True)
+    assert seen == [150, 147]
+    assert tailer.current_cursor() == t.current_snapshot_id
+
+
+def test_tailer_metadata_only_rewrite_polls(spark, tmp_path, monkeypatch):
+    from olake_spark.operators import changelog as chmod
+    from olake_spark.streaming.changelog_stream import ChangelogTailer
+
+    t = Table.create(spark, str(tmp_path / "meta"))
+    t.append(generate_sequences(spark, 120, seed=61, max_tok=16).repartition(2))
+    tailer = ChangelogTailer(t)
+    tailer.run(lambda d, sid: None, bounded=True)
+
+    # a rewrite-only snapshot must advance the cursor WITHOUT invoking
+    # the changelog join at all (operation metadata short-circuit)
+    compact(t, target_file_bytes=1 << 20)
+    calls = []
+    orig = chmod.changes_since
+    monkeypatch.setattr(
+        chmod, "changes_since",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+    )
+    import olake_spark.streaming.changelog_stream as cs
+
+    monkeypatch.setattr(cs, "changes_since", chmod.changes_since)
+    assert tailer.poll_once(lambda d, sid: None) is True
+    assert calls == []  # never computed a diff
+    assert tailer.current_cursor() == t.current_snapshot_id

@@ -203,3 +203,36 @@ def test_maintain_lifecycle(tmp_path, capsys, spark):
     msgs = _lines(capsys)
     # bootstrap (no cursor): full table as inserts
     assert msgs[0]["changes"] == {"insert": 500}
+
+
+def test_maintain_expire_protects_tailer_cursor(tmp_path, capsys, spark):
+    from pyspark.sql import functions as F
+
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+    from olake_spark.streaming.changelog_stream import ChangelogTailer
+    from olake_spark.table import Table
+
+    dest = str(tmp_path / "prot")
+    t = Table.create(spark, dest)
+    t.append(generate_sequences(spark, 200, seed=8, max_tok=16).repartition(2))
+    tailer = ChangelogTailer(t)
+    tailer.run(lambda d, sid: None, bounded=True)
+    cursor = tailer.current_cursor()
+    for _ in range(3):
+        dele = (
+            t.scan().select(*DATA_COLUMNS).orderBy("doc_id").limit(1)
+            .withColumn(CDC_DELETED_AT, F.current_timestamp())
+        )
+        merge_into(t, dele)
+
+    assert main(["maintain", "--dest", dest, "--op", "expire",
+                 "--keep-last", "1", "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["protected_cursor"] == [cursor]
+    assert cursor not in msgs[0]["expired"]
+    # the consumer still drains cleanly from its cursor
+    got = []
+    tailer.run(lambda d, sid: got.append(d.count()), bounded=True)
+    assert got == [3]
