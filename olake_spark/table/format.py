@@ -522,10 +522,44 @@ class Table:
         return rel
 
     # ------------------------------------------------------------ convenience
+    def _complete_system_columns(self, df: DataFrame) -> DataFrame:
+        """Inject any system column the TABLE schema declares but the
+        incoming frame lacks. Without this, appending a bare payload
+        frame wrote files whose ``_olake_id`` reads back NULL — and a
+        later MERGE silently matched nothing against them."""
+        from olake_spark.schema import (
+            CDC_DELETED_AT,
+            OLAKE_ID,
+            OLAKE_INSERT_TIME,
+            olake_id_expr,
+        )
+
+        table_cols = {f.name for f in self.schema().fields}
+        out = df
+        if OLAKE_ID in table_cols and OLAKE_ID not in df.columns:
+            if "doc_id" not in df.columns:
+                raise ValueError(
+                    f"frame lacks {OLAKE_ID} and has no doc_id to derive "
+                    "it from; inject system columns explicitly"
+                )
+            out = out.withColumn(OLAKE_ID, olake_id_expr("doc_id"))
+        if OLAKE_INSERT_TIME in table_cols and OLAKE_INSERT_TIME not in out.columns:
+            out = out.withColumn(
+                OLAKE_INSERT_TIME,
+                (F.unix_micros(F.current_timestamp()) / 1000).cast("long"),
+            )
+        if CDC_DELETED_AT in table_cols and CDC_DELETED_AT not in out.columns:
+            out = out.withColumn(
+                CDC_DELETED_AT, F.lit(None).cast("timestamp")
+            )
+        return out
+
     def append(
         self, df: DataFrame, max_records_per_file: int | None = None
     ) -> int:
-        files = self.write_data_files(df, max_records_per_file)
+        files = self.write_data_files(
+            self._complete_system_columns(df), max_records_per_file
+        )
         return self.commit("append", added=files)
 
     def overwrite(
@@ -535,7 +569,9 @@ class Table:
         snapshot (full-refresh semantics: the reference re-syncs a stream
         from scratch rather than appending a second copy). Readers pinned
         to older snapshots still see the prior files until expiry."""
-        files = self.write_data_files(df, max_records_per_file)
+        files = self.write_data_files(
+            self._complete_system_columns(df), max_records_per_file
+        )
         current = {f.path for f in self.files()}
         return self.commit("overwrite", added=files, removed_paths=current)
 

@@ -173,3 +173,91 @@ def test_packing_bin_math_conserves(ns):
     assert sum(b[1] for b in bins) == sum(sizes)
     for rem, tok, cnt in bins:
         assert tok <= block or cnt == 1
+
+
+def test_merge_and_changelog_match_dict_model(spark, tmp_path):
+    """Model-based check: a seeded-random sequence of CDC batches
+    (upserts, deletes, ghost deletes, interleaved compactions) applied
+    through MERGE must leave the table equal to a plain dict model at
+    every step, with per-batch counts and snapshot-changelog diffs
+    matching the model's deltas exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.changelog import CHANGE_TYPE, snapshot_changes
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT
+    from olake_spark.table import Table
+
+    rng = random.Random(20260817)
+    universe = [f"d{i:04d}" for i in range(240)]
+
+    def row(d, n):
+        return (d, list(range(n)), n, f"src{hash(d) % 3}")
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    model: dict[str, int] = {d: rng.randint(1, 9) for d in rng.sample(universe, 120)}
+    t = Table.create(spark, str(tmp_path / "model"))
+    # bare payload frame: append must inject the system columns itself
+    # (a NULL _olake_id here once made every later MERGE match nothing)
+    t.append(
+        spark.createDataFrame([row(d, n) for d, n in model.items()], schema)
+        .repartition(5)
+    )
+
+    def table_state():
+        return {r.doc_id: r.n_tok for r in t.scan().select("doc_id", "n_tok").collect()}
+
+    assert table_state() == model
+    for rnd in range(5):
+        if rnd % 2 == 1:
+            compact(t, target_file_bytes=1 << 20)
+        prev_snap = t.current_snapshot_id
+        prev_model = dict(model)
+
+        keys = rng.sample(universe, 50)
+        ups = {d: rng.randint(10, 99) for d in keys[:30]}
+        dels = set(keys[30:])  # some exist in the model, some are ghosts
+        batch = [row(d, n) + (None,) for d, n in ups.items()] + [
+            row(d, 1) + ("del",) for d in dels
+        ]
+        bdf = spark.createDataFrame(
+            batch, schema + ", _op string"
+        ).withColumn(
+            CDC_DELETED_AT,
+            F.when(F.col("_op") == "del", F.current_timestamp()),
+        ).drop("_op")
+
+        res = merge_into(t, bdf, target_file_bytes=64 * 1024)
+        exp_updated = len(set(ups) & set(prev_model))
+        exp_deleted = len(dels & set(prev_model))
+        exp_inserted = len(set(ups) - set(prev_model))
+        assert (res.inserted, res.updated, res.deleted) == (
+            exp_inserted, exp_updated, exp_deleted,
+        ), f"round {rnd}"
+
+        for d, n in ups.items():
+            model[d] = n
+        for d in dels:
+            model.pop(d, None)
+        assert table_state() == model, f"round {rnd}"
+
+        got = {
+            (r.doc_id, r[CHANGE_TYPE])
+            for r in snapshot_changes(t.refresh(), prev_snap)
+            .select("doc_id", CHANGE_TYPE)
+            .collect()
+        }
+        want = (
+            {(d, "insert") for d in set(model) - set(prev_model)}
+            | {(d, "delete") for d in set(prev_model) - set(model)}
+            | {
+                (d, "update")
+                for d in set(model) & set(prev_model)
+                if True  # matched upserts rewrite the row (new insert time)
+                and d in ups
+            }
+        )
+        assert got == want, f"round {rnd}"
