@@ -173,3 +173,77 @@ def test_bucket_pair_generation_is_single_pipeline(spark):
     # exactly 3 shuffles: doc-id signature agg, (band,bkey) window,
     # pair dropDuplicates — the pair groupBy must NOT add a 4th
     assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    from olake_spark.operators.dedup import decontaminate
+
+    d = load_table(spark, SF_DIR, "documents")
+    bench = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+    train = d.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+    plan = _plan(decontaminate(train, bench, shingle_k=3))
+    # benchmark shingle set ships as a broadcast; never a cartesian or
+    # sort-merge join against the corpus explode
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sampling_filters_are_narrow(spark):
+    from olake_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+        stratified_sample,
+    )
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    for df in (
+        deterministic_sample(d, 0.3),
+        hash_split(d, {"a": 1, "b": 1}),
+        stratified_sample(d, {"src0": 0.5}),
+    ):
+        plan = _plan(df)
+        # pure map/filter: no exchange of any kind, no Python stage
+        assert "Exchange" not in plan, plan
+        assert "Python" not in plan
+
+
+def test_token_budget_two_level_windows_only_boundary_bucket(spark):
+    from olake_spark.operators.sampling import token_budget_select
+
+    docs = generate_sequences(spark, 2000, seed=3, max_tok=32)
+    out = token_budget_select(docs, 5000, n_buckets=64)
+    plan = _plan(out)
+    # the running-sum window exists, but its input is filtered to ONE
+    # bucket per source BEFORE the window's exchange (pushed filter on
+    # the bucket id) — the full-source single-task sort never happens
+    assert "Window" in plan
+    w_idx = plan.index("Window")
+    assert "FLOOR" in plan[w_idx:] or "floor" in plan[w_idx:], (
+        "bucket filter should sit below the window"
+    )
+
+
+def test_merge_exact_output_uses_single_hash_exchange(spark, tmp_path):
+    """The merge rewrite's output partitioning must be the salt-routed
+    hash repartition (child evaluated once), never RangePartitioning
+    (whose sampling pass re-scans the touched files)."""
+    from olake_spark.functions.partitioning import (
+        composite_key_expr,
+        exact_range_partition,
+        sample_file_boundaries,
+    )
+
+    t = Table.create(spark, str(tmp_path / "mshape"))
+    t.append(generate_sequences(spark, 2000, seed=5, max_tok=16).repartition(4))
+    files = t.files()
+    bnds = sample_file_boundaries(t, files, ["source", "doc_id"], 8)
+    out = exact_range_partition(
+        t.scan(), composite_key_expr(["source", "doc_id"]), bnds,
+        ["source", "doc_id"],
+    )
+    plan = _plan(out)
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("Exchange") == 1
+    assert "Python" not in plan  # binning is the codegen'd nested-when tree
