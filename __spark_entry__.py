@@ -342,6 +342,33 @@ def _decontaminate(spark, sf_dir):
     return decontaminate(train, bench, shingle_k=3).select("doc_id")
 
 
+def _corpus_curation(spark, sf_dir):
+    # the full curation pipeline end-to-end: exact dedup ->
+    # 3-gram benchmark decontamination -> source mixture -> per-source
+    # n_chars budget; every stage's SQL mirror composes in the oracle
+    from olake_spark.pipelines.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(50)).alias("_m"),
+        "text",
+        "source",
+        "n_chars",
+    )
+    bench = d.filter(F.col("_m") == 0).drop("_m")
+    train = d.filter(F.col("_m") != 0).drop("_m")
+    out = curate_corpus(
+        train,
+        bench,
+        mixture_rates={"src0": 0.75, "src1": 0.5},
+        default_rate=0.25,
+        token_budget=2048,
+        weight_col="n_chars",
+        seed=0,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def _dedup_latest_event(spark, sf_dir):
     # window dedup: latest event per user (reader-side olake_id dedup shape)
     ev = _t(spark, sf_dir, "events")
@@ -904,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "token_budget_select": _token_budget_select,
         "decontaminate": _decontaminate,
+        "corpus_curation": _corpus_curation,
         "partition_regex_routing": _partition_regex_routing,
         "dedup_latest_event": _dedup_latest_event,
         "top_k_per_group": _top_k_per_group,
@@ -1094,6 +1122,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 50 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM cont)
+        """,
+        "corpus_curation": """
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, doc_id % 50 AS m,
+                     text, source, n_chars,
+                     string_split(text, ' ') AS w
+              FROM documents
+            ), train AS (
+              SELECT * FROM t WHERE m <> 0
+            ), d1 AS (  -- exact dedup: keep the min-id row per text
+              SELECT tr.* FROM train tr
+              JOIN (SELECT text, min(id) AS id FROM train GROUP BY text) k
+                ON tr.id = k.id
+            ), bsh AS (  -- benchmark 3-gram shingles
+              SELECT DISTINCT
+                unnest(list_distinct(list_transform(
+                  range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+              FROM t WHERE m = 0 AND len(w) >= 3
+            ), dsh AS (
+              SELECT id,
+                unnest(list_distinct(list_transform(
+                  range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+              FROM d1 WHERE len(w) >= 3
+            ), cont AS (
+              SELECT DISTINCT dsh.id FROM dsh JOIN bsh USING (g)
+            ), d2 AS (  -- decontaminated
+              SELECT * FROM d1
+              WHERE id NOT IN (SELECT id FROM cont)
+            ), d3 AS (  -- source mixture, seed 0
+              SELECT * FROM d2
+              WHERE CAST(('0x' || substr(md5('0|' || id), 1, 8)) AS BIGINT)
+                    / 4294967296.0
+                    < CASE source WHEN 'src0' THEN 0.75
+                                  WHEN 'src1' THEN 0.5
+                                  ELSE 0.25 END
+            ), d4 AS (  -- per-source n_chars budget, seed 1
+              SELECT id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('1|' || id), 1, 8))
+                                     AS BIGINT) / 4294967296.0, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM d3
+            )
+            SELECT id AS doc_id, source, n_chars FROM d4 WHERE cum <= 2048
         """,
         "dataset_split": """
             WITH u AS (

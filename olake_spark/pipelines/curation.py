@@ -1,0 +1,64 @@
+"""End-to-end training-corpus curation: the engine's ops composed the
+way a 100 TB data pipeline actually runs them.
+
+    raw docs -> exact dedup -> benchmark decontamination
+             -> source-weighted mixture -> per-source token budget
+
+Every stage is one of the already-tested operators (dedup.exact_dedup,
+dedup.decontaminate, sampling.stratified_sample,
+sampling.token_budget_select), so the whole pipeline is a single lazy
+DataFrame plan: one shuffle for dedup, a broadcast semi-join for
+decontamination, a narrow filter for the mixture, and the two-level
+bucketized window for the budget. Stage seeds are decorrelated
+(mixture at ``seed``, budget at ``seed + 1``) so the budget's shuffle
+order is independent of which docs survived the mixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from olake_spark.operators.dedup import decontaminate, exact_dedup
+from olake_spark.operators.sampling import (
+    stratified_sample,
+    token_budget_select,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    dedup_keys: list[str] | None = None,
+    shingle_k: int = 3,
+    mixture_rates: dict[str, float] | None = None,
+    default_rate: float = 0.0,
+    token_budget: int | dict[str, int] | None = None,
+    weight_col: str = "n_tok",
+    seed: int = 0,
+) -> DataFrame:
+    """Curated corpus: deduped, decontaminated, mixed, budgeted.
+
+    Stages whose arguments are None are skipped, so the same entry
+    point serves partial pipelines (e.g. dedup + decontaminate only).
+    """
+    out = exact_dedup(docs, dedup_keys or [text_col], order_col=id_col)
+    if benchmark is not None:
+        out = decontaminate(
+            out, benchmark, id_col=id_col, text_col=text_col,
+            shingle_k=shingle_k,
+        )
+    if mixture_rates is not None:
+        out = stratified_sample(
+            out, mixture_rates, strata_col=strata_col, key_col=id_col,
+            seed=seed, default_rate=default_rate,
+        )
+    if token_budget is not None:
+        out = token_budget_select(
+            out, token_budget, weight_col=weight_col,
+            strata_col=strata_col, key_col=id_col, seed=seed + 1,
+        )
+    return out

@@ -134,3 +134,40 @@ def test_token_budget_two_level_parity(spark, docs):
     naive = token_budget_select(docs, 20_000, n_buckets=None).select("doc_id")
     assert fast8.exceptAll(naive).count() == 0
     assert naive.exceptAll(fast8).count() == 0
+
+
+def test_curate_corpus_stage_composition(spark):
+    from olake_spark.pipelines.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma delta", "web", 4),
+            ("d2", "alpha beta gamma delta", "web", 4),   # exact dup of d1
+            ("d3", "totally unrelated words here", "web", 4),
+            ("d4", "the secret benchmark passage text", "books", 5),  # contaminated
+            ("d5", "clean and unique content indeed", "books", 5),
+        ],
+        "doc_id string, text string, source string, n_tok int",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "contains the secret benchmark passage")],
+        "doc_id string, text string",
+    )
+    # dedup + decontaminate only (sampling stages skipped)
+    kept = {
+        r.doc_id
+        for r in curate_corpus(docs, bench).select("doc_id").collect()
+    }
+    assert kept == {"d1", "d3", "d5"}
+
+    # full pipeline stays a subset and respects budgets per source
+    out = curate_corpus(
+        docs, bench, mixture_rates={"web": 1.0, "books": 1.0},
+        token_budget={"web": 8, "books": 5}, seed=3,
+    )
+    rows = out.collect()
+    assert {r.doc_id for r in rows} <= kept
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + r.n_tok
+    assert by_src.get("web", 0) <= 8 and by_src.get("books", 0) <= 5
