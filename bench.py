@@ -179,9 +179,12 @@ def _run_sf1_smoke(spark, rows, cpus, bench_dir, out: dict) -> None:
     root = tempfile.mkdtemp(prefix="olake_sf1_", dir=bench_dir)
     try:
         t0 = time.time()
-        df = generate_sequences(spark, rows, seed=7, max_tok=1024)
+        df = generate_sequences(
+            spark, rows, seed=7, max_tok=1024,
+            num_partitions=max(64, cpus * 8),
+        )
         table = Table.create(spark, os.path.join(root, "tbl"))
-        table.append(df.repartition(max(64, cpus * 8)))
+        table.append(df)
         out["build_s"] = round(time.time() - t0, 3)
         bytes_in = table.total_bytes()
         out["rows"] = rows
@@ -278,9 +281,16 @@ def _run_maintenance_rep(
     root = tempfile.mkdtemp(prefix="olake_bench_", dir=bench_dir)
     try:
         with timed("build_table"):
-            df = generate_sequences(spark, rows, seed=42, max_tok=1024)
+            # generate directly at the small-file partitioning — a
+            # .repartition(n) after datagen is a full round-robin
+            # shuffle of the whole table for nothing (the generator is
+            # counter-based, so the DATA is identical either way)
+            df = generate_sequences(
+                spark, rows, seed=42, max_tok=1024,
+                num_partitions=n_small_files,
+            )
             table = Table.create(spark, os.path.join(root, "tbl"))
-            table.append(df.repartition(n_small_files))
+            table.append(df)
         bytes_in = table.total_bytes()
         maintenance["bytes"] = bytes_in
         maintenance["rows"] = rows
