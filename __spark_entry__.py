@@ -5,11 +5,12 @@ SURVEY.md §2 (+ the training-data ops) to a (spark, sf_dir) -> DataFrame
 callable; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Column
 names/aliases match exactly on both sides. The ANN queries oracle as
 exact-cosine reranks over candidate id sets computed driver-side with
-the same numpy probing as the query path (_ann_oracle_candidates). Ops
-SQL genuinely cannot express (LSH banding pairs, simhash blocking,
-curve keys) have no oracle entry — the driver records the weaker
-rows-only check; their exactness is covered by brute-force oracles in
-tests/.
+the same numpy probing as the query path (_ann_oracle_candidates); the
+Z-order key oracles as generated modular-arithmetic SQL
+(_zkey_oracle_sql). Ops SQL genuinely cannot express (the xxhash64-based
+MinHash/SimHash banding pipelines — xxhash64 has no DuckDB analog) have
+no oracle entry — the driver records the weaker rows-only check; their
+exactness is covered by brute-force oracles in tests/.
 """
 
 from __future__ import annotations
@@ -729,6 +730,86 @@ def _doc_near_dedup(spark, sf_dir):
 _ANN_CAND_CACHE: dict[tuple, dict] = {}
 
 
+def _zkey_oracle_sql() -> str:
+    """Generated SQL computing the EXACT variable-width Z-order key of
+    (n_chars numeric, doc_id hash) — the same kernel as
+    functions/zorder.curve_keys_np, re-expressed arithmetically:
+
+    - the numeric coordinate is the identical float64 expression
+      ((v - lo) / span) * 2^b, clipped and floored (IEEE doubles make
+      DuckDB and numpy bit-identical);
+    - the hash coordinate is SplitMix64 of the int64 id, written as
+      HUGEINT modular arithmetic (the mod-2^64 multiply splits into
+      32-bit halves so no intermediate exceeds 128 bits);
+    - the interleave is a literal sum of the 63 masked-shifted bit
+      terms, generated from the SAME allocate_bits() widths the pandas
+      UDF uses.
+
+    Widths and the n_chars hi bound are derived driver-side from the
+    oracle parquet (the _ann_oracle_candidates pattern)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from olake_spark.functions.zorder import ClusterCol, allocate_bits
+
+    sf_dir = os.environ.get("OLAKE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )
+    hi = float(pc.max(t.column("n_chars")).as_py())
+    widths = allocate_bits(
+        [ClusterCol("n_chars", "numeric", lo=0, hi=hi), ClusterCol("doc_id", "hash")]
+    )
+    b0, b1 = widths
+    M = 1 << 64
+    C0, C1, C2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    span = max(hi - 0.0, 1e-12)
+    L0 = 1 << b0
+
+    def mulmod(a: str, b: int) -> str:
+        return (
+            f"((({a}) % 4294967296) * {b} "
+            f"+ ((((({a}) // 4294967296) * {b}) % 4294967296) * 4294967296)"
+            f") % {M}"
+        )
+
+    terms = []
+    pos = sum(widths)
+    for level in range(max(widths)):
+        for j, bj in enumerate(widths):
+            if level < bj:
+                pos -= 1
+                terms.append(
+                    f"((q{j} // {1 << (bj - 1 - level)}) % 2) * {1 << pos}"
+                )
+    zexpr = " + ".join(terms)
+    return f"""
+        WITH s0 AS (
+          SELECT doc_id, n_chars,
+                 ((CAST(doc_id AS HUGEINT) % {M} + {M}) % {M} + {C0}) % {M} AS z
+          FROM documents
+        ), s1 AS (
+          SELECT doc_id, n_chars,
+                 {mulmod(f"xor(z, z // {1 << 30})", C1)} AS z
+          FROM s0
+        ), s2 AS (
+          SELECT doc_id, n_chars,
+                 {mulmod(f"xor(z, z // {1 << 27})", C2)} AS z
+          FROM s1
+        ), s3 AS (
+          SELECT doc_id, n_chars, xor(z, z // {1 << 31}) AS z FROM s2
+        ), c AS (
+          SELECT doc_id,
+            CAST(least(greatest(
+              floor(((n_chars - 0.0) / {span!r}) * {L0}), 0), {L0 - 1})
+              AS HUGEINT) AS q0,
+            z // {1 << (64 - b1)} AS q1
+          FROM s3
+        )
+        SELECT doc_id, CAST({zexpr} AS BIGINT) AS zkey FROM c
+    """
+
+
 def _ann_oracle_candidates() -> dict:
     """Driver-side replication of the ANN probe planning — the SAME numpy
     ops, seeds, and sample ordering as the pandas UDFs / codebook builders
@@ -989,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_rerank_sql(cand["ivf"]),
         "ann_ivf_index_topk": _ann_rerank_sql(cand["ivf"]),
         "ann_batch_topk": _ann_batch_rerank_sql(cand["batch"]),
+        "zkey_locality": _zkey_oracle_sql(),
     }
     return {
         **ann,
