@@ -569,6 +569,61 @@ def _doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _semantic_dedup(spark, sf_dir):
+    # SemDeDup-style: k-means cells -> within-cell cosine pairs ->
+    # connected components -> keep min-id representative
+    from olake_spark.operators.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.35, n_cells=16, seed=7)
+
+
+def _doc_repetition(spark, sf_dir):
+    # Gopher-style repetition filter (operators/text.repetition_stats):
+    # max-word / top-bigram / dup-line fractions + keep flag
+    from olake_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "max_word_ratio", "top_bigram_ratio", "dup_line_ratio", "keep"
+    )
+
+
+def _pii_scrub(spark, sf_dir):
+    # PII scrub over documents with deterministic in-query PII injection
+    # (the synthetic corpus has none) so the oracle exercises the regexes
+    from olake_spark.operators.text import pii_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            i % 7 == 0,
+            F.concat(F.lit(" reach user"), i.cast("string"), F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 11 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (i % 200).cast("string"),
+                F.lit(".0."),
+                (i % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 13 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((i % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return pii_scrub(d.select("doc_id", injected.alias("text"))).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "text_clean"
+    )
+
+
 def _doc_exact_dedup(spark, sf_dir):
     # exact content dedup: keep min doc_id per identical text
     d = _t(spark, sf_dir, "documents")
@@ -810,6 +865,60 @@ def _zkey_oracle_sql() -> str:
     """
 
 
+_SEMDEDUP_SQL_CACHE: dict = {}
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """Driver-side replication of the semantic-dedup cell assignment —
+    the SAME numpy ops/seed/sample ordering as
+    operators/dedup.semantic_dedup (threshold=0.35, n_cells=16, seed=7)
+    — over the oracle parquet. The within-cell exact-cosine pairs and
+    connected components (recursive CTE) are expressed in SQL over the
+    literal (vec_id, cell) map; only the k-means probing itself is
+    replicated, mirroring the _ann_oracle_candidates pattern."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from olake_spark.operators.similarity import _ivf_centroids
+
+    sf_dir = os.environ.get("OLAKE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if sf_dir in _SEMDEDUP_SQL_CACHE:
+        return _SEMDEDUP_SQL_CACHE[sf_dir]
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    M = np.asarray(t.column("embedding").to_pylist()).astype(np.float32)
+    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-9)
+    C = _ivf_centroids(M.shape[1], 16, 7, Mn[:2048].copy())
+    assign = np.argmax(Mn @ C.T, axis=1)
+    cells = ", ".join(f"({int(i)}, {int(c)})" for i, c in zip(ids, assign))
+    sql = f"""
+        WITH RECURSIVE cellmap(vec_id, cell) AS (VALUES {cells}),
+        e0 AS (
+          SELECT m.vec_id, m.cell,
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings e JOIN cellmap m USING (vec_id)
+        ),
+        p AS (
+          SELECT l.vec_id AS a, r.vec_id AS b
+          FROM e0 l JOIN e0 r ON l.cell = r.cell AND l.vec_id < r.vec_id
+          WHERE round(list_cosine_similarity(l.v, r.v), 6) >= 0.35
+        ),
+        ed AS (SELECT a AS u, b AS v FROM p UNION ALL SELECT b, a FROM p),
+        walk(id, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT ed.u, w.lbl FROM ed JOIN walk w ON w.id = ed.v
+        )
+        SELECT id AS vec_id, min(lbl) AS cluster_rep,
+               id = min(lbl) AS keep
+        FROM walk GROUP BY id
+    """
+    _SEMDEDUP_SQL_CACHE[sf_dir] = sql
+    return sql
+
+
 def _ann_oracle_candidates() -> dict:
     """Driver-side replication of the ANN probe planning — the SAME numpy
     ops, seeds, and sample ordering as the pandas UDFs / codebook builders
@@ -1031,6 +1140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
+        "semantic_dedup": _semantic_dedup,
+        "doc_repetition": _doc_repetition,
+        "pii_scrub": _pii_scrub,
         "doc_exact_dedup": _doc_exact_dedup,
         "ngram_jaccard": _ngram_jaccard,
         "minhash_lsh": _minhash_lsh,
@@ -1071,6 +1183,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_index_topk": _ann_rerank_sql(cand["ivf"]),
         "ann_batch_topk": _ann_batch_rerank_sql(cand["batch"]),
         "zkey_locality": _zkey_oracle_sql(),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
     }
     return {
         **ann,
@@ -1456,6 +1569,72 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
                         ELSE 'es' END AS pred_lang
             FROM s
+        """,
+        "doc_repetition": """
+            WITH s AS (
+              SELECT doc_id,
+                     string_split(text, ' ') AS w,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), b AS (
+              SELECT doc_id, w, lines,
+                     list_transform(
+                       range(1, greatest(len(w), 1)),
+                       i -> w[i] || ' ' || w[i + 1]) AS bg
+              FROM s
+            )
+            SELECT doc_id,
+                   round(CAST(len(list_filter(w, x -> x = list_aggregate(w, 'mode')))
+                              AS DOUBLE) / greatest(len(w), 1), 6) AS max_word_ratio,
+                   round(CASE WHEN len(bg) = 0 THEN 0.0
+                              ELSE CAST(len(list_filter(bg, x -> x = list_aggregate(bg, 'mode')))
+                                        AS DOUBLE) / greatest(len(bg), 1) END, 6)
+                     AS top_bigram_ratio,
+                   round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                               / greatest(len(lines), 1), 6) AS dup_line_ratio,
+                   (len(w) < 20 OR
+                    (round(CAST(len(list_filter(w, x -> x = list_aggregate(w, 'mode')))
+                                AS DOUBLE) / greatest(len(w), 1), 6) <= 0.20
+                     AND round(CASE WHEN len(bg) = 0 THEN 0.0
+                               ELSE CAST(len(list_filter(bg, x -> x = list_aggregate(bg, 'mode')))
+                                         AS DOUBLE) / greatest(len(bg), 1) END, 6) <= 0.18
+                     AND round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                               / greatest(len(lines), 1), 6) <= 0.30)) AS keep
+            FROM b
+        """,
+        "pii_scrub": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                                  || '@mail.example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                                  || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' call +1-555-'
+                                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(t,
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(t,
+                     '\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}(?:[- ]?\d{3,4})?')) AS n_phones,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}(?:[- ]?\d{3,4})?',
+                     '<PHONE>', 'g') AS text_clean
+            FROM d
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -554,6 +554,53 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------- semantic dedup
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means cells over the embedding space bound the
+    pairwise work, within-cell cosine pairs above ``threshold`` form
+    clusters (connected components), and one representative per cluster
+    (the min id) is marked ``keep``.
+
+    100 TB design: the codebook comes from a bounded driver-side sample
+    (``sample_rows`` vectors); the full-table pass is one Arrow-batched
+    assignment UDF, and pair generation is an equi-join on the cell id —
+    quadratic only WITHIN a cell, and cell population is ~n/n_cells for
+    k-means cells on non-degenerate data. At the 10^12 scale n_cells
+    rises to ~100k (SemDeDup uses 50k clusters on LAION), keeping cells
+    at ~10^7 rows, and the within-cell join distributes across tasks
+    because it is a plain shuffle join on the cell key. Components are
+    pointer-doubling label propagation (O(log diameter) rounds).
+
+    Returns (id_col, cluster_rep, keep) for every input row; singletons
+    keep themselves.
+    """
+    import numpy as np
+
+    from olake_spark.operators.similarity import _ivf_centroids, ivf_bucket_udf
+
+    sample = np.stack(
+        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()]
+    ).astype(np.float32)
+    sample = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-9)
+    C = _ivf_centroids(sample.shape[1], n_cells, seed, sample)
+    cell = ivf_bucket_udf(C)
+    e = emb.withColumn("_cell", cell(F.col(vec_col)))
+    pairs = embedding_near_dup_pairs(
+        e, id_col, vec_col, block_col="_cell", threshold=threshold
+    )
+    clusters = near_dup_clusters(emb.select(id_col), pairs, id_col)
+    return clusters.withColumn("keep", F.col(id_col) == F.col("cluster_rep"))
+
+
 # ------------------------------------------------------- embedding near-dup
 def embedding_near_dup_pairs(
     emb: DataFrame,

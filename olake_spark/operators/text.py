@@ -97,6 +97,141 @@ def fingerprint(text: str | Column = "text") -> Column:
     )
 
 
+# ---------------------------------------------------------------- repetition
+# Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+# Models", Table A1): documents dominated by one word / one bigram /
+# duplicated lines are boilerplate and removed before training. All
+# metrics are per-row Catalyst array expressions — no explode, no
+# shuffle, so a 100 TB pass is a single scan inside codegen.
+
+
+def _mode_count(arr: Column) -> Column:
+    """Count of the most frequent element of an array, computed as the
+    longest run of the sorted array (struct-accumulator aggregate) —
+    O(n log n) per row, zero shuffle, JVM-side."""
+    s = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = (
+            F.when(acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(s, acc0, step, lambda acc: acc["best"])
+
+
+def bigrams_col(text: str | Column = "text") -> Column:
+    """Adjacent word bigrams as 'w_i w_{i+1}' strings (empty array for
+    single-word docs)."""
+    w = words_col(text)
+    n = F.size(w)
+    # guard n<2: sequence(1, 0) would generate a DESCENDING [1, 0] in
+    # Spark, and element_at(w, 0) is an error under ANSI mode
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+    )
+
+
+def max_word_ratio(text: str | Column = "text") -> Column:
+    """Fraction of all words taken by the single most frequent word."""
+    w = words_col(text)
+    return _mode_count(w) / F.greatest(F.size(w), F.lit(1))
+
+
+def top_bigram_ratio(text: str | Column = "text") -> Column:
+    """Fraction of all word-bigram occurrences taken by the most
+    frequent bigram (0.0 for docs with < 2 words)."""
+    b = bigrams_col(text)
+    return F.when(F.size(b) == 0, F.lit(0.0)).otherwise(
+        _mode_count(b) / F.greatest(F.size(b), F.lit(1))
+    )
+
+
+def dup_line_ratio(text: str | Column = "text") -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (1 - distinct/total over '\\n'-split lines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, "\n")
+    return F.lit(1.0) - F.size(F.array_distinct(lines)) / F.greatest(
+        F.size(lines), F.lit(1)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_word: float = 0.20,
+    max_bigram: float = 0.18,
+    max_dup_lines: float = 0.30,
+    min_words: int = 20,
+) -> DataFrame:
+    """Per-document repetition metrics + a keep flag under the Gopher
+    thresholds. Ratio thresholds only apply to docs with at least
+    ``min_words`` words — a 5-word doc has top_bigram_ratio >= 0.25 by
+    construction, and Gopher's repetition rules target long boilerplate,
+    not short snippets (length filtering is a separate policy). One
+    scan, pure codegen; at 10^12 docs this is the cheapest filter in
+    the curation funnel and should run first."""
+    return docs.select(
+        "*",
+        F.round(max_word_ratio(text_col), 6).alias("max_word_ratio"),
+        F.round(top_bigram_ratio(text_col), 6).alias("top_bigram_ratio"),
+        F.round(dup_line_ratio(text_col), 6).alias("dup_line_ratio"),
+    ).withColumn(
+        "keep",
+        (token_count(text_col) < min_words)
+        | (
+            (F.col("max_word_ratio") <= max_word)
+            & (F.col("top_bigram_ratio") <= max_bigram)
+            & (F.col("dup_line_ratio") <= max_dup_lines)
+        ),
+    )
+
+
+# ----------------------------------------------------------------------- PII
+# Pre-training corpora scrub obvious PII before the tokenizer sees it.
+# Patterns are RE2-compatible (no backreferences/lookaround) so the same
+# regex runs identically in Spark (Java regex) and the DuckDB oracle.
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}(?:[- ]?\d{3,4})?",
+}
+PII_TOKENS = {"email": "<EMAIL>", "ip": "<IP>", "phone": "<PHONE>"}
+# emails first (contain dots that would partially match the IP pattern),
+# then IPs, then phones
+PII_ORDER = ("email", "ip", "phone")
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / international-format phone numbers with
+    typed placeholder tokens and count each kind per document. Pure
+    regexp_replace/regexp_extract_all — single codegen'd scan."""
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), F.lit(0))).alias(
+            f"n_{k}s"
+        )
+        for k in PII_ORDER
+    ]
+    clean = c
+    for k in PII_ORDER:
+        clean = F.regexp_replace(clean, PII_PATTERNS[k], PII_TOKENS[k])
+    return docs.select("*", *counts, clean.alias("text_clean"))
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: all metrics as extra columns."""
     return docs.select(

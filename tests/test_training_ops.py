@@ -235,6 +235,57 @@ def test_text_analysis_metrics(spark):
     assert all(again[k] == out[k].fp for k in again)
 
 
+def test_repetition_stats_exact(spark):
+    from olake_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 'spam' x4 -> max_word 4/6; bigram 'spam spam' x3 / 5
+            ("a", "spam spam spam spam egg ham", "s"),
+            # all distinct words: max_word 1/5, every bigram unique 1/4
+            ("b", "one two three four five", "s"),
+            # 4 lines, 'dup' repeated 3x -> distinct 2/4 -> dup_line 0.5
+            ("c", "dup\nunique line\ndup\ndup", "s"),
+            ("d", "solo", "s"),  # single word: no bigrams
+            ("e", "", "s"),  # empty text
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs, min_words=2).collect()}
+    assert out["a"].max_word_ratio == pytest.approx(4 / 6, abs=1e-6)
+    assert out["a"].top_bigram_ratio == pytest.approx(3 / 5, abs=1e-6)
+    assert not out["a"].keep
+    assert out["b"].max_word_ratio == pytest.approx(1 / 5, abs=1e-6)
+    assert out["b"].top_bigram_ratio == pytest.approx(1 / 4, abs=1e-6)
+    assert out["c"].dup_line_ratio == pytest.approx(0.5, abs=1e-6)
+    assert not out["c"].keep
+    assert out["d"].top_bigram_ratio == 0.0
+    assert out["e"].max_word_ratio == 1.0  # split('') -> [''] single token
+
+
+def test_pii_scrub_patterns(spark):
+    from olake_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "mail bob.smith+x@corp.example.org today", "s"),
+            ("b", "server 192.168.0.1 and 10.0.0.255 up", "s"),
+            ("c", "call +1-555-0100 or +44 201 5550 123", "s"),
+            ("d", "clean text no pii at all", "s"),
+            ("e", "combo a@b.co at 8.8.8.8 ring +1 555 0100", "s"),
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out["a"].n_emails == 1 and "<EMAIL>" in out["a"].text_clean
+    assert "bob.smith" not in out["a"].text_clean
+    assert out["b"].n_ips == 2 and out["b"].text_clean.count("<IP>") == 2
+    assert out["c"].n_phones == 2 and out["c"].text_clean.count("<PHONE>") == 2
+    assert out["d"].text_clean == out["d"].text
+    assert (out["e"].n_emails, out["e"].n_ips, out["e"].n_phones) == (1, 1, 1)
+    assert "<EMAIL>" in out["e"].text_clean and "<IP>" in out["e"].text_clean
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [("1", "hello world", "s"), ("2", "bytes here", "s")],
@@ -419,6 +470,70 @@ def test_near_dup_clusters_match_union_find(spark):
     assert kept == {rep for rep in want.values()}
     # one keeper per component + all singletons
     assert len(kept) == len(set(want.values()))
+
+
+def test_semantic_dedup_matches_numpy_oracle(spark):
+    """semantic_dedup vs a full numpy oracle: same codebook/assignment
+    replicated driver-side, exact all-pairs-within-cell cosine, python
+    union-find components, min-id keeper."""
+    import numpy as np
+
+    from olake_spark.operators.dedup import semantic_dedup
+    from olake_spark.operators.similarity import _ivf_centroids
+
+    rng = np.random.default_rng(3)
+    # planted duplicate groups: 40 base vectors, each with 0-3 noisy copies
+    base = rng.standard_normal((40, 16)).astype(np.float32)
+    rows, truth_group = [], []
+    vid = 0
+    for g in range(40):
+        for _ in range(1 + int(rng.integers(0, 4))):
+            v = base[g] + 0.01 * rng.standard_normal(16).astype(np.float32)
+            rows.append((vid, [float(x) for x in v]))
+            truth_group.append(g)
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    out = {
+        r.vec_id: (r.cluster_rep, r.keep)
+        for r in semantic_dedup(
+            emb, threshold=0.95, n_cells=4, seed=7, sample_rows=2048
+        ).collect()
+    }
+    assert len(out) == vid
+
+    # numpy oracle: same cells, exact cosine pairs, union-find
+    M = np.stack([np.asarray(r[1], dtype=np.float32) for r in rows])
+    Mn = M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-9)
+    C = _ivf_centroids(16, 4, 7, Mn[:2048].copy())
+    assign = np.argmax(Mn @ C.T, axis=1)
+    parent = list(range(vid))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    M64 = M.astype(np.float64)  # Spark casts elements to double before summing
+    cos = (M64 @ M64.T) / (
+        np.linalg.norm(M64, axis=1)[:, None] * np.linalg.norm(M64, axis=1)[None, :]
+    )
+    for i in range(vid):
+        for j in range(i + 1, vid):
+            if assign[i] == assign[j] and round(float(cos[i, j]), 6) >= 0.95:
+                parent[find(i)] = find(j)
+    want = {}
+    for i in range(vid):
+        r = find(i)
+        want.setdefault(r, []).append(i)
+    expect = {i: min(want[find(i)]) for i in range(vid)}
+    for i in range(vid):
+        assert out[i][0] == expect[i], i
+        assert out[i][1] == (i == expect[i])
+    # the planted copies actually cluster (same cell + cos>=0.95 for most)
+    n_clusters = len(set(expect.values()))
+    assert n_clusters < vid  # at least some multi-member clusters formed
 
 
 def test_cluster_loop_materializes_edges_once(spark, tmp_path):
