@@ -91,11 +91,16 @@ def expire_snapshots(
     keep: list = []
     drop: list = []
     min_protected = min(protect_snapshot_ids) if protect_snapshot_ids else None
+    # named refs (tags/branches) pin their exact snapshot until removed
+    ref_ids = {
+        r["snapshot_id"] for r in table.metadata.get("refs", {}).values()
+    }
     for i, s in enumerate(snaps):
         is_recent = i >= len(snaps) - keep_last
         is_young = older_than_ms is not None and s.timestamp_ms >= older_than_ms
         is_pinned = min_protected is not None and s.snapshot_id >= min_protected
-        if s.snapshot_id == current_id or is_recent or is_young or is_pinned:
+        is_ref = s.snapshot_id in ref_ids
+        if s.snapshot_id == current_id or is_recent or is_young or is_pinned or is_ref:
             keep.append(s)
         else:
             drop.append(s)

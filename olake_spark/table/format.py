@@ -272,6 +272,60 @@ class Table:
                 best = Snapshot.from_dict(d)
         return best
 
+    # ------------------------------------------------------- refs / rollback
+    @property
+    def refs(self) -> dict[str, dict]:
+        """Named refs (Iceberg tags/branches): name -> {snapshot_id, type}."""
+        return dict(self.metadata.get("refs", {}))
+
+    def set_ref(
+        self, name: str, snapshot_id: int | None = None, ref_type: str = "tag"
+    ) -> None:
+        """Create or move a named ref (default: the current snapshot).
+        Tagged snapshots are protected from expire_snapshots until the
+        ref is removed — the Iceberg tag/branch retention contract."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref_type must be 'tag' or 'branch', got {ref_type!r}")
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            raise ValueError("table has no snapshot to reference")
+        self.snapshot(sid)  # raises KeyError if expired/unknown
+        self.metadata.setdefault("refs", {})[name] = {
+            "snapshot_id": sid,
+            "type": ref_type,
+        }
+        self.rewrite_metadata()
+
+    def remove_ref(self, name: str) -> None:
+        if name not in self.metadata.get("refs", {}):
+            raise KeyError(f"ref {name!r} not found")
+        del self.metadata["refs"][name]
+        self.rewrite_metadata()
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Point the table back at an ancestor snapshot (Iceberg
+        rollback_to_snapshot). Metadata-only — no snapshot is created and
+        the rolled-over snapshots stay in the log for time travel until
+        expired. The next commit() allocates a fresh (max+1) id, so the
+        abandoned lineage is never overwritten."""
+        target = self.snapshot(snapshot_id)  # KeyError if unknown
+        # ancestor check: walk the parent chain from current
+        cur = self.snapshot()
+        seen = set()
+        while cur is not None and cur.snapshot_id not in seen:
+            if cur.snapshot_id == target.snapshot_id:
+                break
+            seen.add(cur.snapshot_id)
+            cur = (
+                self.snapshot(cur.parent_id) if cur.parent_id is not None else None
+            )
+        else:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of the current snapshot"
+            )
+        self.metadata["current_snapshot_id"] = snapshot_id
+        self.rewrite_metadata()
+
     def _read_manifest(self, rel: str) -> list[DataFile]:
         if rel not in self._manifest_cache:
             with open(os.path.join(self.root, rel)) as f:
@@ -300,13 +354,23 @@ class Table:
         doc_id_range: tuple[str, str] | None = None,
         n_tok_range: tuple[int, int] | None = None,
         files: list[DataFile] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read with manifest-level file pruning.
 
         Pruning here skips whole files via manifest min/max (the analog of
         Iceberg manifest filtering); Catalyst/parquet then push the same
         predicates down to row groups within the surviving files.
+        ``ref`` reads a named tag/branch (mutually exclusive with
+        ``snapshot_id``).
         """
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or ref, not both")
+            try:
+                snapshot_id = self.metadata["refs"][ref]["snapshot_id"]
+            except KeyError:
+                raise KeyError(f"ref {ref!r} not found") from None
         snap = self.snapshot(snapshot_id)
         schema = self.schema(snap.schema_id if snap else None)
         target_sid = snap.schema_id if snap else self.metadata["current_schema_id"]
@@ -446,7 +510,11 @@ class Table:
                 self._write_manifest(added[i : i + MANIFEST_MAX_ENTRIES])
             )
 
-        snap_id = (parent.snapshot_id + 1) if parent else 1
+        # max+1, NOT parent+1: after rollback_to() the parent may be an
+        # old snapshot while higher ids still exist in the log — new ids
+        # must stay unique (Iceberg uses random longs for the same reason)
+        all_ids = [d["snapshot_id"] for d in self.metadata["snapshots"]]
+        snap_id = (max(all_ids) + 1) if all_ids else 1
         # in-memory mutations below must roll back if the version claim
         # loses a concurrent-commit race, so a retry sees clean state
         metadata_backup = json.dumps(self.metadata)

@@ -179,3 +179,60 @@ def test_snapshot_as_of_time_travel(spark, tmp_path):
         t.snapshot_as_of(int(_time.time() * 1000) + 10_000).snapshot_id
         == t.current_snapshot_id
     )
+
+
+def test_rollback_and_unique_snapshot_ids(spark, table, seq_df):
+    a = seq_df.limit(100)
+    b = seq_df.limit(200).exceptAll(a)
+    table.append(a)  # snap 1
+    table.append(b)  # snap 2
+    assert table.scan().count() == 200
+    table.rollback_to(1)
+    assert table.current_snapshot_id == 1
+    assert table.scan().count() == 100
+    # rolled-over snapshot 2 is still time-travelable
+    assert table.scan(snapshot_id=2).count() == 200
+    # a fresh reader sees the rollback
+    assert Table.load(spark, table.root).scan().count() == 100
+    # next commit takes a NEW id (max+1), never colliding with 2
+    table.append(b)
+    assert table.current_snapshot_id == 3
+    assert table.scan().count() == 200
+    ids = [s.snapshot_id for s in table.snapshots()]
+    assert len(ids) == len(set(ids)) == 3
+    # non-ancestor rollback is refused (2 is not an ancestor of 3's chain)
+    with pytest.raises(ValueError):
+        table.rollback_to(2)
+    with pytest.raises(KeyError):
+        table.rollback_to(99)
+
+
+def test_refs_scan_and_expire_protection(spark, table, seq_df):
+    from olake_spark.operators.expire import expire_snapshots
+
+    a = seq_df.limit(100)
+    b = seq_df.limit(150).exceptAll(a)
+    c = seq_df.limit(180).exceptAll(seq_df.limit(150))
+    table.append(a)  # snap 1
+    table.set_ref("v1.0", ref_type="tag")
+    table.append(b)  # snap 2
+    table.append(c)  # snap 3
+    table.append(seq_df.limit(190).exceptAll(seq_df.limit(180)))  # snap 4
+    assert table.refs["v1.0"]["snapshot_id"] == 1
+    assert table.scan(ref="v1.0").count() == 100
+    with pytest.raises(KeyError):
+        table.scan(ref="nope")
+    with pytest.raises(ValueError):
+        table.scan(snapshot_id=1, ref="v1.0")
+
+    # expire keep_last=2: snap 1 survives ONLY because of the tag; snap 2 goes
+    res = expire_snapshots(table, keep_last=2)
+    kept = set(res.kept_snapshots)
+    assert 1 in kept and 2 not in kept and {3, 4} <= kept
+    assert table.scan(ref="v1.0").count() == 100  # tag still readable
+    # drop the tag -> snapshot 1 becomes expirable
+    table.remove_ref("v1.0")
+    res2 = expire_snapshots(table, keep_last=2)
+    assert 1 in res2.expired_snapshots
+    with pytest.raises(KeyError):
+        table.scan(snapshot_id=1)
