@@ -99,6 +99,7 @@ class DataFile:
     partition: str | None = None
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
     schema_id: int = 0  # schema the file was written under (evolution)
+    spec_col: str | None = None  # column `partition` is a value of (spec evolution)
 
     def to_dict(self) -> dict:
         return {
@@ -108,6 +109,7 @@ class DataFile:
             "partition": self.partition,
             "stats": self.stats,
             "schema_id": self.schema_id,
+            "spec_col": self.spec_col,
         }
 
     @classmethod
@@ -119,6 +121,7 @@ class DataFile:
             partition=d.get("partition"),
             stats=d.get("stats", {}),
             schema_id=d.get("schema_id", 0),
+            spec_col=d.get("spec_col"),
         )
 
     def may_contain(self, col: str, value) -> bool:
@@ -302,6 +305,21 @@ class Table:
         del self.metadata["refs"][name]
         self.rewrite_metadata()
 
+    def evolve_partition(self, new_col: str) -> None:
+        """Identity-partition spec evolution (Iceberg partition evolution):
+        NEW writes detect partition purity on ``new_col``; existing files
+        keep their old spec untouched — no rewrite — and scans still
+        prune them exactly through per-file min/max stats. The spec
+        history is recorded in ``partition_spec_log``."""
+        if new_col not in {f.name for f in self.schema().fields}:
+            raise KeyError(f"column {new_col!r} not in current schema")
+        log = self.metadata.setdefault(
+            "partition_spec_log", [self.metadata["partition_col"]]
+        )
+        log.append(new_col)
+        self.metadata["partition_col"] = new_col
+        self.rewrite_metadata()
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Point the table back at an ancestor snapshot (Iceberg
         rollback_to_snapshot). Metadata-only — no snapshot is created and
@@ -379,8 +397,15 @@ class Table:
             cand = [
                 f
                 for f in cand
-                if (f.partition in sources)
-                or (f.partition is None and any(f.may_contain("source", s) for s in sources))
+                # identity-partition prune only when the file's spec col
+                # IS "source" (post-evolution files may partition by a
+                # different column); otherwise min/max stats prune exactly
+                if (
+                    f.partition in sources
+                    if (f.spec_col is None or f.spec_col == "source")
+                    and f.partition is not None
+                    else any(f.may_contain("source", s) for s in sources)
+                )
             ]
         if doc_id_range is not None:
             cand = [f for f in cand if f.overlaps("doc_id", *doc_id_range)]
@@ -461,6 +486,7 @@ class Table:
                     partition=partition,
                     stats=st,
                     schema_id=self.metadata["current_schema_id"],
+                    spec_col=pc,
                 )
             )
         return out

@@ -236,3 +236,36 @@ def test_refs_scan_and_expire_protection(spark, table, seq_df):
     assert 1 in res2.expired_snapshots
     with pytest.raises(KeyError):
         table.scan(snapshot_id=1)
+
+
+def test_partition_spec_evolution(spark, table, seq_df):
+    # source-pure layout under the original spec
+    table.append(seq_df.limit(1000).repartition(64, "source"))
+    old_files = table.files()
+    assert all(f.spec_col == "source" for f in old_files)
+    assert any(f.partition is not None for f in old_files)
+
+    table.evolve_partition("doc_id")
+    assert table.partition_col == "doc_id"
+    assert table.metadata["partition_spec_log"] == ["source", "doc_id"]
+    # a fresh loader sees the evolved spec
+    assert Table.load(spark, table.root).partition_col == "doc_id"
+
+    # new writes record the NEW spec; old files are untouched (no rewrite)
+    extra = seq_df.limit(1500).exceptAll(seq_df.limit(1000))
+    table.append(extra.repartition("doc_id"))
+    specs = {f.spec_col for f in table.files()}
+    assert specs == {"source", "doc_id"}
+    assert {f.path for f in old_files} <= {f.path for f in table.files()}
+
+    # source pruning stays EXACT across mixed specs: identity prune for
+    # old-spec files, min/max stats prune for new-spec files
+    want = (
+        table.scan().filter(F.col("source") == "wiki").select("doc_id").collect()
+    )
+    got = table.scan(sources=["wiki"]).select("doc_id").collect()
+    assert sorted(r.doc_id for r in got) == sorted(r.doc_id for r in want)
+    assert len(got) > 0
+
+    with pytest.raises(KeyError):
+        table.evolve_partition("nope")
