@@ -236,3 +236,37 @@ def test_maintain_expire_protects_tailer_cursor(tmp_path, capsys, spark):
     got = []
     tailer.run(lambda d, sid: got.append(d.count()), bounded=True)
     assert got == [3]
+
+
+def test_maintain_rollback_and_tag(tmp_path, capsys, spark):
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.table import Table
+
+    dest = str(tmp_path / "rt")
+    t = Table.create(spark, dest)
+    df = generate_sequences(spark, 400, seed=9, max_tok=32)
+    t.append(df.limit(200).repartition(4))
+    s1 = t.current_snapshot_id
+    t.append(df.exceptAll(df.limit(200)).repartition(4))
+
+    assert main(["maintain", "--dest", dest, "--op", "tag",
+                 "--ref", "prod", "--to-snapshot", str(s1),
+                 "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "tag" and msgs[0]["snapshot"] == s1
+
+    assert main(["maintain", "--dest", dest, "--op", "rollback",
+                 "--to-snapshot", str(s1), "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "rollback" and msgs[0]["current_snapshot"] == s1
+    assert msgs[-1]["total_rows"] == 200
+
+    # missing/invalid args fail cleanly
+    assert main(["maintain", "--dest", dest, "--op", "rollback",
+                 "--cpus", "8"]) == 2
+    _lines(capsys)
+    assert main(["maintain", "--dest", dest, "--op", "tag",
+                 "--cpus", "8"]) == 2
+    _lines(capsys)
+    assert main(["maintain", "--dest", dest, "--op", "rollback",
+                 "--to-snapshot", "99", "--cpus", "8"]) == 2
