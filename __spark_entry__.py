@@ -569,6 +569,14 @@ def _doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _repeated_ngrams(spark, sf_dir):
+    # corpus-level repeated-passage coverage (hot 3-grams, >=3 occurrences)
+    from olake_spark.operators.dedup import repeated_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_ngram_stats(d, n=3, min_repeats=3)
+
+
 def _semantic_dedup(spark, sf_dir):
     # SemDeDup-style: k-means cells -> within-cell cosine pairs ->
     # connected components -> keep min-id representative
@@ -1140,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
+        "repeated_ngrams": _repeated_ngrams,
         "semantic_dedup": _semantic_dedup,
         "doc_repetition": _doc_repetition,
         "pii_scrub": _pii_scrub,
@@ -1569,6 +1578,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
                         ELSE 'es' END AS pred_lang
             FROM s
+        """,
+        "repeated_ngrams": """
+            WITH s AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+              FROM s WHERE len(w) >= 3
+            ),
+            c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN c.cnt >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hot,
+                   round(CAST(sum(CASE WHEN c.cnt >= 3 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS hot_fraction
+            FROM g JOIN c USING (gram)
+            GROUP BY g.doc_id
         """,
         "doc_repetition": """
             WITH s AS (

@@ -554,6 +554,46 @@ def ngram_jaccard_pairs(
     )
 
 
+# -------------------------------------------------- repeated-passage stats
+def repeated_ngram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_repeats: int = 3,
+) -> DataFrame:
+    """Per-document coverage by corpus-level repeated n-grams — the
+    duplicated-passage signal of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499),
+    approximated at n-gram granularity instead of suffix arrays: an
+    n-gram is HOT when it occurs >= ``min_repeats`` times corpus-wide;
+    each doc reports how much of it is covered by hot n-grams. Docs with
+    high ``hot_fraction`` are templated/boilerplate candidates.
+
+    100 TB design: explode -> count is one uniform hash shuffle on the
+    n-gram; the join back is a second equi-join on the same key (AQE
+    broadcasts it when the hot set is small). No skew beyond genuinely
+    hot n-grams, whose groups are count-only (no member lists). Docs
+    shorter than ``n`` words have no n-grams and drop out.
+
+    Returns (id_col, n_grams, n_hot, hot_fraction).
+    """
+    from olake_spark.operators.text import ngrams_col
+
+    grams = docs.select(
+        F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
+    joined = grams.join(counts, "gram").select(
+        id_col, (F.col("_cnt") >= min_repeats).cast("int").alias("_hot")
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("_hot").alias("n_hot"),
+        F.round(F.sum("_hot") / F.count("*"), 6).alias("hot_fraction"),
+    )
+
+
 # ------------------------------------------------------- semantic dedup
 def semantic_dedup(
     emb: DataFrame,

@@ -128,19 +128,27 @@ def _mode_count(arr: Column) -> Column:
     return F.aggregate(s, acc0, step, lambda acc: acc["best"])
 
 
+def ngrams_col(text: str | Column = "text", n: int = 2) -> Column:
+    """All adjacent word n-grams as space-joined strings, in order and
+    WITH repeats (empty array for docs shorter than n words)."""
+    w = words_col(text)
+    sz = F.size(w)
+    # guard sz<n: sequence(1, sz-n+1) would generate a DESCENDING range
+    # in Spark, and element_at(w, 0) is an error under ANSI mode
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), sz - n + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
 def bigrams_col(text: str | Column = "text") -> Column:
     """Adjacent word bigrams as 'w_i w_{i+1}' strings (empty array for
     single-word docs)."""
-    w = words_col(text)
-    n = F.size(w)
-    # guard n<2: sequence(1, 0) would generate a DESCENDING [1, 0] in
-    # Spark, and element_at(w, 0) is an error under ANSI mode
-    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-        )
-    )
+    return ngrams_col(text, 2)
 
 
 def max_word_ratio(text: str | Column = "text") -> Column:

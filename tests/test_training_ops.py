@@ -565,3 +565,32 @@ def test_cluster_loop_materializes_edges_once(spark, tmp_path):
     # subtree, and the loop's rounds must add nothing
     rows_traced = sum(int(x) for x in open(marker))
     assert rows_traced <= len(base), rows_traced
+
+
+def test_repeated_ngram_stats_exact(spark):
+    """Hot-n-gram coverage vs hand-computed counts on a planted corpus."""
+    from olake_spark.operators.dedup import repeated_ngram_stats
+
+    boiler = "all rights reserved contact us today"
+    docs = spark.createDataFrame(
+        [
+            ("a", "unique opening words here " + boiler, "s"),
+            ("b", "different second document text " + boiler, "s"),
+            ("c", "third body copy entirely " + boiler, "s"),
+            ("d", "fresh original content nothing shared at all", "s"),
+            ("e", "xy zz", "s"),  # < 3 words: no 3-grams, drops out
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in repeated_ngram_stats(docs, n=3, min_repeats=3).collect()
+    }
+    assert "e" not in out and len(out) == 4
+    # docs a/b/c: 10 words -> 8 trigrams; the 4 trigrams fully inside the
+    # shared 6-word boilerplate occur 3x corpus-wide -> hot
+    for d in ("a", "b", "c"):
+        assert out[d].n_grams == 8
+        assert out[d].n_hot == 4
+        assert out[d].hot_fraction == pytest.approx(0.5, abs=1e-6)
+    assert out["d"].n_hot == 0 and out["d"].hot_fraction == 0.0
