@@ -561,6 +561,7 @@ def repeated_ngram_stats(
     text_col: str = "text",
     n: int = 3,
     min_repeats: int = 3,
+    strategy: str = "window",
 ) -> DataFrame:
     """Per-document coverage by corpus-level repeated n-grams — the
     duplicated-passage signal of Lee et al. 2022 ("Deduplicating
@@ -568,13 +569,20 @@ def repeated_ngram_stats(
     approximated at n-gram granularity instead of suffix arrays: an
     n-gram is HOT when it occurs >= ``min_repeats`` times corpus-wide;
     each doc reports how much of it is covered by hot n-grams. Docs with
-    high ``hot_fraction`` are templated/boilerplate candidates.
-
-    100 TB design: explode -> count is one uniform hash shuffle on the
-    n-gram; the join back is a second equi-join on the same key (AQE
-    broadcasts it when the hot set is small). No skew beyond genuinely
-    hot n-grams, whose groups are count-only (no member lists). Docs
+    high ``hot_fraction`` are templated/boilerplate candidates; docs
     shorter than ``n`` words have no n-grams and drop out.
+
+    Strategy tradeoff at corpus scale:
+
+    - ``window`` (default): ONE corpus scan; corpus counts come from a
+      count-over-Window on the gram key, so occurrences shuffle once.
+      An ultra-hot n-gram buffers its whole group in one window task
+      (spills to disk — completes, but that task is the straggler).
+    - ``join``: explode -> groupBy count (map-side partial combine keeps
+      the count shuffle at distinct-gram volume) -> equi-join back.
+      TWO corpus scans, but the hot-key join is AQE-skew-splittable,
+      which is the safer shape when a handful of n-grams dominate a
+      10^12-doc corpus.
 
     Returns (id_col, n_grams, n_hot, hot_fraction).
     """
@@ -583,10 +591,18 @@ def repeated_ngram_stats(
     grams = docs.select(
         F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram")
     )
-    counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
-    joined = grams.join(counts, "gram").select(
-        id_col, (F.col("_cnt") >= min_repeats).cast("int").alias("_hot")
-    )
+    if strategy == "window":
+        hot = (
+            F.count("*").over(Window.partitionBy("gram")) >= min_repeats
+        ).cast("int")
+        joined = grams.select(F.col(id_col), hot.alias("_hot"))
+    elif strategy == "join":
+        counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
+        joined = grams.join(counts, "gram").select(
+            id_col, (F.col("_cnt") >= min_repeats).cast("int").alias("_hot")
+        )
+    else:
+        raise ValueError(f"strategy must be 'window' or 'join', got {strategy!r}")
     return joined.groupBy(id_col).agg(
         F.count("*").alias("n_grams"),
         F.sum("_hot").alias("n_hot"),

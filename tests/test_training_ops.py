@@ -594,3 +594,20 @@ def test_repeated_ngram_stats_exact(spark):
         assert out[d].n_hot == 4
         assert out[d].hot_fraction == pytest.approx(0.5, abs=1e-6)
     assert out["d"].n_hot == 0 and out["d"].hot_fraction == 0.0
+
+
+def test_repeated_ngram_strategies_agree(spark):
+    """window and join strategies are alternative physical plans of the
+    same logical op — identical output required."""
+    from olake_spark.operators.dedup import repeated_ngram_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {
+        r.doc_id: (r.n_grams, r.n_hot, r.hot_fraction)
+        for r in repeated_ngram_stats(docs, strategy="window").collect()
+    }
+    b = {
+        r.doc_id: (r.n_grams, r.n_hot, r.hot_fraction)
+        for r in repeated_ngram_stats(docs, strategy="join").collect()
+    }
+    assert a == b and len(a) > 0
