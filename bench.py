@@ -127,6 +127,9 @@ def main() -> None:
             "simhash_near_dup",
             "embedding_topk",
             "seq_table_stats",
+            "doc_repetition",
+            "repeated_ngrams",
+            "pii_scrub",
         ]:
             with timed(name):
                 # noop sink: forces full computation of every output

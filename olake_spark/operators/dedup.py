@@ -633,8 +633,13 @@ def semantic_dedup(
     k-means cells on non-degenerate data. At the 10^12 scale n_cells
     rises to ~100k (SemDeDup uses 50k clusters on LAION), keeping cells
     at ~10^7 rows, and the within-cell join distributes across tasks
-    because it is a plain shuffle join on the cell key. Components are
-    pointer-doubling label propagation (O(log diameter) rounds).
+    because it is a plain shuffle join on the cell key. A degenerate
+    cell (mass of identical embeddings) is a skewed join key — AQE's
+    skew-join split (enabled in session.py) chunks it across tasks,
+    and the threshold filter is pipelined into the join so candidate
+    pairs never materialize; the O(cell^2) comparison cost itself is
+    inherent to SemDeDup and is bounded by raising n_cells. Components
+    are pointer-doubling label propagation (O(log diameter) rounds).
 
     Returns (id_col, cluster_rep, keep) for every input row; singletons
     keep themselves.
