@@ -1648,23 +1648,33 @@ def oracle_sql() -> dict[str, str]:
                                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                              ELSE '' END AS t
               FROM documents
+            ),
+            -- counts run on the progressively-scrubbed text, mirroring
+            -- operators/text.pii_scrub's sequential semantics
+            e1 AS (
+              SELECT doc_id, t,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM d
+            ),
+            e2 AS (
+              SELECT doc_id, t, t1,
+                     regexp_replace(t1,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS t2
+              FROM e1
             )
             SELECT doc_id,
                    len(regexp_extract_all(t,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-                   len(regexp_extract_all(t,
+                   len(regexp_extract_all(t1,
                      '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ips,
-                   len(regexp_extract_all(t,
+                   len(regexp_extract_all(t2,
                      '\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}(?:[- ]?\d{3,4})?')) AS n_phones,
-                   regexp_replace(
-                     regexp_replace(
-                       regexp_replace(t,
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                         '<EMAIL>', 'g'),
-                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                   regexp_replace(t2,
                      '\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}(?:[- ]?\d{3,4})?',
                      '<PHONE>', 'g') AS text_clean
-            FROM d
+            FROM e2
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -108,11 +108,11 @@ def build_ann_index(
 
     centroids = None
     if kind == "ivf":
-        sample = np.stack(
-            [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()]
-        ).astype(np.float32)
-        sample = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-9)
-        centroids = _ivf_centroids(dim, n_cells, seed, sample)
+        from olake_spark.operators.similarity import sample_codebook
+
+        centroids = sample_codebook(
+            emb, vec_col, n_cells, seed, sample_rows, dim=dim
+        )
         assign_udf = ivf_bucket_udf(centroids)
         n_routes = n_cells
         route = F.col(ASSIGN)

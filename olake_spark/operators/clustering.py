@@ -122,7 +122,14 @@ def default_cluster_specs(table: Table, snapshot_id: int | None = None) -> list[
     length-bucketed training reads prune well."""
     files = table.files(snapshot_id)
     cats = sorted(
-        {f.partition for f in files if f.partition is not None}
+        # spec-aware: only partition values recorded under a "source"
+        # spec are source categories (post-evolution files may carry a
+        # different column's value in f.partition)
+        {
+            pv
+            for f in files
+            if (pv := table.partition_value(f, "source")) is not None
+        }
         | {
             s["min"]
             for f in files
@@ -233,7 +240,9 @@ def cluster(
     if scope == "per-source":
         by_part: dict[str, list[DataFile]] = {}
         for f in files:
-            by_part.setdefault(f.partition or "__mixed__", []).append(f)
+            by_part.setdefault(
+                table.partition_value(f, "source") or "__mixed__", []
+            ).append(f)
         file_runs = [by_part[k] for k in sorted(by_part)]
     else:
         file_runs = [files]

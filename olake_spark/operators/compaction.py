@@ -110,15 +110,23 @@ def plan_groups(
 ) -> list[tuple[str, list[DataFile]]]:
     """Group small files into resumable task groups.
 
-    Files are bucketed by identity partition (source; mixed files
-    together), partitions needing work are packed into groups of at most
+    Files are bucketed by identity partition (mixed files together),
+    partitions needing work are packed into groups of at most
     ``max_group_bytes`` — a greedy first-fit-decreasing bin pack over
-    manifest metadata only.
+    manifest metadata only. The bucket key is (spec_col, value) so that
+    after a partition spec evolution, same-string values recorded under
+    different spec columns never co-group (locality only — correctness
+    does not depend on the grouping).
     """
     by_part: dict[str, list[DataFile]] = {}
     for f in files:
         if f.file_size_bytes < small_file_bytes:
-            by_part.setdefault(f.partition or _MIXED, []).append(f)
+            key = (
+                f"{f.spec_col or ''}={f.partition}"
+                if f.partition is not None
+                else _MIXED
+            )
+            by_part.setdefault(key, []).append(f)
     work = {
         p: fs
         for p, fs in by_part.items()

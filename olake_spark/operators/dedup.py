@@ -644,15 +644,15 @@ def semantic_dedup(
     Returns (id_col, cluster_rep, keep) for every input row; singletons
     keep themselves.
     """
-    import numpy as np
+    from olake_spark.operators.similarity import ivf_bucket_udf, sample_codebook
 
-    from olake_spark.operators.similarity import _ivf_centroids, ivf_bucket_udf
-
-    sample = np.stack(
-        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()]
-    ).astype(np.float32)
-    sample = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-9)
-    C = _ivf_centroids(sample.shape[1], n_cells, seed, sample)
+    C = sample_codebook(emb, vec_col, n_cells, seed, sample_rows)
+    if C is None:  # empty input: everything (nothing) keeps itself
+        return emb.select(
+            F.col(id_col),
+            F.col(id_col).alias("cluster_rep"),
+            F.lit(True).alias("keep"),
+        )
     cell = ivf_bucket_udf(C)
     e = emb.withColumn("_cell", cell(F.col(vec_col)))
     pairs = embedding_near_dup_pairs(

@@ -103,6 +103,31 @@ def _ivf_centroids(dim: int, n_cells: int, seed: int, sample: np.ndarray | None)
     return C
 
 
+def sample_codebook(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_rows: int = 2048,
+    dim: int | None = None,
+) -> np.ndarray | None:
+    """Driver-side IVF codebook from a bounded sample — the ONE recipe
+    (collect limit(sample_rows) in scan order, L2-normalize with 1e-9
+    epsilon, k-means via _ivf_centroids) shared by ivf_topk,
+    build_ann_index, and semantic_dedup. The DuckDB oracle generators in
+    __spark_entry__.py replicate this math byte-for-byte; keeping a
+    single copy is what keeps oracle parity safe. Returns None for an
+    empty input."""
+    rows = emb.select(vec_col).limit(sample_rows).collect()
+    if not rows:
+        return None
+    sample = np.stack([r[0] for r in rows]).astype(np.float32)
+    sample = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-9)
+    return _ivf_centroids(
+        dim if dim is not None else sample.shape[1], n_cells, seed, sample
+    )
+
+
 def ivf_bucket_udf(centroids: np.ndarray):
     """Pandas UDF: embedding -> nearest-centroid cell id (one numpy
     matmul per Arrow batch)."""
@@ -133,11 +158,11 @@ def ivf_topk(
     rerank inside. The inverted-file scale path: at 10^12 rows the cell
     id becomes a partition/cluster key and a probe touches n_probe/n_cells
     of the data."""
-    sample = np.stack(
-        [r[0] for r in emb.select(vec_col).limit(sample_rows).collect()]
-    ).astype(np.float32)
-    sample = sample / (np.linalg.norm(sample, axis=1, keepdims=True) + 1e-9)
-    C = _ivf_centroids(len(query_vec), n_cells, seed, sample)
+    C = sample_codebook(
+        emb, vec_col, n_cells, seed, sample_rows, dim=len(query_vec)
+    )
+    if C is None:
+        C = _ivf_centroids(len(query_vec), n_cells, seed, None)
     q = np.asarray(query_vec, dtype=np.float32)
     q = q / (np.linalg.norm(q) + 1e-9)
     probes = np.argsort(-(C @ q))[:n_probe].tolist()

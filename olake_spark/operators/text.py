@@ -225,19 +225,22 @@ PII_ORDER = ("email", "ip", "phone")
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace emails / IPv4s / international-format phone numbers with
-    typed placeholder tokens and count each kind per document. Pure
-    regexp_replace/regexp_extract_all — single codegen'd scan."""
-    c = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), F.lit(0))).alias(
-            f"n_{k}s"
-        )
-        for k in PII_ORDER
-    ]
-    clean = c
+    typed placeholder tokens and count each kind per document. Each kind
+    is counted on the PROGRESSIVELY-scrubbed text (same order as the
+    replacements), so the counts always reconcile with the placeholder
+    tokens in ``text_clean`` even when patterns overlap (an IP inside an
+    email address counts once, as the email). Pure regexp expressions —
+    single codegen'd scan."""
+    cur = F.col(text_col)
+    counts = []
     for k in PII_ORDER:
-        clean = F.regexp_replace(clean, PII_PATTERNS[k], PII_TOKENS[k])
-    return docs.select("*", *counts, clean.alias("text_clean"))
+        counts.append(
+            F.size(
+                F.regexp_extract_all(cur, F.lit(PII_PATTERNS[k]), F.lit(0))
+            ).alias(f"n_{k}s")
+        )
+        cur = F.regexp_replace(cur, PII_PATTERNS[k], PII_TOKENS[k])
+    return docs.select("*", *counts, cur.alias("text_clean"))
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:

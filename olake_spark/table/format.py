@@ -305,14 +305,31 @@ class Table:
         del self.metadata["refs"][name]
         self.rewrite_metadata()
 
+    def partition_value(self, f: DataFile, col: str) -> str | None:
+        """``f.partition`` when the file's partition spec column is
+        ``col``, else None. Files from manifests predating spec
+        recording (spec_col=None) were written under the table's FIRST
+        spec — resolving them to the current partition_col would
+        misattribute their value after an evolve_partition()."""
+        sc = f.spec_col or self.metadata.get(
+            "partition_spec_log", [self.partition_col]
+        )[0]
+        return f.partition if sc == col else None
+
     def evolve_partition(self, new_col: str) -> None:
         """Identity-partition spec evolution (Iceberg partition evolution):
         NEW writes detect partition purity on ``new_col``; existing files
         keep their old spec untouched — no rewrite — and scans still
         prune them exactly through per-file min/max stats. The spec
-        history is recorded in ``partition_spec_log``."""
+        history is recorded in ``partition_spec_log``. ``new_col`` is
+        added to stats_columns if absent — purity detection reads the
+        per-file min/max of the spec column, so without stats the
+        evolution would be silently inert."""
         if new_col not in {f.name for f in self.schema().fields}:
             raise KeyError(f"column {new_col!r} not in current schema")
+        cols = self.metadata.setdefault("stats_columns", list(STATS_COLUMNS))
+        if new_col not in cols:
+            cols.append(new_col)
         log = self.metadata.setdefault(
             "partition_spec_log", [self.metadata["partition_col"]]
         )
@@ -325,22 +342,50 @@ class Table:
         rollback_to_snapshot). Metadata-only — no snapshot is created and
         the rolled-over snapshots stay in the log for time travel until
         expired. The next commit() allocates a fresh (max+1) id, so the
-        abandoned lineage is never overwritten."""
+        abandoned lineage is never overwritten.
+
+        Expired intermediates: expire_snapshots may have dropped
+        snapshots BETWEEN the current one and a tag-pinned restore
+        point, breaking the parent chain. The walk treats a missing
+        parent as a gap and still accepts the target when its id
+        precedes everything walked — a tagged restore point stays
+        rollbackable after routine expiry. A target on an abandoned
+        branch (known, but not an ancestor) is refused; use
+        set_current_snapshot for unrestricted repointing."""
         target = self.snapshot(snapshot_id)  # KeyError if unknown
-        # ancestor check: walk the parent chain from current
         cur = self.snapshot()
-        seen = set()
+        found = gap = False
+        min_walked = None
+        seen: set[int] = set()
         while cur is not None and cur.snapshot_id not in seen:
             if cur.snapshot_id == target.snapshot_id:
+                found = True
                 break
             seen.add(cur.snapshot_id)
-            cur = (
-                self.snapshot(cur.parent_id) if cur.parent_id is not None else None
-            )
-        else:
+            min_walked = cur.snapshot_id
+            if cur.parent_id is None:
+                cur = None
+                break
+            try:
+                cur = self.snapshot(cur.parent_id)
+            except KeyError:
+                gap = True
+                cur = None
+        if not found and not (
+            gap and min_walked is not None and target.snapshot_id < min_walked
+        ):
             raise ValueError(
-                f"snapshot {snapshot_id} is not an ancestor of the current snapshot"
+                f"snapshot {snapshot_id} is not an ancestor of the current "
+                "snapshot (use set_current_snapshot to repoint explicitly)"
             )
+        self.metadata["current_snapshot_id"] = snapshot_id
+        self.rewrite_metadata()
+
+    def set_current_snapshot(self, snapshot_id: int) -> None:
+        """Repoint the table at ANY retained snapshot, ancestor or not
+        (Iceberg set_current_snapshot) — e.g. to resurrect an abandoned
+        branch after a rollback."""
+        self.snapshot(snapshot_id)  # KeyError if unknown
         self.metadata["current_snapshot_id"] = snapshot_id
         self.rewrite_metadata()
 
@@ -399,11 +444,11 @@ class Table:
                 for f in cand
                 # identity-partition prune only when the file's spec col
                 # IS "source" (post-evolution files may partition by a
-                # different column); otherwise min/max stats prune exactly
+                # different column; legacy entries resolve to the FIRST
+                # spec); otherwise min/max stats prune exactly
                 if (
-                    f.partition in sources
-                    if (f.spec_col is None or f.spec_col == "source")
-                    and f.partition is not None
+                    pv in sources
+                    if (pv := self.partition_value(f, "source")) is not None
                     else any(f.may_contain("source", s) for s in sources)
                 )
             ]

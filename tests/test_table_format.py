@@ -269,3 +269,44 @@ def test_partition_spec_evolution(spark, table, seq_df):
 
     with pytest.raises(KeyError):
         table.evolve_partition("nope")
+
+
+def test_rollback_to_tag_survives_expired_intermediates(spark, table, seq_df):
+    """A tag-pinned restore point stays rollbackable even after expiry
+    dropped the snapshots between it and the current one."""
+    from olake_spark.operators.expire import expire_snapshots
+
+    a = seq_df.limit(100)
+    table.append(a)  # snap 1
+    table.set_ref("restore", ref_type="tag")
+    for lo, hi in ((100, 130), (130, 160), (160, 190)):  # snaps 2-4
+        table.append(seq_df.limit(hi).exceptAll(seq_df.limit(lo)))
+    res = expire_snapshots(table, keep_last=2)  # drops 2 (1 is tagged)
+    assert 2 in res.expired_snapshots and 1 in res.kept_snapshots
+    table.rollback_to(1)  # chain 4 -> 3 -> GAP(2): still accepted
+    assert table.current_snapshot_id == 1
+    assert table.scan().count() == 100
+
+
+def test_set_current_snapshot_repoints_anywhere(spark, table, seq_df):
+    a = seq_df.limit(100)
+    b = seq_df.limit(150).exceptAll(a)
+    table.append(a)  # 1
+    table.append(b)  # 2
+    table.rollback_to(1)
+    table.append(b)  # 3 (branch from 1)
+    # 2 is on the abandoned branch: rollback refuses, set_current works
+    with pytest.raises(ValueError):
+        table.rollback_to(2)
+    table.set_current_snapshot(2)
+    assert table.current_snapshot_id == 2
+    assert table.scan().count() == 150
+    with pytest.raises(KeyError):
+        table.set_current_snapshot(42)
+
+
+def test_evolve_partition_adds_stats_column(spark, table, seq_df):
+    assert "_olake_insert_time" not in table.metadata["stats_columns"]
+    table.evolve_partition("_olake_insert_time")
+    assert "_olake_insert_time" in table.metadata["stats_columns"]
+    assert table.partition_col == "_olake_insert_time"

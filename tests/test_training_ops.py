@@ -286,6 +286,32 @@ def test_pii_scrub_patterns(spark):
     assert "<EMAIL>" in out["e"].text_clean and "<IP>" in out["e"].text_clean
 
 
+def test_pii_scrub_counts_reconcile_with_tokens(spark):
+    """Overlapping matches (an IP inside an email's user part) count
+    once, as the kind that scrubbed them — counts always equal the
+    number of placeholder tokens emitted."""
+    from olake_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [("a", "contact 10.0.0.1@host.com now", "s")],
+        "doc_id string, text string, source string",
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 0, 0)
+    assert r.text_clean == "contact <EMAIL> now"
+    assert r.text_clean.count("<EMAIL>") == r.n_emails
+    assert r.text_clean.count("<IP>") == r.n_ips
+
+
+def test_semantic_dedup_empty_input(spark):
+    from olake_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    out = semantic_dedup(emb)
+    assert out.columns == ["vec_id", "cluster_rep", "keep"]
+    assert out.count() == 0
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.createDataFrame(
         [("1", "hello world", "s"), ("2", "bytes here", "s")],
