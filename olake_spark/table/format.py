@@ -693,23 +693,66 @@ class Table:
             )
         return out
 
+    _MAX_IDENTITY_PARTITIONS = 4096
+
+    def _distribute(self, df: DataFrame, mode: str | None) -> DataFrame:
+        """Pre-write distribution (Iceberg write.distribution-mode):
+
+        - None: caller's layout, written as-is.
+        - 'partition': route every row of one identity-partition value
+          to one task (exact bin routing, single shuffle) so ALL output
+          files are partition-pure and identity pruning applies to every
+          scan. Value cardinality is collected driver-side and must stay
+          <= _MAX_IDENTITY_PARTITIONS — identity partitions are
+          low-cardinality by design; date-derived high-cardinality
+          routing belongs to partition_regex. A hot value is one task
+          (use max_records_per_file to split its files); salting hot
+          partitions across tasks would break file purity.
+        """
+        if mode is None:
+            return df
+        if mode != "partition":
+            raise ValueError(f"unknown distribution mode {mode!r}")
+        pc = self.partition_col
+        from olake_spark.functions.partitioning import exact_range_partition
+
+        vals = sorted(
+            r[0] for r in df.select(pc).distinct().collect() if r[0] is not None
+        )
+        if len(vals) > self._MAX_IDENTITY_PARTITIONS:
+            raise ValueError(
+                f"{len(vals)} distinct {pc!r} values exceeds "
+                f"{self._MAX_IDENTITY_PARTITIONS}; use partition_regex "
+                "path routing for high-cardinality partitioning"
+            )
+        key = F.coalesce(F.col(pc).cast("string"), F.lit(""))
+        return exact_range_partition(df, key, [str(v) for v in vals], [pc])
+
     def append(
-        self, df: DataFrame, max_records_per_file: int | None = None
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+        distribute: str | None = None,
     ) -> int:
         files = self.write_data_files(
-            self._complete_system_columns(df), max_records_per_file
+            self._distribute(self._complete_system_columns(df), distribute),
+            max_records_per_file,
         )
         return self.commit("append", added=files)
 
     def overwrite(
-        self, df: DataFrame, max_records_per_file: int | None = None
+        self,
+        df: DataFrame,
+        max_records_per_file: int | None = None,
+        distribute: str | None = None,
     ) -> int:
         """Replace the table's entire contents with ``df`` in ONE atomic
         snapshot (full-refresh semantics: the reference re-syncs a stream
         from scratch rather than appending a second copy). Readers pinned
         to older snapshots still see the prior files until expiry."""
         files = self.write_data_files(
-            self._complete_system_columns(df), max_records_per_file
+            self._distribute(self._complete_system_columns(df), distribute),
+            max_records_per_file,
         )
         current = {f.path for f in self.files()}
         return self.commit("overwrite", added=files, removed_paths=current)

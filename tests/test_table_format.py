@@ -310,3 +310,18 @@ def test_evolve_partition_adds_stats_column(spark, table, seq_df):
     table.evolve_partition("_olake_insert_time")
     assert "_olake_insert_time" in table.metadata["stats_columns"]
     assert table.partition_col == "_olake_insert_time"
+
+
+def test_append_distribute_partition_pure_files(spark, table, seq_df):
+    """distribute='partition' must make EVERY output file
+    partition-pure regardless of the caller's layout."""
+    table.append(seq_df.limit(1200).repartition(3), distribute="partition")
+    files = table.files()
+    assert len(files) >= 10  # one+ per source value
+    assert all(f.partition is not None for f in files)
+    assert all(f.spec_col == "source" for f in files)
+    got = table.scan(sources=["wiki"]).count()
+    want = table.scan().filter(F.col("source") == "wiki").count()
+    assert got == want > 0
+    with pytest.raises(ValueError):
+        table.append(seq_df.limit(10), distribute="bogus")
