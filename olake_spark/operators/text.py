@@ -35,41 +35,53 @@ def token_count(text: str | Column = "text") -> Column:
     return F.size(words_col(text))
 
 
-def stopword_ratio(text: str | Column = "text", stopwords: list[str] | None = None) -> Column:
+# Each metric has an *_of variant taking a materialized word ARRAY —
+# the array expressions are higher-order functions, which Spark
+# evaluates interpreted, so feeding an unmaterialized split() re-runs
+# the split per reference. One-pass callers (analyze_documents) stage
+# the array once; the string-input forms stay for single-metric use.
+
+
+def stopword_ratio_of(w: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or STOPWORDS_EN
-    w = words_col(text)
     hits = F.size(F.filter(w, lambda x: F.lower(x).isin(sw)))
     return hits / F.greatest(F.size(w), F.lit(1))
 
 
-def mean_word_len(text: str | Column = "text") -> Column:
-    w = words_col(text)
+def stopword_ratio(text: str | Column = "text", stopwords: list[str] | None = None) -> Column:
+    return stopword_ratio_of(words_col(text), stopwords)
+
+
+def mean_word_len_of(w: Column) -> Column:
     total = F.aggregate(
         w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
     return total / F.greatest(F.size(w), F.lit(1))
 
 
-def quality_score(text: str | Column = "text") -> Column:
-    """Composite heuristic quality score in [0,1]: rewards moderate
-    length, mid-range stopword density, sane mean word length — the
-    usual pre-training corpus filters (C4/Gopher-style rules)."""
-    c = F.col(text) if isinstance(text, str) else text
-    n = token_count(c)
+def mean_word_len(text: str | Column = "text") -> Column:
+    return mean_word_len_of(words_col(text))
+
+
+def quality_score_of(w: Column) -> Column:
+    n = F.size(w)
     len_score = F.least(n / F.lit(100.0), F.lit(1.0))
-    sw = stopword_ratio(c)
+    sw = stopword_ratio_of(w)
     sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.3)) / F.lit(0.3)
-    mwl = mean_word_len(c)
+    mwl = mean_word_len_of(w)
     mwl_score = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.3))
     score = (len_score + F.greatest(sw_score, F.lit(0.0)) + mwl_score) / F.lit(3.0)
     return F.round(score, 6)
 
 
-def lang_id(text: str | Column = "text") -> Column:
-    """Stopword-profile language ID: argmax over per-language stopword
-    hit counts, 'und' (undetermined) when no profile scores > 0.
-    Deterministic tie-break by profile order."""
-    w = words_col(text)
+def quality_score(text: str | Column = "text") -> Column:
+    """Composite heuristic quality score in [0,1]: rewards moderate
+    length, mid-range stopword density, sane mean word length — the
+    usual pre-training corpus filters (C4/Gopher-style rules)."""
+    return quality_score_of(words_col(text))
+
+
+def lang_id_of(w: Column) -> Column:
     scores = [
         (lang, F.size(F.filter(w, lambda x: F.lower(x).isin(sw))))
         for lang, sw in LANG_PROFILES.items()
@@ -82,12 +94,14 @@ def lang_id(text: str | Column = "text") -> Column:
     return out
 
 
-def fingerprint(text: str | Column = "text") -> Column:
-    """Rolling polynomial document fingerprint over (first-char code +
-    word length), bounded mod 2^31-1 each step so ANSI arithmetic never
-    overflows. Cross-engine reproducible (ascii()/length() exist in
-    DuckDB with identical semantics)."""
-    w = words_col(text)
+def lang_id(text: str | Column = "text") -> Column:
+    """Stopword-profile language ID: argmax over per-language stopword
+    hit counts, 'und' (undetermined) when no profile scores > 0.
+    Deterministic tie-break by profile order."""
+    return lang_id_of(words_col(text))
+
+
+def fingerprint_of(w: Column) -> Column:
     return F.aggregate(
         w,
         F.lit(0).cast("long"),
@@ -95,6 +109,14 @@ def fingerprint(text: str | Column = "text") -> Column:
             acc * F.lit(31) + F.ascii(x) + F.length(x), F.lit(2147483647)
         ),
     )
+
+
+def fingerprint(text: str | Column = "text") -> Column:
+    """Rolling polynomial document fingerprint over (first-char code +
+    word length), bounded mod 2^31-1 each step so ANSI arithmetic never
+    overflows. Cross-engine reproducible (ascii()/length() exist in
+    DuckDB with identical semantics)."""
+    return fingerprint_of(words_col(text))
 
 
 # ---------------------------------------------------------------- repetition
@@ -268,13 +290,17 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text analysis: all metrics as extra columns."""
-    return docs.select(
-        "*",
-        token_count(text_col).alias("tok_count"),
-        F.round(stopword_ratio(text_col), 6).alias("stop_ratio"),
-        F.round(mean_word_len(text_col), 6).alias("mean_wlen"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("pred_lang"),
-        fingerprint(text_col).alias("fp"),
+    """One-pass text analysis: all metrics as extra columns. The word
+    array is staged once (see the *_of variants' interpreted-HOF note) —
+    the unstaged form split the text ~10x per row across the metrics."""
+    staged = docs.withColumn("_ad_w", words_col(text_col))
+    w = F.col("_ad_w")
+    return staged.select(
+        *docs.columns,
+        F.size(w).alias("tok_count"),
+        F.round(stopword_ratio_of(w), 6).alias("stop_ratio"),
+        F.round(mean_word_len_of(w), 6).alias("mean_wlen"),
+        quality_score_of(w).alias("quality"),
+        lang_id_of(w).alias("pred_lang"),
+        fingerprint_of(w).alias("fp"),
     )
