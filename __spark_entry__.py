@@ -569,6 +569,32 @@ def _doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _c4_filter(spark, sf_dir):
+    # C4 line/page cleanup over documents; deterministic in-query
+    # injection (sentence breaks at ' table ', terminal '.' on even ids,
+    # boilerplate markers on 17/19 multiples) exercises every branch —
+    # the raw corpus is single-line and unpunctuated
+    from olake_spark.operators.text import c4_page_filter
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    injected = F.concat(
+        F.regexp_replace(F.col("text"), " table ", ".\n"),
+        F.when(i % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(i % 17 == 0, F.lit(" lorem ipsum"))
+        .when(i % 19 == 0, F.lit(" function() {"))
+        .otherwise(F.lit("")),
+    )
+    # newline -> ' / ' so no output value embeds '\n' (comparator-safe)
+    return c4_page_filter(d.select("doc_id", injected.alias("text"))).select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.regexp_replace(F.col("clean_text"), "\n", " / ").alias("clean_text"),
+        "keep",
+    )
+
+
 def _repeated_ngrams(spark, sf_dir):
     # corpus-level repeated-passage coverage (hot 3-grams, >=3 occurrences)
     from olake_spark.operators.dedup import repeated_ngram_stats
@@ -1148,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprint": _doc_fingerprint,
+        "c4_filter": _c4_filter,
         "repeated_ngrams": _repeated_ngrams,
         "semantic_dedup": _semantic_dedup,
         "doc_repetition": _doc_repetition,
@@ -1578,6 +1605,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
                         ELSE 'es' END AS pred_lang
             FROM s
+        """,
+        "c4_filter": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     replace(text, ' table ', '.' || chr(10))
+                     || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum'
+                             WHEN doc_id % 19 = 0 THEN ' function() {'
+                             ELSE '' END AS t
+              FROM documents
+            ), s AS (
+              SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d
+            ), k AS (
+              SELECT doc_id, t, lines,
+                     list_filter(lines,
+                       ln -> len(string_split(ln, ' ')) >= 3
+                             AND regexp_matches(ln, '[.!?"]\s*$')) AS kept
+              FROM s
+            )
+            SELECT doc_id,
+                   len(lines) AS n_lines,
+                   len(kept) AS n_kept,
+                   -- coalesce: DuckDB's array_to_string of an empty list
+                   -- is NULL where Spark's array_join is ''; ' / ' join
+                   -- keeps output values newline-free (comparator-safe)
+                   coalesce(array_to_string(kept, ' / '), '') AS clean_text,
+                   (NOT (contains(lower(t), 'lorem ipsum')
+                         OR contains(t, '{')
+                         OR contains(lower(t), 'javascript'))
+                    AND len(kept) >= 1) AS keep
+            FROM k
         """,
         "repeated_ngrams": """
             WITH s AS (

@@ -253,6 +253,56 @@ def repetition_stats(
     )
 
 
+# ------------------------------------------------------------------ C4 rules
+# Line/page cleanup of Raffel et al. 2020 ("Exploring the Limits of
+# Transfer Learning...", C4 appendix): keep only lines that look like
+# sentences (enough words, terminal punctuation), drop boilerplate pages
+# (lorem ipsum, code braces, javascript notices). Pure array/regex
+# Catalyst expressions — one scan, no shuffle.
+
+_TERMINAL = r'[.!?"]\s*$'
+
+
+def c4_page_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """Per-page C4 cleanup: ``clean_text`` keeps only lines with at
+    least ``min_line_words`` words that end in terminal punctuation;
+    ``keep`` additionally drops pages containing 'lorem ipsum', curly
+    braces (code), or a javascript notice, and pages with fewer than
+    ``min_kept_lines`` surviving lines.
+
+    Returns the input plus (n_lines, n_kept, clean_text, keep).
+    """
+    c = F.col(text_col)
+    lines = "_c4_lines"
+    kept = "_c4_kept"
+    staged = docs.withColumn(lines, F.split(c, "\n")).withColumn(
+        kept,
+        F.filter(
+            F.col(lines),
+            lambda ln: (F.size(F.split(ln, " ")) >= min_line_words)
+            & ln.rlike(_TERMINAL),
+        ),
+    )
+    low = F.lower(c)
+    bad_page = (
+        low.contains("lorem ipsum")
+        | c.contains("{")
+        | low.contains("javascript")
+    )
+    return staged.select(
+        *docs.columns,
+        F.size(F.col(lines)).alias("n_lines"),
+        F.size(F.col(kept)).alias("n_kept"),
+        F.array_join(F.col(kept), "\n").alias("clean_text"),
+        (~bad_page & (F.size(F.col(kept)) >= min_kept_lines)).alias("keep"),
+    )
+
+
 # ----------------------------------------------------------------------- PII
 # Pre-training corpora scrub obvious PII before the tokenizer sees it.
 # Patterns are RE2-compatible (no backreferences/lookaround) so the same

@@ -637,3 +637,32 @@ def test_repeated_ngram_strategies_agree(spark):
         for r in repeated_ngram_stats(docs, strategy="join").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_c4_page_filter_rules(spark):
+    from olake_spark.operators.text import c4_page_filter
+
+    docs = spark.createDataFrame(
+        [
+            # two sentence lines + one junk line -> junk dropped, keep
+            ("a", "This is a fine sentence.\nshort\nAnother good line here!", "s"),
+            # no terminal punctuation anywhere -> nothing kept
+            ("b", "just words with no punctuation at all", "s"),
+            # lorem ipsum page -> keep False even with good lines
+            ("c", "A good line stays here.\ncontains lorem ipsum junk.", "s"),
+            # code page (brace)
+            ("d", "function foo() { return 1; }\nA real sentence here.", "s"),
+            # quote-terminated line counts as a sentence
+            ("e", 'He said "stop right there."', "s"),
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {r.doc_id: r for r in c4_page_filter(docs).collect()}
+    assert out["a"].n_lines == 3 and out["a"].n_kept == 2 and out["a"].keep
+    assert out["a"].clean_text == (
+        "This is a fine sentence.\nAnother good line here!"
+    )
+    assert out["b"].n_kept == 0 and not out["b"].keep
+    assert out["c"].n_kept == 2 and not out["c"].keep  # lorem ipsum page
+    assert not out["d"].keep  # brace page
+    assert out["e"].n_kept == 1 and out["e"].keep
