@@ -370,6 +370,36 @@ def _corpus_curation(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def _corpus_curation_full(spark, sf_dir):
+    # the curation funnel with the quality gates up front: Gopher
+    # repetition filter (tightened max_word for this corpus) -> PII
+    # scrub -> exact dedup -> decontamination -> mixture -> budget,
+    # still ONE lazy plan; the oracle composes every stage's SQL mirror
+    from olake_spark.pipelines.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(50)).alias("_m"),
+        "text",
+        "source",
+        "n_chars",
+    )
+    bench = d.filter(F.col("_m") == 0).drop("_m")
+    train = d.filter(F.col("_m") != 0).drop("_m")
+    out = curate_corpus(
+        train,
+        bench,
+        repetition={"max_word": 0.10, "min_words": 5},
+        scrub_pii=True,
+        mixture_rates={"src0": 0.75, "src1": 0.5},
+        default_rate=0.25,
+        token_budget=2048,
+        weight_col="n_chars",
+        seed=0,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def _dedup_latest_event(spark, sf_dir):
     # window dedup: latest event per user (reader-side olake_id dedup shape)
     ev = _t(spark, sf_dir, "events")
@@ -1156,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": _token_budget_select,
         "decontaminate": _decontaminate,
         "corpus_curation": _corpus_curation,
+        "corpus_curation_full": _corpus_curation_full,
         "partition_regex_routing": _partition_regex_routing,
         "dedup_latest_event": _dedup_latest_event,
         "top_k_per_group": _top_k_per_group,
@@ -1391,6 +1422,80 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN 'src1' THEN 0.5
                                   ELSE 0.25 END
             ), d4 AS (  -- per-source n_chars budget, seed 1
+              SELECT id, source, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5('1|' || id), 1, 8))
+                                     AS BIGINT) / 4294967296.0, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM d3
+            )
+            SELECT id AS doc_id, source, n_chars FROM d4 WHERE cum <= 2048
+        """,
+        "corpus_curation_full": r"""
+            WITH t0 AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, doc_id % 50 AS m,
+                     text, source, n_chars,
+                     string_split(text, ' ') AS w0
+              FROM documents
+            ), rep AS (
+              SELECT *,
+                     list_transform(range(1, greatest(len(w0), 1)),
+                                    i -> w0[i] || ' ' || w0[i + 1]) AS bg,
+                     string_split(text, chr(10)) AS lines
+              FROM t0
+            ), keepb AS (  -- Gopher gate: max_word 0.10, bigram 0.18,
+                           -- dup-lines 0.30, min_words 5
+              SELECT id, m, source, n_chars, text FROM rep
+              WHERE len(w0) < 5 OR (
+                round(CAST(len(list_filter(w0, x -> x = list_aggregate(w0, 'mode')))
+                           AS DOUBLE) / greatest(len(w0), 1), 6) <= 0.10
+                AND round(CASE WHEN len(bg) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(bg, x -> x = list_aggregate(bg, 'mode')))
+                                    AS DOUBLE) / greatest(len(bg), 1) END, 6) <= 0.18
+                AND round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                          / greatest(len(lines), 1), 6) <= 0.30)
+            ), scrub AS (  -- sequential PII scrub (identity on this corpus)
+              SELECT id, m, source, n_chars,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}(?:[- ]?\d{3,4})?',
+                       '<PHONE>', 'g') AS text
+              FROM keepb
+            ), tr AS (
+              SELECT *, string_split(text, ' ') AS w FROM scrub WHERE m <> 0
+            ), d1 AS (  -- exact dedup on the SCRUBBED text
+              SELECT t.* FROM tr t
+              JOIN (SELECT text, min(id) AS id FROM tr GROUP BY text) k
+                ON t.id = k.id
+            ), bsh AS (  -- benchmark shingles from the RAW bench split
+              SELECT DISTINCT
+                unnest(list_distinct(list_transform(
+                  range(1, len(w0) - 1),
+                  i -> w0[i] || ' ' || w0[i + 1] || ' ' || w0[i + 2]))) AS g
+              FROM t0 WHERE m = 0 AND len(w0) >= 3
+            ), dsh AS (
+              SELECT id,
+                unnest(list_distinct(list_transform(
+                  range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))) AS g
+              FROM d1 WHERE len(w) >= 3
+            ), cont AS (
+              SELECT DISTINCT dsh.id FROM dsh JOIN bsh USING (g)
+            ), d2 AS (
+              SELECT * FROM d1
+              WHERE id NOT IN (SELECT id FROM cont)
+            ), d3 AS (
+              SELECT * FROM d2
+              WHERE CAST(('0x' || substr(md5('0|' || id), 1, 8)) AS BIGINT)
+                    / 4294967296.0
+                    < CASE source WHEN 'src0' THEN 0.75
+                                  WHEN 'src1' THEN 0.5
+                                  ELSE 0.25 END
+            ), d4 AS (
               SELECT id, source, n_chars,
                      sum(n_chars) OVER (
                        PARTITION BY source

@@ -1,28 +1,33 @@
 """End-to-end training-corpus curation: the engine's ops composed the
 way a 100 TB data pipeline actually runs them.
 
-    raw docs -> exact dedup -> benchmark decontamination
+    raw docs -> [repetition filter] -> [PII scrub]
+             -> exact dedup -> benchmark decontamination
              -> source-weighted mixture -> per-source token budget
 
-Every stage is one of the already-tested operators (dedup.exact_dedup,
-dedup.decontaminate, sampling.stratified_sample,
-sampling.token_budget_select), so the whole pipeline is a single lazy
-DataFrame plan: one shuffle for dedup, a broadcast semi-join for
-decontamination, a narrow filter for the mixture, and the two-level
-bucketized window for the budget. Stage seeds are decorrelated
-(mixture at ``seed``, budget at ``seed + 1``) so the budget's shuffle
-order is independent of which docs survived the mixture.
+Every stage is one of the already-tested operators (text.repetition_stats,
+text.pii_scrub, dedup.exact_dedup, dedup.decontaminate,
+sampling.stratified_sample, sampling.token_budget_select), so the whole
+pipeline is a single lazy DataFrame plan: narrow codegen'd scans for the
+quality gates (run FIRST — cheapest per byte, biggest cut), one shuffle
+for dedup, a broadcast semi-join for decontamination, a narrow filter
+for the mixture, and the two-level bucketized window for the budget.
+Stage seeds are decorrelated (mixture at ``seed``, budget at
+``seed + 1``) so the budget's shuffle order is independent of which
+docs survived the mixture.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from olake_spark.operators.dedup import decontaminate, exact_dedup
 from olake_spark.operators.sampling import (
     stratified_sample,
     token_budget_select,
 )
+from olake_spark.operators.text import pii_scrub, repetition_stats
 
 
 def curate_corpus(
@@ -39,13 +44,36 @@ def curate_corpus(
     token_budget: int | dict[str, int] | None = None,
     weight_col: str = "n_tok",
     seed: int = 0,
+    repetition: dict | None = None,
+    scrub_pii: bool = False,
 ) -> DataFrame:
-    """Curated corpus: deduped, decontaminated, mixed, budgeted.
+    """Curated corpus: quality-gated, scrubbed, deduped, decontaminated,
+    mixed, budgeted.
 
-    Stages whose arguments are None are skipped, so the same entry
-    point serves partial pipelines (e.g. dedup + decontaminate only).
+    ``repetition``: kwargs for text.repetition_stats (e.g.
+    ``{"max_word": 0.1}``); docs failing the Gopher thresholds are
+    dropped before any shuffle. ``scrub_pii``: replace the text column
+    with its PII-scrubbed form BEFORE dedup, so near-identical docs
+    differing only in embedded PII dedup together.
+
+    Stages whose arguments are None/False are skipped, so the same
+    entry point serves partial pipelines (e.g. dedup + decontaminate
+    only).
     """
-    out = exact_dedup(docs, dedup_keys or [text_col], order_col=id_col)
+    out = docs
+    if repetition is not None:
+        out = (
+            repetition_stats(out, text_col=text_col, **repetition)
+            .filter(F.col("keep"))
+            .drop("max_word_ratio", "top_bigram_ratio", "dup_line_ratio", "keep")
+        )
+    if scrub_pii:
+        out = (
+            pii_scrub(out, text_col)
+            .drop("n_emails", "n_ips", "n_phones", text_col)
+            .withColumnRenamed("text_clean", text_col)
+        )
+    out = exact_dedup(out, dedup_keys or [text_col], order_col=id_col)
     if benchmark is not None:
         out = decontaminate(
             out, benchmark, id_col=id_col, text_col=text_col,

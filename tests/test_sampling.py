@@ -171,3 +171,30 @@ def test_curate_corpus_stage_composition(spark):
     for r in rows:
         by_src[r.source] = by_src.get(r.source, 0) + r.n_tok
     assert by_src.get("web", 0) <= 8 and by_src.get("books", 0) <= 5
+
+
+def test_curate_corpus_quality_gates(spark):
+    """Repetition gate drops the spam doc; PII scrub runs BEFORE dedup
+    so two docs differing only in embedded PII dedup to one."""
+    from olake_spark.pipelines.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ("1", "a sound document with plenty of distinct words inside", "s", 9),
+            ("2", "spam spam spam spam spam spam spam spam spam ham", "s", 10),
+            # 3 and 4 identical after scrubbing their different emails
+            ("3", "contact alice@example.com for all the various details", "s", 8),
+            ("4", "contact bob@example.org for all the various details", "s", 8),
+        ],
+        "doc_id string, text string, source string, n_tok int",
+    )
+    out = curate_corpus(
+        docs, repetition={"max_word": 0.3, "min_words": 2}, scrub_pii=True
+    )
+    kept = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert "2" not in kept  # repetition gate
+    assert "4" not in kept and "3" in kept  # post-scrub dedup keeps min id
+    assert kept == ["1", "3"]
+    # scrubbed text flows downstream
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert "<EMAIL>" in texts["3"] and "alice" not in texts["3"]
