@@ -247,3 +247,34 @@ def test_merge_exact_output_uses_single_hash_exchange(spark, tmp_path):
     assert "rangepartitioning" not in plan.lower()
     assert plan.count("Exchange") == 1
     assert "Python" not in plan  # binning is the codegen'd nested-when tree
+
+
+def test_text_quality_ops_are_single_scan_no_shuffle(spark):
+    """repetition_stats / pii_scrub / c4_page_filter / analyze_documents
+    are pure per-row expression pipelines: exactly one FileScan, zero
+    Exchange (the 100 TB funnel's cheap first pass)."""
+    from olake_spark.operators.text import (
+        analyze_documents,
+        c4_page_filter,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for op in (repetition_stats, pii_scrub, c4_page_filter, analyze_documents):
+        plan = _plan(op(docs))
+        assert plan.count("Scan parquet") == 1, op.__name__
+        assert "Exchange" not in plan, op.__name__
+
+
+def test_repeated_ngrams_window_strategy_single_scan(spark):
+    """The default (window) strategy must read the corpus ONCE; the join
+    strategy is allowed its second scan but must keep the count
+    aggregation partial (map-side combine before the exchange)."""
+    from olake_spark.operators.dedup import repeated_ngram_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pw = _plan(repeated_ngram_stats(docs, strategy="window"))
+    assert pw.count("Scan parquet") == 1
+    pj = _plan(repeated_ngram_stats(docs, strategy="join"))
+    assert "partial_count" in pj or "partial count" in pj.lower()
