@@ -391,6 +391,7 @@ def _corpus_curation_full(spark, sf_dir):
         bench,
         repetition={"max_word": 0.10, "min_words": 5},
         scrub_pii=True,
+        materialize=True,
         mixture_rates={"src0": 0.75, "src1": 0.5},
         default_rate=0.25,
         token_budget=2048,

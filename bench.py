@@ -130,6 +130,7 @@ def main() -> None:
             "doc_repetition",
             "repeated_ngrams",
             "pii_scrub",
+            "c4_filter",
         ]:
             with timed(name):
                 # noop sink: forces full computation of every output

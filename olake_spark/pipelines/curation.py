@@ -46,6 +46,7 @@ def curate_corpus(
     seed: int = 0,
     repetition: dict | None = None,
     scrub_pii: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Curated corpus: quality-gated, scrubbed, deduped, decontaminated,
     mixed, budgeted.
@@ -59,6 +60,16 @@ def curate_corpus(
     Stages whose arguments are None/False are skipped, so the same
     entry point serves partial pipelines (e.g. dedup + decontaminate
     only).
+
+    ``materialize``: persist the frame at the two fan-out points (after
+    dedup, and after the mixture) — decontamination and the two-level
+    budget each reference their input twice, and Catalyst does NOT
+    reuse the shared subtree (per-branch column pruning makes the
+    exchanges non-identical, so ReuseExchange never fires), which
+    re-runs the whole upstream funnel per branch. Lazy by default to
+    keep the single-plan contract; at scale you materialize between
+    macro-stages anyway (typically by writing an intermediate table).
+    Callers own cache lifetime (spark.catalog.clearCache()).
     """
     out = docs
     if repetition is not None:
@@ -74,6 +85,8 @@ def curate_corpus(
             .withColumnRenamed("text_clean", text_col)
         )
     out = exact_dedup(out, dedup_keys or [text_col], order_col=id_col)
+    if materialize and benchmark is not None:
+        out = out.persist()
     if benchmark is not None:
         out = decontaminate(
             out, benchmark, id_col=id_col, text_col=text_col,
@@ -84,6 +97,8 @@ def curate_corpus(
             out, mixture_rates, strata_col=strata_col, key_col=id_col,
             seed=seed, default_rate=default_rate,
         )
+    if materialize and token_budget is not None:
+        out = out.persist()
     if token_budget is not None:
         out = token_budget_select(
             out, token_budget, weight_col=weight_col,

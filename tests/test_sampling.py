@@ -198,3 +198,26 @@ def test_curate_corpus_quality_gates(spark):
     # scrubbed text flows downstream
     texts = {r.doc_id: r.text for r in out.collect()}
     assert "<EMAIL>" in texts["3"] and "alice" not in texts["3"]
+
+
+def test_curate_corpus_materialize_parity_and_speed(spark):
+    """materialize=True must change the physical execution (persisted
+    fan-out points) but NOT the result."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.pipelines.curation import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source", "n_chars"
+    )
+    bench = docs.limit(20)
+    kw = dict(
+        mixture_rates={"src0": 0.9}, default_rate=0.6,
+        token_budget=4096, weight_col="n_chars", seed=2,
+    )
+    lazy = {r.doc_id for r in curate_corpus(docs, bench, **kw).select("doc_id").collect()}
+    mat_df = curate_corpus(docs, bench, materialize=True, **kw)
+    mat = {r.doc_id: r for r in mat_df.collect()}
+    assert set(mat) == lazy and len(lazy) > 0
+    assert "InMemoryTableScan" in mat_df._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
