@@ -242,15 +242,16 @@ def repetition_stats(
             6,
         ).alias("top_bigram_ratio"),
         F.round(dup_line_ratio(text_col), 6).alias("dup_line_ratio"),
+        F.size(F.col(w)).alias("_rs_nw"),  # free: the staged array's size
     ).withColumn(
         "keep",
-        (token_count(text_col) < min_words)
+        (F.col("_rs_nw") < min_words)
         | (
             (F.col("max_word_ratio") <= max_word)
             & (F.col("top_bigram_ratio") <= max_bigram)
             & (F.col("dup_line_ratio") <= max_dup_lines)
         ),
-    )
+    ).drop("_rs_nw")
 
 
 # ------------------------------------------------------------------ C4 rules

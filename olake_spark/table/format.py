@@ -708,6 +708,14 @@ class Table:
           routing belongs to partition_regex. A hot value is one task
           (use max_records_per_file to split its files); salting hot
           partitions across tasks would break file purity.
+
+        The planning pass (distinct partition values) evaluates the
+        input an extra time — persist an expensive upstream frame
+        before a distributed write. The partition column must already
+        be present in the caller's frame: a system column stamped at
+        write time (current_timestamp-derived) takes different values
+        in the planning pass and the write pass, which would silently
+        collapse the routing, so that case is rejected.
         """
         if mode is None:
             return df
@@ -716,8 +724,15 @@ class Table:
         pc = self.partition_col
         from olake_spark.functions.partitioning import exact_range_partition
 
+        # boundaries are the SPARK string rendering of the values,
+        # sorted lexicographically — bin_expr compares the string-cast
+        # key byte-wise, so a native-order sort of numeric values
+        # (e.g. [2, 10]) would be unsorted under string comparison and
+        # collapse distinct values into one bin
+        key = F.col(pc).cast("string")
         vals = sorted(
-            r[0] for r in df.select(pc).distinct().collect() if r[0] is not None
+            r[0] for r in df.select(key.alias("_k")).distinct().collect()
+            if r[0] is not None
         )
         if len(vals) > self._MAX_IDENTITY_PARTITIONS:
             raise ValueError(
@@ -725,8 +740,17 @@ class Table:
                 f"{self._MAX_IDENTITY_PARTITIONS}; use partition_regex "
                 "path routing for high-cardinality partitioning"
             )
-        key = F.coalesce(F.col(pc).cast("string"), F.lit(""))
-        return exact_range_partition(df, key, [str(v) for v in vals], [pc])
+        # NULLs get their own bin BELOW every real value. '' is the
+        # lexicographic minimum, so no bare sentinel can sort under a
+        # genuine empty-string value — instead every real key gets a
+        # \x01 prefix (order-preserving under a common prefix) and NULL
+        # routes as \x00, strictly below all of them
+        routed = F.when(key.isNull(), F.lit("\x00")).otherwise(
+            F.concat(F.lit("\x01"), key)
+        )
+        return exact_range_partition(
+            df, routed, ["\x01" + v for v in vals], [pc]
+        )
 
     def append(
         self,
@@ -734,11 +758,22 @@ class Table:
         max_records_per_file: int | None = None,
         distribute: str | None = None,
     ) -> int:
+        self._check_distribute_input(df, distribute)
         files = self.write_data_files(
             self._distribute(self._complete_system_columns(df), distribute),
             max_records_per_file,
         )
         return self.commit("append", added=files)
+
+    def _check_distribute_input(self, df: DataFrame, distribute: str | None) -> None:
+        if distribute is not None and self.partition_col not in df.columns:
+            raise ValueError(
+                f"distribute={distribute!r} requires partition column "
+                f"{self.partition_col!r} in the input frame — an "
+                "auto-injected system column is stamped at write time "
+                "and takes different values in the planning pass and "
+                "the write pass"
+            )
 
     def overwrite(
         self,
@@ -750,6 +785,7 @@ class Table:
         snapshot (full-refresh semantics: the reference re-syncs a stream
         from scratch rather than appending a second copy). Readers pinned
         to older snapshots still see the prior files until expiry."""
+        self._check_distribute_input(df, distribute)
         files = self.write_data_files(
             self._distribute(self._complete_system_columns(df), distribute),
             max_records_per_file,

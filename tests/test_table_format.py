@@ -325,3 +325,73 @@ def test_append_distribute_partition_pure_files(spark, table, seq_df):
     assert got == want > 0
     with pytest.raises(ValueError):
         table.append(seq_df.limit(10), distribute="bogus")
+
+
+def test_distribute_partition_numeric_and_null_values(spark, tmp_path):
+    """Boundary sort must follow the STRING rendering (bin_expr compares
+    the cast key byte-wise): numeric partition values like [2, 10] are
+    unsorted lexicographically and used to collapse into one bin. NULL
+    rows must not share a file with a genuine ''-valued partition."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    t = Table.create(
+        spark,
+        str(tmp_path / "nt"),
+        schema,
+        partition_col="bucket",
+        stats_columns=["doc_id", "bucket"],
+    )
+    rows = [(f"d{i}", [2, 10, 7, 100][i % 4], "x" * 50) for i in range(400)]
+    df = spark.createDataFrame(rows, schema)
+    t.append(df, distribute="partition")
+    files = t.files()
+    # every file pure: one bucket value each, all four values present
+    assert all(f.partition is not None for f in files)
+    assert {f.partition for f in files} == {2, 10, 7, 100}
+    assert t.scan().count() == 400
+
+    # NULL vs '' on a string partition column
+    schema2 = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("grp", T.StringType()),
+        ]
+    )
+    t2 = Table.create(
+        spark,
+        str(tmp_path / "nt2"),
+        schema2,
+        partition_col="grp",
+        stats_columns=["doc_id", "grp"],
+    )
+    rows2 = [(f"a{i}", "") for i in range(50)] + [(f"b{i}", None) for i in range(50)]
+    t2.append(spark.createDataFrame(rows2, schema2), distribute="partition")
+    by_file = {}
+    for f in t2.files():
+        vals = {
+            r.grp
+            for r in t2.scan(files=[f]).select("grp").distinct().collect()
+        }
+        by_file[f.path] = vals
+    # no file mixes NULL rows with ''-valued rows
+    assert all(v in ({""}, {None}) for v in by_file.values()), by_file
+
+
+def test_distribute_rejects_injected_partition_column(spark, tmp_path):
+    """distribute requires the partition column in the caller's frame —
+    auto-injected write-time system columns cannot route
+    deterministically (planned at T1, stamped at T2)."""
+    t = Table.create(spark, str(tmp_path / "it"))
+    t.evolve_partition("_olake_insert_time")
+    df = generate_sequences(spark, 50, seed=2, max_tok=16).drop(
+        "_olake_insert_time"
+    )
+    with pytest.raises(ValueError, match="stamped at write time"):
+        t.append(df, distribute="partition")
