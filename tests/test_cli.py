@@ -270,3 +270,26 @@ def test_maintain_rollback_and_tag(tmp_path, capsys, spark):
     _lines(capsys)
     assert main(["maintain", "--dest", dest, "--op", "rollback",
                  "--to-snapshot", "99", "--cpus", "8"]) == 2
+
+
+def test_maintain_evolve_partition(tmp_path, capsys, spark):
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.table import Table
+
+    dest = str(tmp_path / "ep")
+    t = Table.create(spark, dest)
+    t.append(generate_sequences(spark, 100, seed=4, max_tok=16).repartition(2))
+
+    assert main(["maintain", "--dest", dest, "--op", "evolve-partition",
+                 "--partition-col", "doc_id", "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "evolve-partition"
+    assert msgs[0]["partition_col"] == "doc_id"
+    assert msgs[0]["spec_log"] == ["source", "doc_id"]
+    assert Table.load(spark, dest).partition_col == "doc_id"
+
+    assert main(["maintain", "--dest", dest, "--op", "evolve-partition",
+                 "--cpus", "8"]) == 2
+    _lines(capsys)
+    assert main(["maintain", "--dest", dest, "--op", "evolve-partition",
+                 "--partition-col", "nope", "--cpus", "8"]) == 2
