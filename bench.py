@@ -201,9 +201,23 @@ def _run_sf1_smoke(spark, rows, cpus, bench_dir, out: dict) -> None:
         target = min(
             max(bytes_in // (4 * cpus), 2 * 1024 * 1024), 64 * 1024 * 1024
         )
+        # min-of-2 on compaction too (like zorder below): ambient noise
+        # on this VM swings identical runs >2x. Compaction consumes its
+        # input, so the first rep runs on a byte-identical COPY of the
+        # pre-compaction table (relocatable: scan paths derive from the
+        # load-time root), which is then discarded.
+        copy_root = os.path.join(root, "tbl_rep")
+        shutil.copytree(os.path.join(root, "tbl"), copy_root)
+        ct = []
+        t0 = time.time()
+        compact(Table.load(spark, copy_root), target_file_bytes=target)
+        ct.append(round(time.time() - t0, 3))
+        shutil.rmtree(copy_root, ignore_errors=True)
         t0 = time.time()
         compact(table, target_file_bytes=target)
-        out["compact_s"] = round(time.time() - t0, 3)
+        ct.append(round(time.time() - t0, 3))
+        out["compact_s"] = min(ct)
+        out["compact_s_reps"] = ct
         out["compact_gb_per_s"] = round(bytes_in / 1e9 / out["compact_s"], 4)
         # min-of-2 on the headline rewrite: this VM's ambient noise swings
         # identical runs >2x (the second pass re-clusters the same bytes —
