@@ -386,19 +386,29 @@ def _corpus_curation_full(spark, sf_dir):
     )
     bench = d.filter(F.col("_m") == 0).drop("_m")
     train = d.filter(F.col("_m") != 0).drop("_m")
+    handles: list = []
     out = curate_corpus(
         train,
         bench,
         repetition={"max_word": 0.10, "min_words": 5},
         scrub_pii=True,
         materialize=True,
+        persisted=handles,
         mixture_rates={"src0": 0.75, "src1": 0.5},
         default_rate=0.25,
         token_budget=2048,
         weight_col="n_chars",
         seed=0,
     )
-    return out.select("doc_id", "source", "n_chars")
+    # Materialize the (token-budget-bounded, tiny) result eagerly so the
+    # two persisted fan-out frames can be released NOW — a long session
+    # running all 50 queries would otherwise carry their cached
+    # partitions to the end (curation.py persisted contract).
+    rows = out.select("doc_id", "source", "n_chars").collect()
+    schema = out.select("doc_id", "source", "n_chars").schema
+    for h in handles:
+        h.unpersist()
+    return spark.createDataFrame(rows, schema)
 
 
 def _dedup_latest_event(spark, sf_dir):

@@ -168,7 +168,7 @@ def composite_key_expr(cols: list[str]) -> Column:
 
 
 def exact_range_partition(
-    df: DataFrame, key: Column, boundaries: list[int], sort_cols: list[str]
+    df: DataFrame, key: Column, boundaries: list[int | str], sort_cols: list[str]
 ) -> DataFrame:
     """Partition ``df`` into len(boundaries)+1 range bins of ``key`` and
     sort each partition — single shuffle, child evaluated exactly once

@@ -47,6 +47,7 @@ def curate_corpus(
     repetition: dict | None = None,
     scrub_pii: bool = False,
     materialize: bool = False,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Curated corpus: quality-gated, scrubbed, deduped, decontaminated,
     mixed, budgeted.
@@ -69,7 +70,10 @@ def curate_corpus(
     re-runs the whole upstream funnel per branch. Lazy by default to
     keep the single-plan contract; at scale you materialize between
     macro-stages anyway (typically by writing an intermediate table).
-    Callers own cache lifetime (spark.catalog.clearCache()).
+    Callers own cache lifetime: pass ``persisted`` (a list) to receive
+    the persisted handles and ``unpersist()`` them after the final
+    action — a long session (bench/correctness loop) that skips this
+    leaks cached partitions until spark.catalog.clearCache().
     """
     out = docs
     if repetition is not None:
@@ -87,6 +91,8 @@ def curate_corpus(
     out = exact_dedup(out, dedup_keys or [text_col], order_col=id_col)
     if materialize and benchmark is not None:
         out = out.persist()
+        if persisted is not None:
+            persisted.append(out)
     if benchmark is not None:
         out = decontaminate(
             out, benchmark, id_col=id_col, text_col=text_col,
@@ -99,6 +105,8 @@ def curate_corpus(
         )
     if materialize and token_budget is not None:
         out = out.persist()
+        if persisted is not None:
+            persisted.append(out)
     if token_budget is not None:
         out = token_budget_select(
             out, token_budget, weight_col=weight_col,

@@ -286,7 +286,13 @@ class Table:
     ) -> None:
         """Create or move a named ref (default: the current snapshot).
         Tagged snapshots are protected from expire_snapshots until the
-        ref is removed — the Iceberg tag/branch retention contract."""
+        ref is removed — the Iceberg tag/branch retention contract.
+
+        Branch vs tag: a ``tag`` is immovable (a pinned restore point);
+        a ``branch`` head ADVANCES when a commit lands on top of it —
+        commit() moves every branch ref whose head equals the parent
+        snapshot to the new snapshot, so ``scan(ref=branch)`` tracks
+        the line of development while ``scan(ref=tag)`` stays pinned."""
         if ref_type not in ("tag", "branch"):
             raise ValueError(f"ref_type must be 'tag' or 'branch', got {ref_type!r}")
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
@@ -347,11 +353,15 @@ class Table:
         Expired intermediates: expire_snapshots may have dropped
         snapshots BETWEEN the current one and a tag-pinned restore
         point, breaking the parent chain. The walk treats a missing
-        parent as a gap and still accepts the target when its id
-        precedes everything walked — a tagged restore point stays
-        rollbackable after routine expiry. A target on an abandoned
-        branch (known, but not an ancestor) is refused; use
-        set_current_snapshot for unrestricted repointing."""
+        parent as a gap and still accepts the target when it is
+        REF-PINNED (named in table.refs) and its id precedes everything
+        walked — a tagged restore point stays rollbackable after
+        routine expiry. An unpinned target past a gap, or a target on
+        an abandoned branch (known, but not an ancestor), is refused:
+        once the chain is broken, an id-ordering heuristic alone cannot
+        distinguish an expired ancestor from an abandoned sibling, and
+        only the ref pin certifies intent. Use set_current_snapshot for
+        unrestricted repointing."""
         target = self.snapshot(snapshot_id)  # KeyError if unknown
         cur = self.snapshot()
         found = gap = False
@@ -371,8 +381,15 @@ class Table:
             except KeyError:
                 gap = True
                 cur = None
+        pinned = any(
+            r["snapshot_id"] == target.snapshot_id
+            for r in self.metadata.get("refs", {}).values()
+        )
         if not found and not (
-            gap and min_walked is not None and target.snapshot_id < min_walked
+            gap
+            and pinned
+            and min_walked is not None
+            and target.snapshot_id < min_walked
         ):
             raise ValueError(
                 f"snapshot {snapshot_id} is not an ancestor of the current "
@@ -619,6 +636,14 @@ class Table:
         )
         self.metadata["snapshots"].append(snap.to_dict())
         self.metadata["current_snapshot_id"] = snap_id
+        # advance branch heads that pointed at the parent (tags stay put)
+        if parent is not None:
+            for ref in self.metadata.get("refs", {}).values():
+                if (
+                    ref.get("type") == "branch"
+                    and ref["snapshot_id"] == parent.snapshot_id
+                ):
+                    ref["snapshot_id"] = snap_id
         self.metadata["last_updated_ms"] = int(time.time() * 1000)
 
         new_version = self.version + 1

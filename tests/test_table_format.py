@@ -288,6 +288,47 @@ def test_rollback_to_tag_survives_expired_intermediates(spark, table, seq_df):
     assert table.scan().count() == 100
 
 
+def test_rollback_past_gap_requires_ref_pin(spark, table, seq_df):
+    """Past a broken parent chain, only a ref-pinned target is accepted
+    — id ordering alone can't distinguish an expired ancestor from an
+    abandoned sibling."""
+    from olake_spark.operators.expire import expire_snapshots
+
+    a = seq_df.limit(100)
+    table.append(a)  # snap 1 — NOT tagged
+    table.set_ref("keep1", snapshot_id=1, ref_type="tag")
+    for lo, hi in ((100, 130), (130, 160), (160, 190)):  # snaps 2-4
+        table.append(seq_df.limit(hi).exceptAll(seq_df.limit(lo)))
+    expire_snapshots(table, keep_last=2)  # drops 2 and breaks the chain
+    table.remove_ref("keep1")  # 1 survives in the log but is unpinned
+    with pytest.raises(ValueError):
+        table.rollback_to(1)
+    table.set_ref("restore", snapshot_id=1, ref_type="tag")
+    table.rollback_to(1)  # pinned: accepted
+    assert table.current_snapshot_id == 1
+
+
+def test_branch_ref_advances_on_commit(spark, table, seq_df):
+    a = seq_df.limit(100)
+    b = seq_df.limit(150).exceptAll(a)
+    c = seq_df.limit(180).exceptAll(seq_df.limit(150))
+    table.append(a)  # snap 1
+    table.set_ref("main_line", ref_type="branch")
+    table.set_ref("v1", ref_type="tag")
+    table.append(b)  # snap 2: branch head 1 -> 2, tag stays
+    assert table.refs["main_line"]["snapshot_id"] == 2
+    assert table.refs["v1"]["snapshot_id"] == 1
+    assert table.scan(ref="main_line").count() == 150
+    assert table.scan(ref="v1").count() == 100
+    # a commit NOT on top of the branch head leaves the branch alone
+    table.rollback_to(1)
+    table.set_ref("main_line", snapshot_id=2, ref_type="branch")
+    table.append(c)  # snap 3, parent 1 != branch head 2
+    assert table.refs["main_line"]["snapshot_id"] == 2
+    # a fresh loader sees the advanced head persisted
+    assert Table.load(spark, table.root).refs["main_line"]["snapshot_id"] == 2
+
+
 def test_set_current_snapshot_repoints_anywhere(spark, table, seq_df):
     a = seq_df.limit(100)
     b = seq_df.limit(150).exceptAll(a)
