@@ -114,8 +114,15 @@ def main() -> None:
     )
     maintenance["seq_per_s"] = round(2 * rows / max(maint_sec, 1e-9), 1)
 
-    # ---- analytic queries on the driver testdata (same min-of-reps)
-    qs = entrymod.queries()
+    # ---- analytic queries on the driver testdata (same min-of-reps).
+    # Keys kept identical to BENCH_r03 for round-over-round comparability:
+    # four of them were consolidated out of the registry in r4 (50-entry
+    # driver cap), so local wrappers run the SAME underlying operator.
+    qs = dict(entrymod.queries())
+    qs["doc_token_count"] = _bench_doc_token_count
+    qs["minhash_lsh"] = _bench_minhash_lsh
+    qs["embedding_topk"] = _bench_embedding_topk
+    qs["seq_table_stats"] = _bench_seq_table_stats
     for _rep in range(reps):
         for name in [
             "q1_pricing_summary",
@@ -129,6 +136,7 @@ def main() -> None:
             "seq_table_stats",
             "doc_repetition",
             "repeated_ngrams",
+            "drop_repeated_spans",
             "pii_scrub",
             "c4_filter",
         ]:
@@ -162,6 +170,46 @@ def main() -> None:
         out["sf1_maintenance"] = sf1_block
     print(json.dumps(out))
     spark.stop()
+
+
+def _bench_doc_token_count(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.text import token_count
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.select("doc_id", token_count("text").alias("tok_count"))
+
+
+def _bench_minhash_lsh(spark, sf_dir):
+    from olake_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", num_perm=32, bands=8, shingle_k=2,
+        jaccard_threshold=0.5,
+    )
+
+
+def _bench_embedding_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.similarity import brute_force_topk
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return brute_force_topk(e.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+def _bench_seq_table_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from olake_spark.sources.tokenizer import sequences_from_documents
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return seq.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens")
+    )
 
 
 def _run_sf1_smoke(spark, rows, cpus, bench_dir, out: dict) -> None:

@@ -555,13 +555,21 @@ def ngram_jaccard_pairs(
 
 
 # -------------------------------------------------- repeated-passage stats
+#: Above this corpus size, ``strategy='auto'`` switches to the
+#: AQE-skew-splittable join shape — with 10^6+ docs a single templated
+#: boilerplate n-gram can plausibly occur millions of times, and the
+#: window shape buffers that whole occurrence group in ONE task.
+WINDOW_MAX_ROWS = 1_000_000
+
+
 def repeated_ngram_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     min_repeats: int = 3,
-    strategy: str = "window",
+    strategy: str = "auto",
+    window_max_rows: int = WINDOW_MAX_ROWS,
 ) -> DataFrame:
     """Per-document coverage by corpus-level repeated n-grams — the
     duplicated-passage signal of Lee et al. 2022 ("Deduplicating
@@ -574,7 +582,7 @@ def repeated_ngram_stats(
 
     Strategy tradeoff at corpus scale:
 
-    - ``window`` (default): ONE corpus scan; corpus counts come from a
+    - ``window``: ONE corpus scan; corpus counts come from a
       count-over-Window on the gram key, so occurrences shuffle once.
       An ultra-hot n-gram buffers its whole group in one window task
       (spills to disk — completes, but that task is the straggler).
@@ -583,11 +591,20 @@ def repeated_ngram_stats(
       TWO corpus scans, but the hot-key join is AQE-skew-splittable,
       which is the safer shape when a handful of n-grams dominate a
       10^12-doc corpus.
+    - ``auto`` (default): ``window`` when the corpus has at most
+      ``window_max_rows`` docs (the probe is one column-pruned count —
+      parquet answers it from footers), else ``join``. The scale-safe
+      shape is the default: any corpus big enough for a boilerplate
+      gram to produce a straggler-sized window group trips the
+      threshold; the single-scan window plan stays the small-corpus
+      fast path.
 
     Returns (id_col, n_grams, n_hot, hot_fraction).
     """
     from olake_spark.operators.text import ngrams_col
 
+    if strategy == "auto":
+        strategy = "window" if docs.count() <= window_max_rows else "join"
     grams = docs.select(
         F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram")
     )
@@ -607,6 +624,65 @@ def repeated_ngram_stats(
         F.count("*").alias("n_grams"),
         F.sum("_hot").alias("n_hot"),
         F.round(F.sum("_hot") / F.count("*"), 6).alias("hot_fraction"),
+    )
+
+
+def drop_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_repeats: int = 3,
+) -> DataFrame:
+    """Span-level exact-substring dedup — the actual Lee et al. 2022
+    operation (arXiv:2107.06499 §ExactSubstr): REMOVE the duplicated
+    span from every document, not just score the document. A word
+    position is covered when any corpus-hot n-gram (>= ``min_repeats``
+    occurrences corpus-wide) starts at most ``n-1`` words before it;
+    covered positions are dropped and the survivors rejoined.
+
+    Token conservation invariants (tested): ``n_words - n_dropped ==
+    len(split(clean_text))`` per doc, every doc survives (possibly with
+    empty clean_text), and docs shorter than ``n`` words pass through
+    untouched.
+
+    Scale shape (mirrors repeated_ngram_stats' join strategy): gram
+    counts via explode -> groupBy (map-side partial combine), hot
+    occurrences recovered by an AQE-skew-splittable equi-join on the
+    gram, then ONE groupBy(doc) collects the per-doc hot-start list —
+    bounded by the doc's own word count, never by corpus-wide gram
+    frequency. The span mask itself is pure Catalyst array logic (the
+    arrays are materialized once per row; Spark evaluates higher-order
+    functions interpreted, so each is referenced a single time)."""
+    from olake_spark.operators.text import ngrams_col, words_col
+
+    base = docs.select(F.col(id_col), words_col(text_col).alias("_w"))
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(ngrams_col(text_col, n)).alias("_pos", "gram"),
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("_cnt"))
+    hot = counts.filter(F.col("_cnt") >= min_repeats).select("gram")
+    starts = (
+        grams.join(hot, "gram")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_starts"))
+    )
+    out = base.join(starts, id_col, "left").withColumn(
+        "_starts",
+        F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+    )
+    kept = F.filter(
+        F.col("_w"),
+        lambda w, i: ~F.exists(
+            F.col("_starts"), lambda s: (s <= i) & (i <= s + F.lit(n - 1))
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("_w").alias("n_words"),
+        (F.size("_w") - F.size(kept)).alias("n_dropped"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
 
 

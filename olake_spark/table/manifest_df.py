@@ -1,0 +1,229 @@
+"""Distributed manifest planning for million-file tables.
+
+``Table.load`` is O(snapshots) — it parses only ``metadata/v<N>.json``.
+But ``Table.files()`` and the python prune inside ``Table.scan`` parse
+every manifest shard ON THE DRIVER and materialize one object per data
+file — O(table) work that at 10^6 files (~100 TB at 128 MB/file) costs
+minutes of driver JSON time per planning pass. Iceberg's answer is Avro
+manifests + distributed planning; this module is the same idea over the
+engine's JSON/parquet manifests:
+
+- :func:`manifest_entries_df` — one row per data file, parsed from the
+  snapshot's manifest shards by EXECUTORS (``mapInPandas`` over the
+  shard list; the driver touches only the O(shards) shard names, never
+  the entries). Per-column stats stay a JSON string and are extracted
+  per-predicate with ``get_json_object`` — no typed-map schema to keep
+  in sync with stats_columns.
+- :func:`write_manifest_cache` — a parquet rendition of one snapshot's
+  entries under ``<root>/manifest_cache/<snapshot_id>``; snapshots are
+  immutable so the cache never invalidates. Repeated planning reads the
+  columnar cache (footer-pruned to the predicate columns) instead of
+  re-parsing JSON.
+- :func:`prune_files_df` — the exact predicates of ``Table.scan``
+  (identity-partition + min/max stats) as Catalyst filters over the
+  entries frame.
+- :func:`scan_planned` — distributed prune, collect ONLY the surviving
+  (path, schema_id) rows, delegate to ``Table.scan(files=...)``. Driver
+  memory and time are O(survivors), not O(table).
+
+Parity contract (tests/test_manifest_df.py): for every predicate
+combination, ``prune_files_df`` keeps exactly the paths the driver-side
+``Table.scan`` prune keeps, and ``scan_planned`` returns the same rows
+as ``Table.scan``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from olake_spark.table.format import DataFile, Table
+
+ENTRY_SCHEMA = (
+    "manifest string, path string, record_count long, "
+    "file_size_bytes long, partition string, schema_id int, "
+    "spec_col string, stats string"
+)
+
+
+def _cache_dir(table: Table, snapshot_id: int) -> str:
+    return os.path.join(table.root, "manifest_cache", str(snapshot_id))
+
+
+def manifest_entries_df(
+    table: Table,
+    snapshot_id: int | None = None,
+    use_cache: bool = True,
+    shards_per_task: int = 8,
+) -> DataFrame:
+    """All data-file entries of one snapshot as a DataFrame.
+
+    Reads the parquet cache when one exists for the snapshot, else
+    parses the JSON shards in executors — one ``mapInPandas`` task per
+    ``shards_per_task`` shards (a shard holds up to MANIFEST_MAX_ENTRIES
+    entries, so the default batches ~40k entries per task)."""
+    snap = table.snapshot(snapshot_id)
+    spark = table.spark
+    if snap is None:
+        return spark.createDataFrame([], ENTRY_SCHEMA)
+    if use_cache:
+        cdir = _cache_dir(table, snap.snapshot_id)
+        if os.path.exists(os.path.join(cdir, "_SUCCESS")):
+            return spark.read.schema(ENTRY_SCHEMA).parquet(cdir)
+    shards = [(m, table.abs_path(m)) for m in snap.manifests]
+    if not shards:
+        return spark.createDataFrame([], ENTRY_SCHEMA)
+    n_tasks = max(1, (len(shards) + shards_per_task - 1) // shards_per_task)
+    shard_df = spark.createDataFrame(
+        shards, "manifest string, abs_path string"
+    ).repartition(n_tasks)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "manifest", "path", "record_count", "file_size_bytes",
+            "partition", "schema_id", "spec_col", "stats",
+        ]
+        for pdf in batches:
+            rows = []
+            for rel, absp in zip(pdf["manifest"], pdf["abs_path"]):
+                with open(absp) as f:
+                    for d in json.load(f):
+                        rows.append(
+                            (
+                                rel,
+                                d["path"],
+                                d["record_count"],
+                                d["file_size_bytes"],
+                                d.get("partition"),
+                                d.get("schema_id", 0),
+                                d.get("spec_col"),
+                                json.dumps(d.get("stats", {})),
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return shard_df.mapInPandas(_parse, ENTRY_SCHEMA)
+
+
+def write_manifest_cache(table: Table, snapshot_id: int | None = None) -> str:
+    """Materialize one snapshot's entries as parquet for repeated
+    planning. Distributed write; returns the cache directory. Safe to
+    call concurrently — parquet commit is directory-atomic via _SUCCESS
+    and the content is a pure function of the immutable snapshot."""
+    snap = table.snapshot(snapshot_id)
+    if snap is None:
+        raise ValueError("table has no snapshot to cache")
+    cdir = _cache_dir(table, snap.snapshot_id)
+    if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
+        manifest_entries_df(table, snap.snapshot_id, use_cache=False).write.mode(
+            "overwrite"
+        ).parquet(cdir)
+    return cdir
+
+
+def _stat(col: str, bound: str) -> Column:
+    return F.get_json_object(F.col("stats"), f"$.{col}.{bound}")
+
+
+def _overlap_pred(col: str, lo, hi) -> Column:
+    """May-overlap predicate on one column's manifest min/max, NULL-safe
+    (absent stats keep the file — same conservatism as
+    DataFile.overlaps). Numeric bounds compare numerically; strings
+    byte-wise, matching the python path's native-type compare."""
+    mn, mx = _stat(col, "min"), _stat(col, "max")
+    if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+        lo_l, hi_l = F.lit(lo), F.lit(hi)
+    else:
+        mn, mx = mn.cast("double"), mx.cast("double")
+        lo_l, hi_l = F.lit(float(lo)), F.lit(float(hi))
+    return mn.isNull() | ~((mx < lo_l) | (mn > hi_l))
+
+
+def prune_files_df(
+    entries: DataFrame,
+    sources: list[str] | None = None,
+    ranges: dict[str, tuple] | None = None,
+    first_spec_col: str = "source",
+) -> DataFrame:
+    """Filter a manifest-entries frame with the SAME predicates as
+    ``Table.scan``:
+
+    - ``sources``: identity-partition prune when the file's spec column
+      is ``source`` (legacy ``spec_col=None`` entries resolve to
+      ``first_spec_col`` — the table's FIRST spec, mirroring
+      ``Table.partition_value``), else min/max stats prune.
+    - ``ranges``: {column: (lo, hi)} min/max overlap prune per column.
+    """
+    out = entries
+    if sources is not None:
+        spec = F.coalesce(F.col("spec_col"), F.lit(first_spec_col))
+        identity = (spec == "source") & F.col("partition").isNotNull()
+        stats_keep = F.lit(False)
+        for s in sources:
+            mn, mx = _stat("source", "min"), _stat("source", "max")
+            stats_keep = stats_keep | mn.isNull() | (
+                (mn <= F.lit(s)) & (F.lit(s) <= mx)
+            )
+        out = out.filter(
+            F.when(identity, F.col("partition").isin(sources)).otherwise(
+                stats_keep
+            )
+        )
+    for col, (lo, hi) in (ranges or {}).items():
+        out = out.filter(_overlap_pred(col, lo, hi))
+    return out
+
+
+def scan_planned(
+    table: Table,
+    snapshot_id: int | None = None,
+    sources: list[str] | None = None,
+    doc_id_range: tuple[str, str] | None = None,
+    n_tok_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """``Table.scan`` with DISTRIBUTED file planning: manifest parsing
+    and pruning run as a Spark job and only the surviving entries reach
+    the driver. Row-level re-filters are applied by the delegated
+    ``scan`` exactly as on the driver path."""
+    snap = table.snapshot(snapshot_id)
+    if snap is None:
+        return table.scan(snapshot_id=snapshot_id)
+    entries = manifest_entries_df(table, snap.snapshot_id)
+    ranges: dict[str, tuple] = {}
+    if doc_id_range is not None:
+        ranges["doc_id"] = doc_id_range
+    if n_tok_range is not None:
+        ranges["n_tok"] = n_tok_range
+    first_spec = table.metadata.get(
+        "partition_spec_log", [table.partition_col]
+    )[0]
+    surv = prune_files_df(
+        entries, sources=sources, ranges=ranges, first_spec_col=first_spec
+    )
+    rows = surv.select(
+        "path", "record_count", "file_size_bytes", "schema_id"
+    ).collect()
+    files = [
+        DataFile(
+            path=r.path,
+            record_count=r.record_count,
+            file_size_bytes=r.file_size_bytes,
+            schema_id=r.schema_id,
+        )
+        for r in rows
+    ]
+    # stats are intentionally absent on the reconstructed entries: the
+    # distributed pass already pruned, and scan's re-prune is
+    # conservative (keeps) without stats; the row filters stay exact
+    return table.scan(
+        snapshot_id=snap.snapshot_id,
+        sources=sources,
+        doc_id_range=doc_id_range,
+        n_tok_range=n_tok_range,
+        files=files,
+    )

@@ -1,0 +1,235 @@
+"""Distributed manifest planning (table/manifest_df.py): parity with the
+driver-side prune, the parquet manifest cache, and the 100k-file scale
+contract — planning a synthetic 100k-file table must stay seconds-fast
+and never materialize the full file list on the driver."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from olake_spark.datagen import generate_sequences
+from olake_spark.table import Table
+from olake_spark.table.manifest_df import (
+    manifest_entries_df,
+    prune_files_df,
+    scan_planned,
+    write_manifest_cache,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    df = generate_sequences(spark, num_rows=3000, seed=3, num_partitions=12)
+    t.append(df)
+    return t
+
+
+def _paths(files) -> set[str]:
+    return {f.path for f in files}
+
+
+def test_entries_df_matches_files(spark, table):
+    ent = manifest_entries_df(table)
+    rows = ent.collect()
+    files = table.files()
+    assert {r.path for r in rows} == _paths(files)
+    by_path = {f.path: f for f in files}
+    for r in rows:
+        f = by_path[r.path]
+        assert r.record_count == f.record_count
+        assert r.file_size_bytes == f.file_size_bytes
+        assert r.schema_id == f.schema_id
+        assert r.spec_col == f.spec_col
+        assert json.loads(r.stats) == f.stats
+
+
+@pytest.mark.parametrize(
+    "sources,doc_id_range,n_tok_range",
+    [
+        (["wiki"], None, None),
+        (None, None, (1, 64)),
+        (None, ("doc-0001", "doc-3000"), None),
+        (["web", "code"], None, (100, 900)),
+        (["nope"], None, None),
+    ],
+)
+def test_prune_parity_with_driver_path(
+    spark, table, sources, doc_id_range, n_tok_range
+):
+    # ground truth: the python prune inside Table.scan
+    cand = table.files()
+    if sources is not None:
+        cand = [
+            f
+            for f in cand
+            if (
+                pv in sources
+                if (pv := table.partition_value(f, "source")) is not None
+                else any(f.may_contain("source", s) for s in sources)
+            )
+        ]
+    if doc_id_range is not None:
+        cand = [f for f in cand if f.overlaps("doc_id", *doc_id_range)]
+    if n_tok_range is not None:
+        cand = [f for f in cand if f.overlaps("n_tok", *n_tok_range)]
+
+    ranges = {}
+    if doc_id_range:
+        ranges["doc_id"] = doc_id_range
+    if n_tok_range:
+        ranges["n_tok"] = n_tok_range
+    surv = prune_files_df(
+        manifest_entries_df(table), sources=sources, ranges=ranges
+    )
+    assert {r.path for r in surv.collect()} == _paths(cand)
+
+
+def test_scan_planned_matches_scan(spark, table):
+    for kw in (
+        {},
+        {"sources": ["wiki"]},
+        {"n_tok_range": (1, 64)},
+        {"sources": ["web"], "n_tok_range": (10, 500)},
+    ):
+        want = sorted(
+            (r.doc_id, r.n_tok) for r in table.scan(**kw).collect()
+        )
+        got = sorted(
+            (r.doc_id, r.n_tok) for r in scan_planned(table, **kw).collect()
+        )
+        assert got == want and (not kw or len(got) > 0 or kw.get("sources") == ["nope"])
+
+
+def test_scan_planned_respects_snapshot_pin(spark, table):
+    snap1 = table.current_snapshot_id
+    n1 = table.scan().count()
+    extra = generate_sequences(spark, num_rows=500, seed=9, num_partitions=2)
+    table.append(extra)
+    assert scan_planned(table).count() == n1 + 500
+    assert scan_planned(table, snapshot_id=snap1).count() == n1
+
+
+def test_manifest_cache_roundtrip(spark, table):
+    cdir = write_manifest_cache(table)
+    assert os.path.exists(os.path.join(cdir, "_SUCCESS"))
+    ent_json = manifest_entries_df(table, use_cache=False)
+    ent_cache = manifest_entries_df(table)  # picks up the cache
+    a = {r.path: r for r in ent_json.collect()}
+    b = {r.path: r for r in ent_cache.collect()}
+    assert a.keys() == b.keys()
+    for p in a:
+        assert json.loads(a[p].stats) == json.loads(b[p].stats)
+    # the cached plan reads parquet, not JSON shards
+    assert "parquet" in ent_cache._jdf.queryExecution().executedPlan().toString().lower()
+
+
+def test_100k_file_planning_is_fast_and_exact(spark, tmp_path):
+    """The 100x-scale contract: a table whose CURRENT snapshot tracks
+    100_000 data files (synthetic manifests — no actual data files on
+    disk) plans a pruned scan in seconds via the DataFrame path, with
+    pruning parity against the driver-side loop."""
+    from olake_spark.table.format import MANIFEST_MAX_ENTRIES, _atomic_write_json
+
+    root = str(tmp_path / "big")
+    t = Table.create(spark, root)
+    n_files = 100_000
+    per_shard = MANIFEST_MAX_ENTRIES
+    manifests = []
+    eid = 0
+    for s in range((n_files + per_shard - 1) // per_shard):
+        entries = []
+        for _ in range(min(per_shard, n_files - eid)):
+            lo = eid * 1000
+            entries.append(
+                {
+                    "path": f"data/fake/{eid:07d}.parquet",
+                    "record_count": 1000,
+                    "file_size_bytes": 128 << 20,
+                    "partition": f"src{eid % 8}",
+                    "schema_id": 0,
+                    "spec_col": "source",
+                    "stats": {
+                        "doc_id": {
+                            "min": f"doc-{lo:012d}",
+                            "max": f"doc-{lo + 999:012d}",
+                            "null_count": 0,
+                        },
+                        "n_tok": {
+                            "min": eid % 1024,
+                            "max": eid % 1024 + 32,
+                            "null_count": 0,
+                        },
+                        "source": {
+                            "min": f"src{eid % 8}",
+                            "max": f"src{eid % 8}",
+                            "null_count": 0,
+                        },
+                    },
+                }
+            )
+            eid += 1
+        rel = f"manifests/manifest-big-{s:05d}.json"
+        _atomic_write_json(os.path.join(root, rel), entries)
+        manifests.append(rel)
+    t.metadata["snapshots"].append(
+        {
+            "snapshot_id": 1,
+            "parent_id": None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "append",
+            "manifests": manifests,
+            "summary": {},
+            "schema_id": 0,
+        }
+    )
+    t.metadata["current_snapshot_id"] = 1
+    t.rewrite_metadata()
+
+    # load is O(snapshots): instant regardless of file count
+    t0 = time.time()
+    t2 = Table.load(spark, root)
+    load_s = time.time() - t0
+    assert load_s < 2.0, f"Table.load took {load_s:.1f}s"
+
+    # distributed planning: entries parse + prune as ONE Spark job;
+    # only survivors reach the driver
+    t0 = time.time()
+    ent = manifest_entries_df(t2)
+    surv = prune_files_df(
+        ent, sources=["src3"], ranges={"n_tok": (100, 140)}
+    ).select("path")
+    got = {r.path for r in surv.collect()}
+    plan_s = time.time() - t0
+    assert plan_s < 30.0, f"distributed planning took {plan_s:.1f}s"
+
+    # parity with the driver loop on the same snapshot
+    want = set()
+    for f in t2.files():
+        if t2.partition_value(f, "source") != "src3":
+            continue
+        if f.overlaps("n_tok", 100, 140):
+            want.add(f.path)
+    assert got == want and 0 < len(got) < n_files // 100
+
+    # the parquet cache makes the SECOND plan footer-pruned-columnar
+    write_manifest_cache(t2)
+    t0 = time.time()
+    got2 = {
+        r.path
+        for r in prune_files_df(
+            manifest_entries_df(t2),
+            sources=["src3"],
+            ranges={"n_tok": (100, 140)},
+        )
+        .select("path")
+        .collect()
+    }
+    cached_s = time.time() - t0
+    assert got2 == got
+    assert cached_s < 15.0, f"cached planning took {cached_s:.1f}s"

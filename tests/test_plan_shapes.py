@@ -278,3 +278,21 @@ def test_repeated_ngrams_window_strategy_single_scan(spark):
     assert pw.count("Scan parquet") == 1
     pj = _plan(repeated_ngram_stats(docs, strategy="join"))
     assert "partial_count" in pj or "partial count" in pj.lower()
+
+
+def test_repeated_ngrams_auto_selects_scale_safe_strategy(spark):
+    """strategy='auto' (the default): window's single-scan plan only up
+    to window_max_rows docs; past the threshold the AQE-skew-splittable
+    join shape, where an ultra-hot gram cannot become one straggler
+    window task."""
+    from olake_spark.operators.dedup import repeated_ngram_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # small corpus (500 docs <= default threshold): window plan
+    p_small = _plan(repeated_ngram_stats(docs))
+    assert p_small.count("Scan parquet") == 1
+    assert "windowspecdefinition" in p_small
+    # force the corpus to read as "big": join plan, no window operator
+    p_big = _plan(repeated_ngram_stats(docs, window_max_rows=10))
+    assert "windowspecdefinition" not in p_big
+    assert "partial_count" in p_big or "partial count" in p_big.lower()

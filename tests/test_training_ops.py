@@ -622,6 +622,75 @@ def test_repeated_ngram_stats_exact(spark):
     assert out["d"].n_hot == 0 and out["d"].hot_fraction == 0.0
 
 
+def test_drop_repeated_spans_removes_spans_and_conserves_tokens(spark):
+    """Span-level exact-substring dedup: the planted boilerplate span is
+    REMOVED from every doc carrying it, unique text survives verbatim,
+    and token accounting is conserved (n_words - n_dropped ==
+    len(clean_text words); every doc survives)."""
+    from olake_spark.operators.dedup import drop_repeated_spans
+
+    boiler = "all rights reserved contact us today"
+    docs = spark.createDataFrame(
+        [
+            ("a", "unique opening words here " + boiler, "s"),
+            ("b", "different second document text " + boiler, "s"),
+            ("c", "third body copy entirely " + boiler, "s"),
+            ("d", "fresh original content nothing shared at all", "s"),
+            ("e", "xy zz", "s"),  # < 3 words: passes through untouched
+        ],
+        "doc_id string, text string, source string",
+    )
+    out = {r.doc_id: r for r in drop_repeated_spans(docs, n=3, min_repeats=3).collect()}
+    assert len(out) == 5  # every doc survives
+    # hot trigrams live fully inside the 6-word boilerplate; its first
+    # word starts at index 4 (a/c) or 5 (b), so the whole span drops
+    assert out["a"].clean_text == "unique opening words here"
+    assert out["b"].clean_text == "different second document text"
+    assert out["c"].clean_text == "third body copy entirely"
+    assert out["d"].clean_text == "fresh original content nothing shared at all"
+    assert out["e"].clean_text == "xy zz" and out["e"].n_dropped == 0
+    for r in out.values():
+        kept = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert r.n_words - r.n_dropped == kept, r
+    assert out["a"].n_words == 10 and out["a"].n_dropped == 6
+
+
+def test_drop_repeated_spans_matches_bruteforce(spark):
+    """Corpus-level parity vs a driver-side brute-force replica on real
+    sf0.001 documents."""
+    from collections import Counter
+
+    from olake_spark.operators.dedup import drop_repeated_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    n, min_repeats = 3, 3
+    counts: Counter = Counter()
+    words_by_id = {}
+    for r in rows:
+        w = r.text.split(" ")
+        words_by_id[r.doc_id] = w
+        for i in range(len(w) - n + 1):
+            counts[" ".join(w[i : i + n])] += 1
+    expect = {}
+    for did, w in words_by_id.items():
+        starts = [
+            i
+            for i in range(len(w) - n + 1)
+            if counts[" ".join(w[i : i + n])] >= min_repeats
+        ]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + n))
+        kept = [x for i, x in enumerate(w) if i not in covered]
+        expect[did] = (len(w), len(w) - len(kept), " ".join(kept))
+    got = {
+        r.doc_id: (r.n_words, r.n_dropped, r.clean_text)
+        for r in drop_repeated_spans(docs, n=n, min_repeats=min_repeats).collect()
+    }
+    assert got == expect and len(got) == len(rows)
+
+
 def test_repeated_ngram_strategies_agree(spark):
     """window and join strategies are alternative physical plans of the
     same logical op — identical output required."""
