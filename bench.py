@@ -74,12 +74,14 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    rep_arrays: dict[str, list[float]] = {}
     maintenance: dict[str, float] = {}
 
     def timed(name):
         # min across bench reps: this VM's ambient noise is ~2x on
         # identical runs, so a single-shot timing grades the weather,
-        # not the engine (methodology mirrors tools/bench_scaling.py)
+        # not the engine (methodology mirrors tools/bench_scaling.py);
+        # every rep is also recorded so swings stay attributable
         class _T:
             def __enter__(self):
                 self.t0 = time.time()
@@ -87,6 +89,7 @@ def main() -> None:
 
             def __exit__(self, *a):
                 dt = round(time.time() - self.t0, 3)
+                rep_arrays.setdefault(name, []).append(dt)
                 timings[name] = min(timings.get(name, dt), dt)
 
         return _T()
@@ -100,10 +103,45 @@ def main() -> None:
     # virtio disk that dominates wall time; /dev/shm measures the engine
     bench_dir = "/dev/shm" if os.path.isdir("/dev/shm") else None
     maintenance["reps"] = reps
+
+    if os.environ.get("OLAKE_BENCH_MODE") == "maintenance":
+        # child mode: ONE maintenance rep in this fresh JVM, print the
+        # per-op times for the parent to merge, exit
+        _run_maintenance_rep(
+            spark, rows, cpus, n_small_files, bench_dir, sf_dir, timed,
+            maintenance,
+        )
+        print(
+            json.dumps(
+                {"maintenance_times": rep_arrays, "maintenance": maintenance}
+            )
+        )
+        spark.stop()
+        return
+
+    # Cross-JVM noise-proofing: min-of-2-within-one-JVM is correlated
+    # noise (one session shares GC/JIT/page-cache weather). Interleave
+    # the in-process reps with fresh-JVM child reps (P1, C1, P2, C2 —
+    # OLAKE_BENCH_JVMS total JVMs incl this one) and take the min across
+    # ALL of them; per-JVM rep arrays land in maintenance.jvm_reps so a
+    # round-over-round swing is attributable to code vs weather.
+    n_children = max(0, int(os.environ.get("OLAKE_BENCH_JVMS", "3")) - 1)
+    child_arrays: list[dict] = []
     for _rep in range(reps):
         _run_maintenance_rep(
             spark, rows, cpus, n_small_files, bench_dir, sf_dir, timed, maintenance
         )
+        if len(child_arrays) < n_children:
+            ct = _spawn_maintenance_jvm()
+            if ct is not None:
+                child_arrays.append(ct)
+                for op, arr in ct.items():
+                    for dt in arr:
+                        timings[op] = min(timings.get(op, dt), dt)
+    maintenance["jvm_reps"] = {
+        "parent": {op: rep_arrays[op] for op in list(rep_arrays)},
+        "children": child_arrays,
+    }
     maint_sec = timings["compact"] + timings["zorder"]
     bytes_in = maintenance["bytes"]
     maintenance["compact_gb_per_s"] = round(
@@ -155,6 +193,7 @@ def main() -> None:
     if os.environ.get("OLAKE_BENCH_SF1", "1") != "0":
         sf1_block = {}
         _run_sf1_smoke(spark, rows * 10, cpus, bench_dir, sf1_block)
+        _run_sf1_dedup_curation(spark, sf_dir, sf1_block)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -170,6 +209,36 @@ def main() -> None:
         out["sf1_maintenance"] = sf1_block
     print(json.dumps(out))
     spark.stop()
+
+
+def _spawn_maintenance_jvm() -> dict | None:
+    """Run one maintenance rep in a FRESH subprocess JVM (same geometry:
+    rows/cpus/sf from the same env) and return its per-op times dict.
+    Returns None if the child fails — the parent's own reps still stand,
+    the bench degrades to single-JVM rather than dying."""
+    import subprocess
+
+    env = dict(
+        os.environ,
+        OLAKE_BENCH_MODE="maintenance",
+        OLAKE_BENCH_REPS="1",
+        OLAKE_BENCH_SF1="0",
+        PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        for line in reversed(out.stdout.splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)["maintenance_times"]
+    except Exception:
+        pass
+    return None
 
 
 def _bench_doc_token_count(spark, sf_dir):
@@ -327,6 +396,81 @@ def _run_sf1_smoke(spark, rows, cpus, bench_dir, out: dict) -> None:
         out["files_after"] = len(table.files())
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _run_sf1_dedup_curation(spark, sf_dir, out: dict) -> None:
+    """The heaviest SHUFFLE plans (MinHash-LSH near-dup and the 6-stage
+    curation funnel) at 10x the documents corpus — the maintenance sf1
+    smoke covers only the rewrite ops. The corpus is 10 word-suffixed
+    replicas of the sf documents table: suffixing every word with the
+    replica id keeps the replicas' shingle spaces disjoint, so the
+    near-duplicate DENSITY (the cost driver of bucket verification)
+    matches the base corpus instead of fabricating 10-way clone
+    clusters; dedup work scales with corpus size, as at 100 TB."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.dedup import minhash_lsh_pairs
+    from olake_spark.pipelines.curation import curate_corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    big = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 100_000_000)).alias("doc_id"),
+                F.regexp_replace("text", " ", f"_{k} ").alias("text"),
+                "source",
+                "n_chars",
+            )
+            for k in range(10)
+        ],
+    ).persist()
+    n_docs = big.count()
+    out["dedup_docs"] = n_docs
+    try:
+        t0 = time.time()
+        minhash_lsh_pairs(
+            big, "doc_id", "text", num_perm=32, bands=8, shingle_k=2,
+            jaccard_threshold=0.5,
+        ).write.format("noop").mode("overwrite").save()
+        out["minhash_lsh_s"] = round(time.time() - t0, 3)
+        out["minhash_docs_per_s"] = round(n_docs / out["minhash_lsh_s"], 1)
+
+        d = big.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.pmod(F.col("doc_id"), F.lit(50)).alias("_m"),
+            "text",
+            "source",
+            "n_chars",
+        )
+        bench_split = d.filter(F.col("_m") == 0).drop("_m")
+        train = d.filter(F.col("_m") != 0).drop("_m")
+        handles: list = []
+        t0 = time.time()
+        curated = curate_corpus(
+            train,
+            bench_split,
+            repetition={"max_word": 0.10, "min_words": 5},
+            scrub_pii=True,
+            materialize=True,
+            persisted=handles,
+            mixture_rates={"src0": 0.75, "src1": 0.5},
+            default_rate=0.25,
+            token_budget=20480,
+            weight_col="n_chars",
+            seed=0,
+        )
+        curated.write.format("noop").mode("overwrite").save()
+        out["curation_s"] = round(time.time() - t0, 3)
+        out["curation_docs_per_s"] = round(n_docs / out["curation_s"], 1)
+        for h in handles:
+            h.unpersist()
+    finally:
+        big.unpersist()
 
 
 def _run_maintenance_rep(

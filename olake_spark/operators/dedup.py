@@ -651,7 +651,10 @@ def drop_repeated_spans(
     occurrences recovered by an AQE-skew-splittable equi-join on the
     gram, then ONE groupBy(doc) collects the per-doc hot-start list —
     bounded by the doc's own word count, never by corpus-wide gram
-    frequency. The span mask itself is pure Catalyst array logic (the
+    frequency. At 10^12-doc scale, shuffle xxhash64(gram) instead of
+    the gram string to cut shuffle bytes ~3x (collision odds are
+    negligible); measured NOT faster at sf0.1 (hash compute exceeds the
+    tiny-shuffle savings), so the oracle-exact string key stays. The span mask itself is pure Catalyst array logic (the
     arrays are materialized once per row; Spark evaluates higher-order
     functions interpreted, so each is referenced a single time)."""
     from olake_spark.operators.text import ngrams_col, words_col
@@ -678,11 +681,16 @@ def drop_repeated_spans(
             F.col("_starts"), lambda s: (s <= i) & (i <= s + F.lit(n - 1))
         ),
     )
-    return out.select(
+    # stage the filtered array ONCE: it is referenced twice below, and
+    # higher-order functions evaluate interpreted — an unstaged reference
+    # re-runs the whole O(words x starts) mask per use (CollapseProject
+    # keeps the staging projection because the expression is non-cheap)
+    staged = out.withColumn("_kept", kept)
+    return staged.select(
         F.col(id_col),
         F.size("_w").alias("n_words"),
-        (F.size("_w") - F.size(kept)).alias("n_dropped"),
-        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_w") - F.size("_kept")).alias("n_dropped"),
+        F.array_join("_kept", " ").alias("clean_text"),
     )
 
 

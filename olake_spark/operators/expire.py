@@ -22,20 +22,17 @@ import time
 from dataclasses import dataclass, field
 
 
-def _uncommitted_job_outputs(table_root: str) -> set[str]:
+def _uncommitted_job_outputs(table_root: str, io) -> set[str]:
     """Output paths recorded in jobs/*/ledger.json with no committed
     snapshot yet — these belong to interrupted-but-resumable maintenance
     runs and must survive orphan cleanup. Unreadable ledgers are skipped
     (their outputs then age out under ``orphan_grace_ms``)."""
     out: set[str] = set()
     jobs_root = os.path.join(table_root, "jobs")
-    if not os.path.isdir(jobs_root):
-        return out
-    for jid in os.listdir(jobs_root):
+    for jid in io.list(jobs_root):
         lp = os.path.join(jobs_root, jid, "ledger.json")
         try:
-            with open(lp) as f:
-                state = json.load(f)
+            state = io.get_json(lp)
         except (OSError, json.JSONDecodeError):
             continue
         if state.get("committed_snapshot_id") is not None:
@@ -114,22 +111,19 @@ def expire_snapshots(
     res.expired_snapshots = [s.snapshot_id for s in drop]
     res.kept_snapshots = [s.snapshot_id for s in keep]
 
+    io = table.io
     if abandoned_job_ms is not None:
-        import shutil
-
         now_ms = time.time() * 1000
         jobs_root = os.path.join(table.root, "jobs")
-        if os.path.isdir(jobs_root):
-            for jid in os.listdir(jobs_root):
-                lp = os.path.join(jobs_root, jid, "ledger.json")
-                try:
-                    with open(lp) as f:
-                        committed = json.load(f).get("committed_snapshot_id")
-                    age = now_ms - os.path.getmtime(lp) * 1000
-                except (OSError, json.JSONDecodeError):
-                    continue
-                if committed is None and age > abandoned_job_ms:
-                    shutil.rmtree(os.path.join(jobs_root, jid), ignore_errors=True)
+        for jid in io.list(jobs_root):
+            lp = os.path.join(jobs_root, jid, "ledger.json")
+            try:
+                committed = io.get_json(lp).get("committed_snapshot_id")
+                age = now_ms - io.mtime_ms(lp)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if committed is None and age > abandoned_job_ms:
+                io.delete_prefix(os.path.join(jobs_root, jid))
 
     if clean_orphans:
         now_ms = time.time() * 1000
@@ -143,30 +137,30 @@ def expire_snapshots(
         # outputs of in-flight (uncommitted) maintenance jobs are live:
         # a resumed job will commit them — GC'ing them here would let the
         # resume path commit references to deleted files
-        live_data |= _uncommitted_job_outputs(table.root)
+        live_data |= _uncommitted_job_outputs(table.root, io)
         data_root = os.path.join(table.root, "data")
-        for dirpath, _dirs, names in os.walk(data_root, topdown=False):
+        for dirpath, names in io.walk(data_root):
             for name in names:
                 p = os.path.join(dirpath, name)
                 rel = os.path.relpath(p, table.root)
                 if rel in live_data or not name.endswith(".parquet"):
                     continue
-                if now_ms - os.path.getmtime(p) * 1000 < orphan_grace_ms:
+                if now_ms - io.mtime_ms(p) < orphan_grace_ms:
                     continue
-                os.remove(p)
+                io.delete(p)
                 res.deleted_data_files += 1
-            if not os.listdir(dirpath) and dirpath != data_root:
-                os.rmdir(dirpath)
+            if dirpath != data_root:
+                io.delete_empty_prefix(dirpath)
         man_root = os.path.join(table.root, "manifests")
-        for name in os.listdir(man_root):
+        for name in io.list(man_root):
             rel = os.path.join("manifests", name)
             if rel not in live_manifests:
-                os.remove(os.path.join(table.root, rel))
+                io.delete(os.path.join(table.root, rel))
                 table._manifest_cache.pop(rel, None)
                 res.deleted_manifests += 1
         # metadata versions older than the previous one are unreachable
         meta_root = os.path.join(table.root, "metadata")
-        for name in os.listdir(meta_root):
+        for name in io.list(meta_root):
             if not name.startswith("v") or not name.endswith(".json"):
                 continue
             try:
@@ -174,6 +168,6 @@ def expire_snapshots(
             except ValueError:
                 continue
             if v < table.version - 1:
-                os.remove(os.path.join(meta_root, name))
+                io.delete(os.path.join(meta_root, name))
                 res.deleted_metadata_versions += 1
     return res

@@ -52,7 +52,7 @@ from olake_spark.schema import (
     OLAKE_INSERT_TIME,
     olake_id_expr,
 )
-from olake_spark.table.format import Table
+from olake_spark.table.format import DataFile, Table
 
 # Broadcast the change-key side only while its estimated on-heap size
 # stays comfortably inside executor memory: each _olake_id is a 32-char
@@ -289,21 +289,121 @@ def commit_merge(
     )
 
 
+#: manifest shard count at which merge discovery stops materializing the
+#: file list on the driver (>= ~320k files at MANIFEST_MAX_ENTRIES=5000)
+#: and plans through table/manifest_df instead
+_DISTRIBUTED_PLANNING_MIN_SHARDS = 64
+
+
 def merge_into(
     table: Table,
     changes: DataFrame,
     dedup_order_col: str | None = None,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     exact_prune_max_keys: int = 100_000,
+    distributed_planning: bool | None = None,
 ) -> MergeResult:
-    """Apply a CDC-shaped change batch to the table, copy-on-write."""
+    """Apply a CDC-shaped change batch to the table, copy-on-write.
+
+    ``distributed_planning``: None (default) auto-enables the
+    manifest-DataFrame discovery path when the snapshot has >=
+    ``_DISTRIBUTED_PLANNING_MIN_SHARDS`` manifest shards — a million-file
+    table must not parse every manifest on the driver per merge; True /
+    False force it for tests or unusual layouts."""
     ch = _prepare_changes(changes, dedup_order_col).cache()
     try:
-        return _merge_apply(table, ch, target_file_bytes, exact_prune_max_keys)
+        return _merge_apply(
+            table, ch, target_file_bytes, exact_prune_max_keys,
+            distributed_planning,
+        )
     finally:
         # unpersist on EVERY exit — the empty-batch early return and any
         # raise between cache and commit must not leak executor storage
         ch.unpersist()
+
+
+def _candidates_from_manifests_distributed(
+    table: Table, snap, ch: DataFrame, n_changes: int, n_buckets: int = 1024
+):
+    """Candidate discovery WITHOUT materializing the file list on the
+    driver: manifest shards parse in executors (manifest_entries_df),
+    the doc_id interval check runs as the same bucketized equi-join as
+    `_candidate_paths_distributed`, and only SURVIVING entries are
+    collected — O(candidates) driver work at any table size. Entries
+    without doc_id stats are conservatively candidates."""
+    import json as _json
+
+    from olake_spark.table.manifest_df import manifest_entries_df
+
+    key_type = ch.schema["doc_id"].dataType.simpleString()
+    ent = (
+        manifest_entries_df(table, snap.snapshot_id)
+        .withColumn(
+            "_lo", F.get_json_object("stats", "$.doc_id.min").cast(key_type)
+        )
+        .withColumn(
+            "_hi", F.get_json_object("stats", "$.doc_id.max").cast(key_type)
+        )
+        .persist()
+    )
+    try:
+        keys_df = ch.select("doc_id")
+        frac = min(1.0, (32 * n_buckets) / max(n_changes, 1))
+        sample = sorted(
+            r[0]
+            for r in (
+                keys_df.sample(False, frac, seed=42) if frac < 1.0 else keys_df
+            ).collect()
+        )
+        cand_pred = None
+        if sample:
+            bnds = sorted(
+                {
+                    sample[min(len(sample) - 1, (i * len(sample)) // n_buckets)]
+                    for i in range(1, n_buckets)
+                }
+            )
+            fb = ent.filter(F.col("_lo").isNotNull()).withColumn(
+                "b",
+                F.explode(
+                    F.sequence(
+                        bin_expr(F.col("_lo"), bnds), bin_expr(F.col("_hi"), bnds)
+                    )
+                ),
+            )
+            kb = keys_df.withColumn("b", bin_expr(F.col("doc_id"), bnds))
+            hit_paths = (
+                fb.join(kb, "b")
+                .filter(F.col("doc_id").between(F.col("_lo"), F.col("_hi")))
+                .select("path")
+                .distinct()
+            )
+            cand_pred = ent.join(hit_paths, "path")
+        no_stats = ent.filter(F.col("_lo").isNull())
+        cand_df = (
+            no_stats if cand_pred is None else cand_pred.unionByName(no_stats)
+        )
+        rows = cand_df.select(
+            "path", "record_count", "file_size_bytes", "partition",
+            "schema_id", "spec_col", "stats",
+        ).collect()
+    finally:
+        ent.unpersist()
+    return sorted(
+        (
+            DataFile(
+                path=r.path,
+                record_count=r.record_count,
+                file_size_bytes=r.file_size_bytes,
+                partition=r.partition,
+                stats=_json.loads(r.stats),
+                schema_id=r.schema_id,
+                spec_col=r.spec_col,
+            )
+            for r in rows
+        ),
+        key=lambda f: f.path,
+    )
 
 
 def _merge_apply(
@@ -311,6 +411,7 @@ def _merge_apply(
     ch: DataFrame,
     target_file_bytes: int,
     exact_prune_max_keys: int,
+    distributed_planning: bool | None = None,
 ) -> MergeResult:
     import time
 
@@ -343,22 +444,38 @@ def _merge_apply(
     # exact_prune_max_keys doc_ids, ~10 MB at the default). Larger
     # batches: distributed bucketized interval join of manifest ranges vs
     # change keys (no global-bounds fallback, which on a hash-distributed
-    # doc_id space would select ~every file).
-    files = table.files(snap.snapshot_id) if snap else []
-    change_ids: list | None = None
-    if n_changes <= exact_prune_max_keys:
-        ids = sorted(r.doc_id for r in ch.select("doc_id").distinct().collect())
-        change_ids = ids
-        candidates = [
-            f for f in files if stats_overlap(ids, f.stats.get("doc_id"))
-        ]
-    elif files:
-        hit_paths = _candidate_paths_distributed(
-            table.spark, files, ch.select("doc_id"), n_changes
+    # doc_id space would select ~every file). On MANY-SHARD tables the
+    # whole discovery goes through manifest_entries_df so the driver
+    # never parses O(table) manifest JSON or materializes the file list
+    # — only surviving candidates are collected.
+    use_dist = distributed_planning
+    if use_dist is None:
+        use_dist = (
+            snap is not None
+            and len(snap.manifests) >= _DISTRIBUTED_PLANNING_MIN_SHARDS
         )
-        candidates = [f for f in files if f.path in hit_paths]
+    change_ids: list | None = None
+    if use_dist and snap is not None:
+        candidates = _candidates_from_manifests_distributed(
+            table, snap, ch, n_changes
+        )
     else:
-        candidates = list(files)
+        files = table.files(snap.snapshot_id) if snap else []
+        if n_changes <= exact_prune_max_keys:
+            ids = sorted(
+                r.doc_id for r in ch.select("doc_id").distinct().collect()
+            )
+            change_ids = ids
+            candidates = [
+                f for f in files if stats_overlap(ids, f.stats.get("doc_id"))
+            ]
+        elif files:
+            hit_paths = _candidate_paths_distributed(
+                table.spark, files, ch.select("doc_id"), n_changes
+            )
+            candidates = [f for f in files if f.path in hit_paths]
+        else:
+            candidates = list(files)
 
     _mark("prune_s")
     keys = ch.select(OLAKE_ID)
@@ -426,9 +543,12 @@ def _merge_apply(
     # output sizing must include INSERT volume: an insert-heavy batch with
     # few matched files would otherwise funnel through one range partition
     # into a single oversized file. Average row bytes come from manifest
-    # stats (metadata only, no scan).
-    tbl_rows = sum(f.record_count for f in files)
-    tbl_bytes = sum(f.file_size_bytes for f in files)
+    # stats (metadata only, no scan); on the distributed-planning path
+    # the full file list was never materialized, so the (statistically
+    # equivalent) candidate files stand in for the table-wide average.
+    size_basis = candidates if use_dist else files
+    tbl_rows = sum(f.record_count for f in size_basis)
+    tbl_bytes = sum(f.file_size_bytes for f in size_basis)
     avg_row_bytes = (tbl_bytes / tbl_rows) if tbl_rows else 256.0
     bytes_est = (
         sum(f.file_size_bytes for f in touched)

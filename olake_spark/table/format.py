@@ -38,9 +38,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from olake_spark.schema import SEQUENCES_SCHEMA, STATS_COLUMNS
+from olake_spark.table.io import FileIO, LocalFileIO
 from olake_spark.table.stats import collect_file_stats
 
 MANIFEST_MAX_ENTRIES = 5000
+
+_DEFAULT_IO = LocalFileIO()
 
 
 class CommitConflict(Exception):
@@ -48,40 +51,11 @@ class CommitConflict(Exception):
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
+    _DEFAULT_IO.put_json(path, obj)
 
 
 def _atomic_write_text(path: str, text: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        f.write(text)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
-
-
-def _claim_version_json(path: str, obj: Any) -> None:
-    """Exclusively create ``path`` (fully written, then hard-linked into
-    place) — exactly ONE writer can claim a given metadata version.
-    os.rename would silently overwrite, letting two committers who both
-    observed version N both 'succeed' and lose one commit; os.link fails
-    with EEXIST for the loser, which surfaces as CommitConflict."""
-    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
-        raise CommitConflict(f"metadata version already claimed: {path}") from None
-    finally:
-        os.unlink(tmp)
+    _DEFAULT_IO.put_text(path, text)
 
 
 @dataclass
@@ -167,11 +141,19 @@ class Snapshot:
 class Table:
     """A snapshot-isolated, manifest-tracked parquet table."""
 
-    def __init__(self, spark: SparkSession, root: str, metadata: dict, version: int):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        metadata: dict,
+        version: int,
+        io: FileIO | None = None,
+    ):
         self.spark = spark
         self.root = os.path.abspath(root)
         self.metadata = metadata
         self.version = version
+        self.io: FileIO = io or LocalFileIO()
         self._manifest_cache: dict[str, list[DataFile]] = {}
 
     # ------------------------------------------------------------- lifecycle
@@ -183,10 +165,12 @@ class Table:
         schema: T.StructType = SEQUENCES_SCHEMA,
         partition_col: str = "source",
         stats_columns: list[str] | None = None,
+        io: FileIO | None = None,
     ) -> Table:
+        io = io or LocalFileIO()
         root = os.path.abspath(root)
         for sub in ("metadata", "manifests", "data", "jobs"):
-            os.makedirs(os.path.join(root, sub), exist_ok=True)
+            io.ensure_prefix(os.path.join(root, sub))
         metadata = {
             "format_version": 1,
             "table_uuid": uuid.uuid4().hex,
@@ -199,36 +183,33 @@ class Table:
             "snapshots": [],
             "last_updated_ms": int(time.time() * 1000),
         }
-        _atomic_write_json(os.path.join(root, "metadata", "v1.json"), metadata)
-        _atomic_write_text(os.path.join(root, "VERSION"), "1")
-        return cls(spark, root, metadata, 1)
+        io.put_json(os.path.join(root, "metadata", "v1.json"), metadata)
+        io.put_text(os.path.join(root, "VERSION"), "1")
+        return cls(spark, root, metadata, 1, io=io)
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> Table:
+    def load(cls, spark: SparkSession, root: str, io: FileIO | None = None) -> Table:
+        io = io or LocalFileIO()
         root = os.path.abspath(root)
-        with open(os.path.join(root, "VERSION")) as f:
-            version = int(f.read().strip())
-        # Heal an orphaned claim: a committer that died after linking
+        version = int(io.get_text(os.path.join(root, "VERSION")).strip())
+        # Heal an orphaned claim: a committer that died after claiming
         # v{N+1}.json but before flipping VERSION would otherwise wedge the
         # table forever (every future commit loads N, fails to claim the
         # existing v{N+1}.json, and CommitConflict retries re-read the same
-        # stale pointer). The claim file is fsynced before os.link, so it
-        # is always complete — adopting it loses nothing; repairing the
-        # pointer is idempotent if the original committer races us.
+        # stale pointer). The claim object is complete before it becomes
+        # visible — adopting it loses nothing; repairing the pointer is
+        # idempotent if the original committer races us.
         healed = version
-        while os.path.exists(
-            os.path.join(root, "metadata", f"v{healed + 1}.json")
-        ):
+        while io.exists(os.path.join(root, "metadata", f"v{healed + 1}.json")):
             healed += 1
         if healed != version:
-            _atomic_write_text(os.path.join(root, "VERSION"), str(healed))
+            io.put_text(os.path.join(root, "VERSION"), str(healed))
             version = healed
-        with open(os.path.join(root, "metadata", f"v{version}.json")) as f:
-            metadata = json.load(f)
-        return cls(spark, root, metadata, version)
+        metadata = io.get_json(os.path.join(root, "metadata", f"v{version}.json"))
+        return cls(spark, root, metadata, version, io=io)
 
     def refresh(self) -> Table:
-        t = Table.load(self.spark, self.root)
+        t = Table.load(self.spark, self.root, io=self.io)
         self.metadata, self.version = t.metadata, t.version
         self._manifest_cache.clear()
         return self
@@ -408,10 +389,10 @@ class Table:
 
     def _read_manifest(self, rel: str) -> list[DataFile]:
         if rel not in self._manifest_cache:
-            with open(os.path.join(self.root, rel)) as f:
-                self._manifest_cache[rel] = [
-                    DataFile.from_dict(d) for d in json.load(f)
-                ]
+            self._manifest_cache[rel] = [
+                DataFile.from_dict(d)
+                for d in self.io.get_json(os.path.join(self.root, rel))
+            ]
         return self._manifest_cache[rel]
 
     def files(self, snapshot_id: int | None = None) -> list[DataFile]:
@@ -520,7 +501,7 @@ class Table:
         writer.parquet(out_dir)
         paths = [
             os.path.join(out_dir, name)
-            for name in sorted(os.listdir(out_dir))
+            for name in self.io.list(out_dir)
             if name.endswith(".parquet")
         ]
         stats = collect_file_stats(
@@ -530,7 +511,7 @@ class Table:
         # reference's empty-file cleanup (writers/parquet/parquet.go:223-226)
         for s in stats:
             if s["record_count"] == 0:
-                os.remove(s["path"])
+                self.io.delete(s["path"])
         stats = [s for s in stats if s["record_count"] > 0]
         out = []
         pc = self.partition_col
@@ -571,8 +552,9 @@ class Table:
         added = added or []
         removed_paths = removed_paths or set()
         # optimistic concurrency: fail if someone advanced VERSION
-        with open(os.path.join(self.root, "VERSION")) as f:
-            disk_version = int(f.read().strip())
+        disk_version = int(
+            self.io.get_text(os.path.join(self.root, "VERSION")).strip()
+        )
         if disk_version != self.version:
             raise CommitConflict(
                 f"table at version {disk_version}, loaded at {self.version}"
@@ -648,38 +630,50 @@ class Table:
 
         new_version = self.version + 1
         try:
-            _claim_version_json(
-                os.path.join(self.root, "metadata", f"v{new_version}.json"),
-                self.metadata,
-            )
+            self._claim_version(new_version)
         except CommitConflict:
             self.metadata = json.loads(metadata_backup)
             raise
-        _atomic_write_text(os.path.join(self.root, "VERSION"), str(new_version))
+        self.io.put_text(os.path.join(self.root, "VERSION"), str(new_version))
         self.version = new_version
         return snap_id
+
+    def _claim_version(self, new_version: int) -> None:
+        """Conditional-create metadata v<N+1> — exactly ONE writer can
+        claim a given version (the commit-conflict primitive: hard-link
+        locally, If-None-Match conditional PUT on an object store). A
+        plain overwrite-publish would let two committers who both
+        observed version N both 'succeed' and lose one commit."""
+        try:
+            self.io.create_json(
+                os.path.join(self.root, "metadata", f"v{new_version}.json"),
+                self.metadata,
+            )
+        except FileExistsError:
+            raise CommitConflict(
+                f"metadata version already claimed: v{new_version}"
+            ) from None
 
     def rewrite_metadata(self) -> int:
         """Persist in-place metadata edits (e.g. snapshot-log pruning by
         expiry) as a new metadata version WITHOUT creating a snapshot."""
-        with open(os.path.join(self.root, "VERSION")) as f:
-            disk_version = int(f.read().strip())
+        disk_version = int(
+            self.io.get_text(os.path.join(self.root, "VERSION")).strip()
+        )
         if disk_version != self.version:
             raise CommitConflict(
                 f"table at version {disk_version}, loaded at {self.version}"
             )
         self.metadata["last_updated_ms"] = int(time.time() * 1000)
         new_version = self.version + 1
-        _claim_version_json(
-            os.path.join(self.root, "metadata", f"v{new_version}.json"), self.metadata
-        )
-        _atomic_write_text(os.path.join(self.root, "VERSION"), str(new_version))
+        self._claim_version(new_version)
+        self.io.put_text(os.path.join(self.root, "VERSION"), str(new_version))
         self.version = new_version
         return new_version
 
     def _write_manifest(self, entries: list[DataFile]) -> str:
         rel = f"manifests/manifest-{uuid.uuid4().hex[:16]}.json"
-        _atomic_write_json(
+        self.io.put_json(
             os.path.join(self.root, rel), [e.to_dict() for e in entries]
         )
         self._manifest_cache[rel] = list(entries)

@@ -1,0 +1,103 @@
+"""Cross-PROCESS commit serialization: the O_EXCL version claim
+(table/format.py Table._claim_version + io.py LocalFileIO.create_json)
+and the optimistic-retry loop are proven here across real OS processes,
+not just in-process call interleavings. The commit path is pure file
+I/O — no SparkSession needed in the workers — so the hammer runs 4
+genuine concurrent processes cheaply."""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import time
+
+from olake_spark.table.format import CommitConflict, DataFile, Table
+
+N_WORKERS = 4
+COMMITS_PER_WORKER = 8
+
+
+def _hammer_worker(root: str, wid: int, start_path: str) -> None:
+    # barrier: all workers spin until the start flag exists, so the
+    # commit storms genuinely overlap instead of serializing by launch
+    while not os.path.exists(start_path):
+        time.sleep(0.001)
+    conflicts = 0
+    done = 0
+    while done < COMMITS_PER_WORKER:
+        t = Table.load(None, root)
+        try:
+            t.commit(
+                "append",
+                added=[
+                    DataFile(
+                        path=f"data/hammer/w{wid}_{done}.parquet",
+                        record_count=1,
+                        file_size_bytes=10,
+                    )
+                ],
+                summary_extra={"worker": wid, "seq": done},
+            )
+            done += 1
+        except CommitConflict:
+            conflicts += 1
+    with open(os.path.join(root, f"hammer_w{wid}.json"), "w") as f:
+        json.dump({"worker": wid, "done": done, "conflicts": conflicts}, f)
+
+
+def test_concurrent_processes_serialize_without_lost_commits(tmp_path):
+    root = str(tmp_path / "tbl")
+    Table.create(None, root)
+    start_path = str(tmp_path / "GO")
+    ctx = mp.get_context("spawn")  # clean interpreters, no inherited state
+    procs = [
+        ctx.Process(target=_hammer_worker, args=(root, w, start_path))
+        for w in range(N_WORKERS)
+    ]
+    for p in procs:
+        p.start()
+    with open(start_path, "w") as f:
+        f.write("go")
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+
+    total = N_WORKERS * COMMITS_PER_WORKER
+    t = Table.load(None, root)
+
+    # every commit landed exactly once: N snapshots, one per commit
+    snaps = t.snapshots()
+    assert len(snaps) == total
+    ids = [s.snapshot_id for s in snaps]
+    assert ids == sorted(ids) and len(set(ids)) == total
+
+    # no lost updates: all 32 distinct files are tracked
+    paths = {f.path for f in t.files()}
+    assert paths == {
+        f"data/hammer/w{w}_{i}.parquet"
+        for w in range(N_WORKERS)
+        for i in range(COMMITS_PER_WORKER)
+    }
+
+    # parent chain is a single serialized line through every snapshot
+    by_id = {s.snapshot_id: s for s in snaps}
+    cur = t.snapshot()
+    seen = 0
+    while cur is not None:
+        seen += 1
+        cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
+    assert seen == total
+
+    # metadata version history is dense: create wrote v1, each commit
+    # claimed exactly one higher version — no gaps, no double-claims
+    assert t.version == total + 1
+
+    # contention was real: at least one worker observed a conflict and
+    # retried (4 procs x 8 commits on one pointer can't all first-try)
+    reports = []
+    for w in range(N_WORKERS):
+        with open(os.path.join(root, f"hammer_w{w}.json")) as f:
+            reports.append(json.load(f))
+    assert all(r["done"] == COMMITS_PER_WORKER for r in reports)
+    assert sum(r["conflicts"] for r in reports) > 0

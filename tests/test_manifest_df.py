@@ -129,6 +129,44 @@ def test_manifest_cache_roundtrip(spark, table):
     assert "parquet" in ent_cache._jdf.queryExecution().executedPlan().toString().lower()
 
 
+def test_merge_distributed_planning_parity(spark, tmp_path):
+    """merge_into(distributed_planning=True) — the many-shard discovery
+    path through manifest_entries_df — must produce the identical final
+    table as the driver-side prune on the same change batch."""
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+
+    results = {}
+    for mode in (False, True):
+        root = str(tmp_path / f"tbl_{mode}")
+        t = Table.create(spark, root)
+        t.append(
+            generate_sequences(spark, num_rows=2000, seed=4, num_partitions=10)
+        )
+        base = t.scan().select(*DATA_COLUMNS).orderBy("doc_id")
+        upd = (
+            base.limit(40)
+            .withColumn("tokens", F.expr("slice(tokens, 1, 2)"))
+            .withColumn("n_tok", F.least("n_tok", F.lit(2)))
+            .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+        )
+        dele = (
+            base.limit(60)
+            .exceptAll(base.limit(40))
+            .withColumn(CDC_DELETED_AT, F.current_timestamp())
+        )
+        res = merge_into(
+            t, upd.unionByName(dele), distributed_planning=mode
+        )
+        rows = sorted(
+            (r.doc_id, r.n_tok, tuple(r.tokens))
+            for r in t.refresh().scan().select("doc_id", "n_tok", "tokens").collect()
+        )
+        results[mode] = (res.updated, res.deleted, res.inserted, rows)
+    assert results[True] == results[False]
+    assert results[True][0] == 40 and results[True][1] == 20
+
+
 def test_100k_file_planning_is_fast_and_exact(spark, tmp_path):
     """The 100x-scale contract: a table whose CURRENT snapshot tracks
     100_000 data files (synthetic manifests — no actual data files on

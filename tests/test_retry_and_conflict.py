@@ -11,7 +11,7 @@ from olake_spark.datagen import generate_sequences
 from olake_spark.operators.compaction import compact
 from olake_spark.plans.retry import retry_on_backoff
 from olake_spark.table import Table
-from olake_spark.table.format import CommitConflict, _claim_version_json
+from olake_spark.table.format import CommitConflict
 
 
 def test_retry_recovers_from_transient_failure():
@@ -51,18 +51,23 @@ def test_retry_does_not_catch_other_exceptions():
 
 def test_version_claim_is_exclusive(tmp_path):
     """Two writers that both observed version N race to create v(N+1):
-    exactly one wins, the loser gets CommitConflict (not a silent
-    overwrite as with rename)."""
-    path = str(tmp_path / "v2.json")
-    _claim_version_json(path, {"winner": 1})
-    with pytest.raises(CommitConflict):
-        _claim_version_json(path, {"winner": 2})
+    exactly one wins, the loser gets FileExistsError (not a silent
+    overwrite as with rename) — on BOTH FileIO implementations."""
     import json
 
-    with open(path) as f:
-        assert json.load(f) == {"winner": 1}
-    # no tmp litter left behind
-    assert os.listdir(tmp_path) == ["v2.json"]
+    from olake_spark.table.io import FakeRemoteFileIO, LocalFileIO
+
+    for i, io in enumerate(
+        (LocalFileIO(), FakeRemoteFileIO(staging_dir=str(tmp_path / "stage")))
+    ):
+        path = str(tmp_path / f"v2_{i}.json")
+        io.create_json(path, {"winner": 1})
+        with pytest.raises(FileExistsError):
+            io.create_json(path, {"winner": 2})
+        with open(path) as f:
+            assert json.load(f) == {"winner": 1}
+    # no tmp litter left behind in the table namespace
+    assert sorted(os.listdir(tmp_path)) == ["stage", "v2_0.json", "v2_1.json"]
 
 
 def test_orphaned_claim_heals_on_load(spark, tmp_path, monkeypatch):
@@ -78,14 +83,14 @@ def test_orphaned_claim_heals_on_load(spark, tmp_path, monkeypatch):
     t = Table.create(spark, str(tmp_path / "tbl"))
     t.append(generate_sequences(spark, 100, seed=1, max_tok=16))
 
-    orig = fmt._atomic_write_text
+    orig = t.io.put_text
 
     def dying(path, text):
         if path.endswith("VERSION"):
             raise RuntimeError("power cut")
         orig(path, text)
 
-    monkeypatch.setattr(fmt, "_atomic_write_text", dying)
+    monkeypatch.setattr(t.io, "put_text", dying)
     extra = generate_sequences(spark, 30, seed=2, max_tok=16).withColumn(
         "doc_id", F.concat(F.lit("yy-"), F.col("doc_id"))
     )

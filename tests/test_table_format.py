@@ -20,9 +20,26 @@ def seq_df(spark):
     return df
 
 
-@pytest.fixture()
-def table(spark, tmp_path):
-    return Table.create(spark, str(tmp_path / "tbl"))
+@pytest.fixture(params=["local", "fakeremote"])
+def table(spark, tmp_path, request):
+    """The whole suite runs against BOTH FileIO implementations — the
+    object-store-seam contract (table/io.py): the table layer compiles
+    to get/list/delete/atomic-put/conditional-create only, so an
+    upload-then-publish fake-remote store must be behaviorally
+    identical to POSIX."""
+    from olake_spark.table.io import FakeRemoteFileIO, LocalFileIO
+
+    io = (
+        LocalFileIO()
+        if request.param == "local"
+        else FakeRemoteFileIO(staging_dir=str(tmp_path / "_stage"))
+    )
+    t = Table.create(spark, str(tmp_path / "tbl"), io=io)
+    yield t
+    if request.param == "fakeremote":
+        # the discipline check: every primitive the table issued exists
+        # on an object store; the FileIO API exposes no rename at all
+        assert set(io.ops) <= {"get", "put", "create", "list", "delete"}
 
 
 def test_generate_deterministic(spark):
