@@ -241,6 +241,14 @@ def commit_merge(
       update/delete). ``change_ids`` is the sorted key list from the
       driver-side prune; when the batch was too large to hold driver-
       side (None), any concurrent add is conservatively a conflict.
+
+    Validation cost is O(concurrent churn), never O(table): manifests
+    are immutable and a commit carries untouched shards over, so the
+    planned-vs-current file delta is exactly the delta of their shard
+    sets — files ADDED since planning = entries of current-only shards
+    minus paths of planned-only shards, and a touched file is GONE iff
+    its path is in the planned-only entries but not the current-only
+    ones. The no-conflict fast path (pointer unmoved) reads nothing.
     """
     from olake_spark.plans.retry import retry_on_backoff
     from olake_spark.table.format import CommitConflict
@@ -255,19 +263,41 @@ def commit_merge(
     def attempt() -> int:
         table.refresh()
         if table.current_snapshot_id != planned_snapshot_id:
-            live = {f.path: f for f in table.files()}
-            missing = set(touched_paths) - set(live)
+            cur = table.snapshot()
+            try:
+                planned = table.snapshot(planned_snapshot_id)
+            except KeyError:
+                raise RuntimeError(
+                    "planned snapshot expired during the merge; recompute"
+                ) from None
+            cur_m = set(cur.manifests) if cur else set()
+            pl_m = set(planned.manifests) if planned else set()
+            new_entries = {
+                e.path: e
+                for m in sorted(cur_m - pl_m)
+                for e in table._read_manifest(m)
+            }
+            dropped_paths = {
+                e.path
+                for m in sorted(pl_m - cur_m)
+                for e in table._read_manifest(m)
+            }
+            missing = {
+                p
+                for p in touched_paths
+                if p in dropped_paths and p not in new_entries
+            }
             if missing:
                 raise RuntimeError(
                     "merge inputs were rewritten concurrently; recompute "
                     f"the merge (missing: {sorted(missing)[:3]}...)"
                 )
             conflicting = [
-                f.path
-                for p, f in live.items()
-                if p not in touched_paths
-                and f.path not in _planned_paths
-                and _overlaps(f)
+                p
+                for p, e in new_entries.items()
+                if p not in dropped_paths
+                and p not in touched_paths
+                and _overlaps(e)
             ]
             if conflicting:
                 raise RuntimeError(
@@ -281,9 +311,6 @@ def commit_merge(
             summary_extra=summary_extra,
         )
 
-    _planned_paths = {
-        f.path for f in table.files(planned_snapshot_id)
-    } if planned_snapshot_id is not None else set()
     return retry_on_backoff(
         attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
     )
