@@ -293,3 +293,24 @@ def test_maintain_evolve_partition(tmp_path, capsys, spark):
     _lines(capsys)
     assert main(["maintain", "--dest", dest, "--op", "evolve-partition",
                  "--partition-col", "nope", "--cpus", "8"]) == 2
+
+
+def test_maintain_cache_manifests(tmp_path, capsys, spark):
+    import os
+
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.table import Table
+    from olake_spark.table.manifest_df import manifest_entries_df
+
+    dest = str(tmp_path / "cm")
+    t = Table.create(spark, dest)
+    t.append(generate_sequences(spark, 200, seed=5, max_tok=16).repartition(3))
+
+    assert main(["maintain", "--dest", dest, "--op", "cache-manifests",
+                 "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "cache-manifests"
+    assert os.path.exists(os.path.join(msgs[0]["cache_dir"], "_SUCCESS"))
+    # the cache is picked up by the planner and matches the live manifests
+    t2 = Table.load(spark, dest)
+    assert manifest_entries_df(t2).count() == len(t2.files())
