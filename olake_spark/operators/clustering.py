@@ -303,7 +303,10 @@ def cluster(
             {"rows": grows, "bytes_in": gbytes, "files_out": len(outputs)},
         )
 
-    new_snap = commit_rewrite(table, ledger, jid, f"cluster-{curve}")
+    new_snap = commit_rewrite(
+        table, ledger, jid, f"cluster-{curve}",
+        planned_snapshot_id=snap.snapshot_id,
+    )
     t = ledger.totals()
     return ClusterResult(
         job_id=jid,

@@ -45,6 +45,44 @@ from olake_spark.table.format import DataFile, Table
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 _MIXED = "__mixed__"
 
+#: manifest shard count at which compaction planning stops materializing
+#: the full file list on the driver (mirrors operators/merge.py)
+_DISTRIBUTED_PLANNING_MIN_SHARDS = 64
+
+
+def _small_files_distributed(
+    table: Table, snap, small_bytes: int
+) -> list[DataFile]:
+    """Small-file candidates via the manifest-entries frame: shards parse
+    in executors, the size filter runs in Catalyst, and the driver
+    collects only the files compaction will actually rewrite."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from olake_spark.table.manifest_df import manifest_entries_df
+
+    rows = (
+        manifest_entries_df(table, snap.snapshot_id)
+        .filter(F.col("file_size_bytes") < small_bytes)
+        .collect()
+    )
+    return sorted(
+        (
+            DataFile(
+                path=r.path,
+                record_count=r.record_count,
+                file_size_bytes=r.file_size_bytes,
+                partition=r.partition,
+                stats=_json.loads(r.stats),
+                schema_id=r.schema_id,
+                spec_col=r.spec_col,
+            )
+            for r in rows
+        ),
+        key=lambda f: f.path,
+    )
+
 
 @dataclass
 class CompactionResult:
@@ -64,26 +102,61 @@ def _job_id(kind: str, snapshot_id: int, params: str) -> str:
     return f"{kind}-s{snapshot_id}-{h}"
 
 
-def commit_rewrite(table: Table, ledger: Ledger, jid: str, kind: str) -> int:
+def commit_rewrite(
+    table: Table,
+    ledger: Ledger,
+    jid: str,
+    kind: str,
+    planned_snapshot_id: int | None = None,
+) -> int:
     """Commit a rewrite job's ledger (remove inputs, add outputs), retrying
     CommitConflict with refresh-and-revalidate between attempts.
 
     A concurrent committer (e.g. an append landing between our refresh and
     commit) bumps the metadata version; the conflict is retryable because
-    each attempt re-reads the current snapshot and re-checks every input
-    file is still live — a concurrent REWRITE of our inputs is NOT
-    retryable and raises. Bounded backoff mirrors the reference
-    (/root/reference/drivers/base/utils.go:9-22).
-    """
+    each attempt re-checks every input file is still live — a concurrent
+    REWRITE of our inputs is NOT retryable and raises. Bounded backoff
+    mirrors the reference (/root/reference/drivers/base/utils.go:9-22).
+
+    With ``planned_snapshot_id`` the liveness check is O(concurrent
+    churn), never O(table): inputs were drawn from the planned snapshot,
+    so if the pointer is unmoved they are live by construction, and
+    otherwise (manifests being immutable and carried over untouched) an
+    input vanished iff its path is in the planned-only shards' entries
+    but not the current-only ones — only CHANGED shards are read. A
+    resumed job whose planning snapshot has expired falls back to the
+    full file-list check."""
     from olake_spark.plans.retry import retry_on_backoff
     from olake_spark.table.format import CommitConflict
 
     added = [DataFile.from_dict(d) for d in ledger.all_outputs()]
     removed = set(ledger.all_inputs())
 
+    def _missing_paths() -> set[str]:
+        if table.current_snapshot_id == planned_snapshot_id:
+            return set()
+        planned = None
+        if planned_snapshot_id is not None:
+            try:
+                planned = table.snapshot(planned_snapshot_id)
+            except KeyError:
+                planned = None
+        if planned is None:
+            return removed - {f.path for f in table.files()}
+        cur = table.snapshot()
+        cur_m = set(cur.manifests) if cur else set()
+        pl_m = set(planned.manifests)
+        new_paths = {
+            e.path for m in sorted(cur_m - pl_m) for e in table._read_manifest(m)
+        }
+        dropped_paths = {
+            e.path for m in sorted(pl_m - cur_m) for e in table._read_manifest(m)
+        }
+        return (removed & dropped_paths) - new_paths
+
     def attempt() -> int:
-        live = {f.path for f in table.refresh().files()}
-        missing = removed - live
+        table.refresh()
+        missing = _missing_paths()
         if missing:
             raise RuntimeError(
                 f"{kind} inputs vanished from current snapshot: {sorted(missing)[:3]}..."
@@ -167,6 +240,7 @@ def compact(
     snapshot_id: int | None = None,
     job_id: str | None = None,
     mode: str = "binpack",
+    distributed_planning: bool | None = None,
 ) -> CompactionResult:
     """Rewrite small files into ~``target_file_bytes`` files.
 
@@ -210,8 +284,17 @@ def compact(
             skipped=True,
         )
 
-    files = table.files(snap.snapshot_id)
     small_bytes = int(target_file_bytes * small_file_ratio)
+    # planning only consumes SMALL files (plan_groups filters on size) —
+    # on many-shard tables push that filter into the manifest-entries
+    # frame so the driver collects O(small files), not O(table)
+    use_dist = distributed_planning
+    if use_dist is None:
+        use_dist = len(snap.manifests) >= _DISTRIBUTED_PLANNING_MIN_SHARDS
+    if use_dist:
+        files = _small_files_distributed(table, snap, small_bytes)
+    else:
+        files = table.files(snap.snapshot_id)
     groups = plan_groups(files, small_bytes, min_group_files, max_group_bytes)
     if not groups:
         return CompactionResult(job_id=jid, snapshot_id=None, skipped=True)
@@ -291,7 +374,9 @@ def compact(
             {"rows": grows, "bytes_in": gbytes, "files_out": len(outputs)},
         )
 
-    new_snap = commit_rewrite(table, ledger, jid, "compaction")
+    new_snap = commit_rewrite(
+        table, ledger, jid, "compaction", planned_snapshot_id=snap.snapshot_id
+    )
     t = ledger.totals()
     return CompactionResult(
         job_id=jid,

@@ -167,6 +167,30 @@ def test_merge_distributed_planning_parity(spark, tmp_path):
     assert results[True][0] == 40 and results[True][1] == 20
 
 
+def test_compact_distributed_planning_parity(spark, tmp_path):
+    """compact(distributed_planning=True) selects the same small files
+    and produces the same table contents as the driver-side path."""
+    from olake_spark.operators.compaction import compact
+
+    results = {}
+    for mode in (False, True):
+        root = str(tmp_path / f"c_{mode}")
+        t = Table.create(spark, root)
+        t.append(
+            generate_sequences(spark, num_rows=2000, seed=4, num_partitions=16)
+        )
+        res = compact(
+            t, target_file_bytes=4 << 20, distributed_planning=mode
+        )
+        assert not res.skipped
+        rows = sorted(
+            (r.doc_id, r.n_tok)
+            for r in t.refresh().scan().select("doc_id", "n_tok").collect()
+        )
+        results[mode] = (res.input_files, res.groups, rows, len(t.files()))
+    assert results[True] == results[False]
+
+
 def test_100k_file_planning_is_fast_and_exact(spark, tmp_path):
     """The 100x-scale contract: a table whose CURRENT snapshot tracks
     100_000 data files (synthetic manifests — no actual data files on
