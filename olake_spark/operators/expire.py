@@ -43,6 +43,54 @@ def _uncommitted_job_outputs(table_root: str, io) -> set[str]:
     return out
 
 
+def _orphans_distributed(
+    table,
+    live_manifests: list[str],
+    job_outputs: set[str],
+    data_root: str,
+    now_ms: float,
+    orphan_grace_ms: int,
+) -> list[str]:
+    """Orphan discovery as ONE Spark job: binaryFile listing of the data
+    directory (path + mtime, content never read) left-anti-joined with
+    the live set parsed from every surviving manifest shard in
+    executors. Returns table-relative orphan paths — O(orphans) driver
+    memory at any table size."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.table.manifest_df import entries_from_manifests
+
+    spark = table.spark
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .load(data_root)
+        .select(
+            F.regexp_replace("path", "^file:/*", "/").alias("_abs"),
+            (F.unix_micros("modificationTime") / 1000).alias("_mtime_ms"),
+        )
+        .withColumn(
+            "path",
+            F.expr(
+                f"substring(_abs, {len(table.root) + 2})"
+            ),  # strip '<root>/'
+        )
+    )
+    live = entries_from_manifests(table, live_manifests).select("path")
+    if job_outputs:
+        live = live.unionByName(
+            spark.createDataFrame([(p,) for p in sorted(job_outputs)], "path string")
+        )
+    orphans = (
+        listing.join(live, "path", "left_anti")
+        .filter(F.lit(now_ms) - F.col("_mtime_ms") >= orphan_grace_ms)
+        .select("path")
+        .collect()
+    )
+    return sorted(r.path for r in orphans)
+
+
 @dataclass
 class ExpireResult:
     expired_snapshots: list[int] = field(default_factory=list)
@@ -60,6 +108,7 @@ def expire_snapshots(
     orphan_grace_ms: int = 0,
     abandoned_job_ms: int | None = None,
     protect_snapshot_ids: set[int] | None = None,
+    distributed_orphan_scan: bool | None = None,
 ) -> ExpireResult:
     """Drop expired snapshots and delete unreferenced files.
 
@@ -78,6 +127,15 @@ def expire_snapshots(
     resume would pin its outputs forever. Ledgers whose file hasn't been
     touched for this long are deleted first; their outputs then age out
     as ordinary orphans. None (default) = never expire ledgers.
+
+    ``distributed_orphan_scan``: None (default) auto-enables when any
+    surviving snapshot has >= 64 manifest shards. On: the live set
+    comes from the manifest-entries frame (executor-side parse of the
+    UNION of all surviving shards), the data directory is listed by
+    Spark's binaryFile reader, and orphans are found with one left-anti
+    join — O(orphans) driver work instead of a driver walk over every
+    data file plus a driver parse of every manifest. Deletions still go
+    through table.io on the driver (bounded by orphan count).
     """
     table.refresh()
     res = ExpireResult()
@@ -127,30 +185,49 @@ def expire_snapshots(
 
     if clean_orphans:
         now_ms = time.time() * 1000
-        live_data: set[str] = set()
         live_manifests: set[str] = set()
         for s in table.snapshots():
-            for m in s.manifests:
-                live_manifests.add(m)
-                for f in table._read_manifest(m):
-                    live_data.add(f.path)
+            live_manifests.update(s.manifests)
         # outputs of in-flight (uncommitted) maintenance jobs are live:
         # a resumed job will commit them — GC'ing them here would let the
         # resume path commit references to deleted files
-        live_data |= _uncommitted_job_outputs(table.root, io)
+        job_outputs = _uncommitted_job_outputs(table.root, io)
         data_root = os.path.join(table.root, "data")
-        for dirpath, names in io.walk(data_root):
-            for name in names:
-                p = os.path.join(dirpath, name)
-                rel = os.path.relpath(p, table.root)
-                if rel in live_data or not name.endswith(".parquet"):
-                    continue
-                if now_ms - io.mtime_ms(p) < orphan_grace_ms:
-                    continue
-                io.delete(p)
+        use_dist = distributed_orphan_scan
+        if use_dist is None:
+            use_dist = any(
+                len(s.manifests) >= 64 for s in table.snapshots()
+            )
+        if use_dist and table.spark is not None:
+            orphans = _orphans_distributed(
+                table, sorted(live_manifests), job_outputs, data_root,
+                now_ms, orphan_grace_ms,
+            )
+            touched_dirs = set()
+            for rel in orphans:
+                io.delete(os.path.join(table.root, rel))
+                touched_dirs.add(os.path.dirname(os.path.join(table.root, rel)))
                 res.deleted_data_files += 1
-            if dirpath != data_root:
-                io.delete_empty_prefix(dirpath)
+            for d in sorted(touched_dirs, reverse=True):
+                if d != data_root:
+                    io.delete_empty_prefix(d)
+        else:
+            live_data: set[str] = set(job_outputs)
+            for m in live_manifests:
+                for f in table._read_manifest(m):
+                    live_data.add(f.path)
+            for dirpath, names in io.walk(data_root):
+                for name in names:
+                    p = os.path.join(dirpath, name)
+                    rel = os.path.relpath(p, table.root)
+                    if rel in live_data or not name.endswith(".parquet"):
+                        continue
+                    if now_ms - io.mtime_ms(p) < orphan_grace_ms:
+                        continue
+                    io.delete(p)
+                    res.deleted_data_files += 1
+                if dirpath != data_root:
+                    io.delete_empty_prefix(dirpath)
         man_root = os.path.join(table.root, "manifests")
         for name in io.list(man_root):
             rel = os.path.join("manifests", name)

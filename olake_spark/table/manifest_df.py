@@ -75,7 +75,16 @@ def manifest_entries_df(
         cdir = _cache_dir(table, snap.snapshot_id)
         if os.path.exists(os.path.join(cdir, "_SUCCESS")):
             return spark.read.schema(ENTRY_SCHEMA).parquet(cdir)
-    shards = [(m, table.abs_path(m)) for m in snap.manifests]
+    return entries_from_manifests(table, snap.manifests, shards_per_task)
+
+
+def entries_from_manifests(
+    table: Table, manifests: list[str], shards_per_task: int = 8
+) -> DataFrame:
+    """Entries frame for an arbitrary manifest-shard list (e.g. the
+    union of every surviving snapshot's shards for orphan GC)."""
+    spark = table.spark
+    shards = [(m, table.abs_path(m)) for m in manifests]
     if not shards:
         return spark.createDataFrame([], ENTRY_SCHEMA)
     n_tasks = max(1, (len(shards) + shards_per_task - 1) // shards_per_task)

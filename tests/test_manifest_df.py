@@ -191,6 +191,56 @@ def test_compact_distributed_planning_parity(spark, tmp_path):
     assert results[True] == results[False]
 
 
+def test_expire_distributed_orphan_scan_parity(spark, tmp_path):
+    """expire_snapshots(distributed_orphan_scan=True) — binaryFile
+    listing anti-joined with the executor-parsed live set — deletes
+    exactly the same orphans as the driver walk, and protects live
+    files and uncommitted-job outputs identically."""
+    import shutil
+
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.expire import expire_snapshots
+
+    deleted = {}
+    for mode in (False, True):
+        root = str(tmp_path / f"e_{mode}")
+        t = Table.create(spark, root)
+        t.append(
+            generate_sequences(spark, num_rows=1500, seed=7, num_partitions=8)
+        )
+        compact(t, target_file_bytes=4 << 20)  # snap 2; snap-1 files orphan after expiry
+        # plant a loose orphan + a protected uncommitted-job output
+        orphan = os.path.join(root, "data", "stray", "junk.parquet")
+        os.makedirs(os.path.dirname(orphan))
+        shutil.copyfile(
+            os.path.join(root, t.files()[0].path), orphan
+        )
+        jobdir = os.path.join(root, "jobs", "j1")
+        os.makedirs(jobdir)
+        protected = "data/stray/inflight.parquet"
+        shutil.copyfile(
+            os.path.join(root, t.files()[0].path),
+            os.path.join(root, protected),
+        )
+        with open(os.path.join(jobdir, "ledger.json"), "w") as f:
+            json.dump(
+                {
+                    "committed_snapshot_id": None,
+                    "entries": {"g": {"outputs": [{"path": protected}]}},
+                },
+                f,
+            )
+        res = expire_snapshots(
+            t, keep_last=1, distributed_orphan_scan=mode
+        )
+        assert res.deleted_data_files > 0
+        assert not os.path.exists(orphan)
+        assert os.path.exists(os.path.join(root, protected))
+        assert t.refresh().scan().count() == 1500
+        deleted[mode] = (res.deleted_data_files, res.deleted_manifests)
+    assert deleted[True] == deleted[False]
+
+
 def test_100k_file_planning_is_fast_and_exact(spark, tmp_path):
     """The 100x-scale contract: a table whose CURRENT snapshot tracks
     100_000 data files (synthetic manifests — no actual data files on
