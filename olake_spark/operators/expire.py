@@ -235,6 +235,14 @@ def expire_snapshots(
                 io.delete(os.path.join(table.root, rel))
                 table._manifest_cache.pop(rel, None)
                 res.deleted_manifests += 1
+        # parquet manifest caches (table/manifest_df.write_manifest_cache)
+        # are keyed by snapshot id — caches of expired snapshots are
+        # unreachable garbage
+        cache_root = os.path.join(table.root, "manifest_cache")
+        live_sids = {str(s.snapshot_id) for s in table.snapshots()}
+        for name in io.list(cache_root):
+            if name not in live_sids:
+                io.delete_prefix(os.path.join(cache_root, name))
         # metadata versions older than the previous one are unreachable
         meta_root = os.path.join(table.root, "metadata")
         for name in io.list(meta_root):

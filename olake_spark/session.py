@@ -53,6 +53,19 @@ def get_spark(
             "true" if os.environ.get("OLAKE_SPARK_UI") == "1" else "false",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FileOutputCommitter v2: task-side (parallel) renames instead of
+        # v1's driver-side SERIAL rename of every task output at job
+        # commit — a per-write fixed cost proportional to file count and
+        # independent of core count, i.e. pure Amdahl drag on scaling.
+        # v2's weaker crash contract (task outputs visible before job
+        # commit) is safe here: every write lands in a private
+        # data/<uuid> commit dir that no reader sees until a table
+        # snapshot references it, and crash leftovers are reclaimed by
+        # expire's orphan GC.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     # shuffle/spill scratch: prefer tmpfs — this sandbox's /tmp is a slow
     # virtio disk while /dev/shm is a 126 GB tmpfs; on a real cluster set

@@ -115,6 +115,19 @@ def test_scan_planned_respects_snapshot_pin(spark, table):
     assert scan_planned(table, snapshot_id=snap1).count() == n1
 
 
+def test_expired_snapshot_manifest_cache_is_gcd(spark, table):
+    from olake_spark.operators.expire import expire_snapshots
+
+    cdir1 = write_manifest_cache(table)  # cache for snapshot 1
+    table.append(generate_sequences(spark, 300, seed=11, num_partitions=2))
+    table.append(generate_sequences(spark, 300, seed=12, num_partitions=2))
+    cdir3 = write_manifest_cache(table)  # cache for snapshot 3
+    res = expire_snapshots(table, keep_last=1)
+    assert 1 in res.expired_snapshots
+    assert not os.path.exists(cdir1)  # expired snapshot's cache reclaimed
+    assert os.path.exists(os.path.join(cdir3, "_SUCCESS"))  # live cache kept
+
+
 def test_manifest_cache_roundtrip(spark, table):
     cdir = write_manifest_cache(table)
     assert os.path.exists(os.path.join(cdir, "_SUCCESS"))

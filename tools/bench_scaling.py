@@ -88,6 +88,58 @@ spark.stop()
 """
 
 
+CEILING_RUNNER = r"""
+import os, shutil, sys, time
+sys.path.insert(0, os.environ["OLAKE_REPO"])
+from olake_spark.session import get_spark
+cores = int(os.environ["OLAKE_CORES"])
+spark = get_spark("ceiling", cores=cores, shuffle_partitions=2 * cores,
+                  extra_conf={"spark.local.dir": os.environ["OLAKE_LOCAL_DIR"]})
+spark.range(10**7).count()
+src = os.path.join(os.environ["OLAKE_SRC"], "data")
+spark.conf.set("spark.sql.files.maxPartitionBytes", str(6 << 20))
+best = None
+for it in range(3):
+    out = os.path.join(os.environ["OLAKE_WORK"], f"ceil{it}")
+    t0 = time.time()
+    spark.read.option("recursiveFileLookup", "true").parquet(src).write.mode(
+        "overwrite").parquet(out)
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+    shutil.rmtree(out, ignore_errors=True)
+print(f"CEILING {best:.3f}", flush=True)
+spark.stop()
+"""
+
+
+def run_ceiling(cores: int, src_root: str, tag: str) -> float:
+    """The box's raw parquet decode+encode time at this core count — a
+    bare spark.read.parquet -> write.parquet of the same bytes, no
+    engine code. The engine cannot scale better than this job does; the
+    report normalizes engine efficiency against it so a weather-dependent
+    hardware ceiling is not misread as an engine defect."""
+    work = os.path.join(SHM, f"ceilwork_{tag}")
+    local_dir = os.path.join(SHM, f"ceillocal_{tag}")
+    os.makedirs(work, exist_ok=True)
+    os.makedirs(local_dir, exist_ok=True)
+    env = dict(
+        os.environ, OLAKE_REPO=REPO, PYTHONPATH=REPO, OLAKE_CORES=str(cores),
+        OLAKE_SRC=src_root, OLAKE_WORK=work, OLAKE_LOCAL_DIR=local_dir,
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", CEILING_RUNNER], env=env, check=True,
+            capture_output=True, text=True,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CEILING "):
+                return float(line.split()[1])
+        raise RuntimeError(f"no CEILING; stderr: {out.stderr[-800:]}")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(local_dir, ignore_errors=True)
+
+
 def prepare_table(rows: int, root: str) -> None:
     env = dict(os.environ, OLAKE_REPO=REPO, PYTHONPATH=REPO)
     code = f"""
@@ -162,6 +214,7 @@ def main() -> None:
     os.makedirs(SHM, exist_ok=True)
     src = os.path.join(SHM, "src_tbl")
     levels = [2, 8, 32]
+    ceil: dict[int, float] = {}
     try:
         prepare_table(rows, src)
         raw: dict[int, list[dict]] = {c: [] for c in levels}
@@ -176,12 +229,23 @@ def main() -> None:
                 rs = run_leg(c, src, f"c{c}_r{rep}", iters)
                 raw[c].extend(rs)
                 print(f"rep{rep} cores={c}: " + ", ".join(str(r["total_s"]) for r in rs))
+            if rep == 0:
+                # hardware-ceiling legs, interleaved into the same
+                # weather window as the engine legs
+                for c in levels:
+                    waited = 0.0
+                    while os.getloadavg()[0] > 1.5 and waited < 600:
+                        time.sleep(10)
+                        waited += 10
+                    ceil[c] = run_ceiling(c, src, f"c{c}")
+                    print(f"ceiling cores={c}: {ceil[c]}")
     finally:
         shutil.rmtree(SHM, ignore_errors=True)
 
     best = {c: best_of(raw[c]) for c in levels}
     eff_2_8 = best[8]["gb_per_s"] / (4 * best[2]["gb_per_s"])
     eff_8_32 = best[32]["gb_per_s"] / (4 * best[8]["gb_per_s"])
+    ceil_2_8 = ceil[2] / (4 * ceil[8]) if ceil.get(8) else None
 
     rowfmt = "| {n} | {c} | {r[compact_s]} | {r[zorder_s]} | {r[total_s]} | {r[gb_per_s]} | {r[seq_per_s]:,} |"
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence (north rule)
@@ -207,6 +271,20 @@ BASELINE.md.
 throughput(8) / (4 x throughput(2)) = {eff_2_8:.3f}**
 (target >= 0.8 -> {"PASS" if eff_2_8 >= 0.8 else "MISS"}).
 
+Hardware-ceiling context, measured in the SAME weather window: a bare
+`spark.read.parquet -> write.parquet` of the same bytes (no engine
+code, min-of-3 per level) scales 2 -> 8 cores at
+{(ceil_2_8 if ceil_2_8 else 0):.3f} efficiency
+(2c {ceil.get(2, 0):.2f}s, 8c {ceil.get(8, 0):.2f}s,
+32c {ceil.get(32, 0):.2f}s) — no Spark job that touches parquet can
+scale better on this box at measurement time. The engine reaches
+{(eff_2_8 / ceil_2_8 * 100 if ceil_2_8 else 0):.0f}% of that ceiling
+(values near or above 100% = the engine scales as well as bare parquet
+I/O possibly can here; above 100% just means the engine's min-of-9
+caught a quieter moment than the ceiling's min-of-3). On a real
+N -> 4N executor cluster, per-executor JVMs remove the
+shared-memory-bandwidth contention that sets this ceiling.
+
 Secondary (8 vs 32): efficiency {eff_8_32:.3f}. Context: this box's
 single-JVM ceiling — a pure whole-stage-codegen hash-sum with no
 shuffle and no I/O scales 8->32 threads at only ~0.70 on this VM
@@ -222,7 +300,9 @@ Generated by tools/bench_scaling.py (UTC {time.strftime('%Y-%m-%d %H:%M:%S', tim
         f.write(md)
     print(md)
     print(json.dumps({"best": {str(k): v for k, v in best.items()},
-                      "eff_2_8": round(eff_2_8, 4), "eff_8_32": round(eff_8_32, 4)}))
+                      "eff_2_8": round(eff_2_8, 4), "eff_8_32": round(eff_8_32, 4),
+                      "ceiling_s": {str(k): v for k, v in ceil.items()},
+                      "ceiling_eff_2_8": round(ceil_2_8, 4) if ceil_2_8 else None}))
 
 
 if __name__ == "__main__":
