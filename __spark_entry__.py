@@ -730,10 +730,18 @@ def _minhash_lsh_verified(spark, sf_dir):
 
 
 def _simhash_near_dup(spark, sf_dir):
+    # word_hash='md5_60' makes the WHOLE pipeline (hash -> bit votes ->
+    # pigeonhole banding -> hamming filter) DuckDB-expressible: the
+    # oracle recomputes simhash bit-exactly and takes the quadratic
+    # hamming<=k pairs, which the banded path must equal (hamming <
+    # blocks guarantees a shared segment). The xxhash64 production path
+    # keeps its brute-force pytest + bench timing.
     from olake_spark.operators.dedup import simhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, blocks=4)
+    return simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3, blocks=4, word_hash="md5_60"
+    )
 
 
 def _ann_suite(spark, sf_dir):
@@ -1049,6 +1057,46 @@ def _ann_oracle_candidates() -> dict:
     return out
 
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Generated SQL recomputing the md5_60 SimHash bit-exactly (60
+    per-bit sign votes, same vote/recombine semantics as
+    operators/dedup.simhash) and emitting the quadratic hamming<=k
+    pairs — equal to the banded pipeline's output by the pigeonhole
+    bound (hamming < blocks => some segment agrees)."""
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sim = "\n                 + ".join(
+        f"CASE WHEN b{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+          FROM w
+        ),
+        v AS (
+          SELECT doc_id,
+                   {votes}
+          FROM h GROUP BY doc_id
+        ),
+        sim AS (
+          SELECT doc_id,
+                 {sim} AS s
+          FROM v
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
 def _ann_suite_sql(cand: dict) -> str:
     """Four per-variant exact-cosine reranks over the replicated
     candidate sets, UNION ALL'd with the variant tag — the composed
@@ -1339,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_topk": _ann_batch_rerank_sql(cand["batch"]),
         "zkey_locality": _zkey_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
+        "simhash_near_dup": _simhash_oracle_sql(),
     }
     return {
         **ann,

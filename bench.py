@@ -161,6 +161,9 @@ def main() -> None:
     qs["minhash_lsh"] = _bench_minhash_lsh
     qs["embedding_topk"] = _bench_embedding_topk
     qs["seq_table_stats"] = _bench_seq_table_stats
+    # keep the xxhash64 production hash for the bench timing (the
+    # registry entry switched to the DuckDB-expressible md5_60 variant)
+    qs["simhash_near_dup"] = _bench_simhash
     for _rep in range(reps):
         for name in [
             "q1_pricing_summary",
@@ -258,6 +261,13 @@ def _bench_minhash_lsh(spark, sf_dir):
         d, "doc_id", "text", num_perm=32, bands=8, shingle_k=2,
         jaccard_threshold=0.5,
     )
+
+
+def _bench_simhash(spark, sf_dir):
+    from olake_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3, blocks=4)
 
 
 def _bench_embedding_topk(spark, sf_dir):

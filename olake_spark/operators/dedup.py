@@ -300,12 +300,29 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------------------------------ simhash
 def simhash(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per document: explode words, per-bit sign vote via
     conditional sums in ONE aggregation (64 agg columns, still a single
-    shuffle with partial aggregation), recombined into a long."""
-    wordsh = F.xxhash64(F.col("w"))
+    shuffle with partial aggregation), recombined into a long.
+
+    ``word_hash``: 'xxhash64' (default — JVM-codegen, the production
+    hot path) or 'md5_60' (first 15 hex digits of md5 as a 60-bit int
+    — slower, but expressible IDENTICALLY in DuckDB, which makes the
+    whole near-dup pipeline hash-exact oracle-checkable; bits 60-63 are
+    then always zero, an immaterial quality delta for banding)."""
+    if word_hash == "xxhash64":
+        wordsh = F.xxhash64(F.col("w"))
+    elif word_hash == "md5_60":
+        wordsh = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        raise ValueError(f"word_hash must be 'xxhash64' or 'md5_60', got {word_hash!r}")
     exploded = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).withColumn("h", wordsh)
@@ -333,6 +350,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     max_bucket: int = 10_000,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """Hamming-distance near-dup via the pigeonhole block trick: split
     the 64-bit simhash into ``blocks`` segments; any pair within
@@ -342,7 +360,7 @@ def simhash_near_dup_pairs(
     (_bucket_pairs) so one mega-cluster cannot blow a single task."""
     width = 64 // blocks
     mask = (1 << width) - 1
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, word_hash=word_hash)
     seg = F.array(
         *[
             F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
