@@ -43,6 +43,11 @@ from olake_spark.table.stats import collect_file_stats
 
 MANIFEST_MAX_ENTRIES = 5000
 
+#: manifest shard count above which scan() plans through the
+#: distributed path (table/manifest_df) by default — a million-file
+#: table must not parse every manifest shard on the driver per scan
+SCAN_DISTRIBUTED_MIN_SHARDS = 64
+
 _DEFAULT_IO = LocalFileIO()
 
 
@@ -416,6 +421,7 @@ class Table:
         n_tok_range: tuple[int, int] | None = None,
         files: list[DataFile] | None = None,
         ref: str | None = None,
+        distributed_planning: bool | None = None,
     ) -> DataFrame:
         """Snapshot-pinned read with manifest-level file pruning.
 
@@ -424,6 +430,12 @@ class Table:
         predicates down to row groups within the surviving files.
         ``ref`` reads a named tag/branch (mutually exclusive with
         ``snapshot_id``).
+
+        ``distributed_planning``: None (default) auto-delegates to
+        table/manifest_df.scan_planned when the snapshot has >=
+        SCAN_DISTRIBUTED_MIN_SHARDS manifest shards (and no explicit
+        ``files`` list) — manifest parsing and pruning then run as a
+        Spark job and the driver touches only the survivors.
         """
         if ref is not None:
             if snapshot_id is not None:
@@ -433,6 +445,20 @@ class Table:
             except KeyError:
                 raise KeyError(f"ref {ref!r} not found") from None
         snap = self.snapshot(snapshot_id)
+        if files is None and snap is not None and self.spark is not None:
+            use_dist = distributed_planning
+            if use_dist is None:
+                use_dist = len(snap.manifests) >= SCAN_DISTRIBUTED_MIN_SHARDS
+            if use_dist:
+                from olake_spark.table.manifest_df import scan_planned
+
+                return scan_planned(
+                    self,
+                    snapshot_id=snap.snapshot_id,
+                    sources=sources,
+                    doc_id_range=doc_id_range,
+                    n_tok_range=n_tok_range,
+                )
         schema = self.schema(snap.schema_id if snap else None)
         target_sid = snap.schema_id if snap else self.metadata["current_schema_id"]
         cand = files if files is not None else self.files(snapshot_id)
@@ -542,13 +568,23 @@ class Table:
         removed_paths: set[str] | None = None,
         new_schema: T.StructType | None = None,
         summary_extra: dict | None = None,
+        branch: str | None = None,
     ) -> int:
         """Create snapshot N+1 = parent snapshot ± files, atomically.
 
         Untouched manifests are referenced as-is; manifests containing a
         removed file are rewritten without it; added files go into fresh
         manifests of <= MANIFEST_MAX_ENTRIES entries.
-        """
+
+        ``branch``: commit on top of that branch's HEAD instead of the
+        current snapshot — the Iceberg write-audit-publish shape: stage
+        writes on an audit branch (readers of the table see nothing),
+        validate via ``scan(ref=branch)``, then ``fast_forward(branch)``
+        to publish. The branch ref advances; current_snapshot_id does
+        NOT move. Note the branch ref pins only its HEAD against
+        expire_snapshots — size ``keep_last`` to cover unpublished
+        intermediate branch commits (Iceberg's branch retention has the
+        same shape)."""
         added = added or []
         removed_paths = removed_paths or set()
         # optimistic concurrency: fail if someone advanced VERSION
@@ -560,7 +596,13 @@ class Table:
                 f"table at version {disk_version}, loaded at {self.version}"
             )
 
-        parent = self.snapshot()
+        if branch is not None:
+            ref = self.metadata.get("refs", {}).get(branch)
+            if ref is None or ref.get("type") != "branch":
+                raise KeyError(f"branch {branch!r} not found")
+            parent = self.snapshot(ref["snapshot_id"])
+        else:
+            parent = self.snapshot()
         new_manifests: list[str] = []
         removed_rows = 0
         if parent is not None:
@@ -617,8 +659,10 @@ class Table:
             schema_id=schema_id,
         )
         self.metadata["snapshots"].append(snap.to_dict())
-        self.metadata["current_snapshot_id"] = snap_id
-        # advance branch heads that pointed at the parent (tags stay put)
+        if branch is None:
+            self.metadata["current_snapshot_id"] = snap_id
+        # advance branch heads that pointed at the parent (tags stay
+        # put); an explicit branch commit advances via the same rule
         if parent is not None:
             for ref in self.metadata.get("refs", {}).values():
                 if (
@@ -776,13 +820,45 @@ class Table:
         df: DataFrame,
         max_records_per_file: int | None = None,
         distribute: str | None = None,
+        branch: str | None = None,
     ) -> int:
         self._check_distribute_input(df, distribute)
         files = self.write_data_files(
             self._distribute(self._complete_system_columns(df), distribute),
             max_records_per_file,
         )
-        return self.commit("append", added=files)
+        return self.commit("append", added=files, branch=branch)
+
+    def fast_forward(self, branch: str) -> int:
+        """Publish a branch: move current to the branch HEAD, allowed
+        only when current is an ancestor of it (a true fast-forward —
+        no published history is abandoned). The write-audit-publish
+        'publish' step; use rollback_to/set_current_snapshot for
+        non-fast-forward repointing."""
+        ref = self.metadata.get("refs", {}).get(branch)
+        if ref is None or ref.get("type") != "branch":
+            raise KeyError(f"branch {branch!r} not found")
+        head = ref["snapshot_id"]
+        cur_id = self.current_snapshot_id
+        node = self.snapshot(head)
+        while node is not None:
+            if node.snapshot_id == cur_id:
+                break
+            if node.parent_id is None:
+                node = None
+                break
+            try:
+                node = self.snapshot(node.parent_id)
+            except KeyError:
+                node = None
+        if cur_id is not None and node is None:
+            raise ValueError(
+                f"current snapshot {cur_id} is not an ancestor of branch "
+                f"{branch!r} head {head}; not a fast-forward"
+            )
+        self.metadata["current_snapshot_id"] = head
+        self.rewrite_metadata()
+        return head
 
     def _check_distribute_input(self, df: DataFrame, distribute: str | None) -> None:
         if distribute is not None and self.partition_col not in df.columns:

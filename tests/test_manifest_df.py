@@ -128,6 +128,33 @@ def test_expired_snapshot_manifest_cache_is_gcd(spark, table):
     assert os.path.exists(os.path.join(cdir3, "_SUCCESS"))  # live cache kept
 
 
+def test_scan_auto_delegates_to_distributed_planning(spark, table, monkeypatch):
+    """Table.scan itself switches to the distributed planner past the
+    shard threshold — callers get the scale path without knowing
+    scan_planned exists; results identical to the driver prune."""
+    import olake_spark.table.format as fmt
+    import olake_spark.table.manifest_df as mdf
+
+    calls = {"n": 0}
+    orig = mdf.scan_planned
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mdf, "scan_planned", spy)
+    monkeypatch.setattr(fmt, "SCAN_DISTRIBUTED_MIN_SHARDS", 1)
+    want = sorted(
+        r.doc_id
+        for r in table.scan(
+            n_tok_range=(1, 64), distributed_planning=False
+        ).collect()
+    )
+    assert calls["n"] == 0
+    got = sorted(r.doc_id for r in table.scan(n_tok_range=(1, 64)).collect())
+    assert calls["n"] == 1 and got == want and len(got) > 0
+
+
 def test_manifest_cache_roundtrip(spark, table):
     cdir = write_manifest_cache(table)
     assert os.path.exists(os.path.join(cdir, "_SUCCESS"))

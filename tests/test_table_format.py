@@ -325,6 +325,40 @@ def test_rollback_past_gap_requires_ref_pin(spark, table, seq_df):
     assert table.current_snapshot_id == 1
 
 
+def test_write_audit_publish_on_branch(spark, table, seq_df):
+    """Iceberg WAP shape: stage appends on an audit branch (table
+    readers see nothing), validate via scan(ref=), fast_forward to
+    publish atomically."""
+    a = seq_df.limit(100)
+    b = seq_df.limit(140).exceptAll(a)
+    c = seq_df.limit(170).exceptAll(seq_df.limit(140))
+    table.append(a)  # snap 1 = published main
+    table.set_ref("audit", ref_type="branch")
+    table.append(b, branch="audit")  # staged
+    table.append(c, branch="audit")  # staged
+    # main readers see ONLY the published snapshot
+    assert table.scan().count() == 100
+    assert Table.load(spark, table.root).scan().count() == 100
+    # the audit reader sees the staged lineage
+    assert table.scan(ref="audit").count() == 170
+    assert table.refs["audit"]["snapshot_id"] == 3
+    # publish
+    head = table.fast_forward("audit")
+    assert table.current_snapshot_id == head == 3
+    assert table.scan().count() == 170
+    assert Table.load(spark, table.root).scan().count() == 170
+    # non-fast-forward publish is refused: diverge main, then try
+    table.append(seq_df.limit(180).exceptAll(seq_df.limit(170)))  # snap 4
+    table.set_ref("audit2", snapshot_id=3, ref_type="branch")
+    table.append(b.limit(5), branch="audit2")  # snap 5 off snap 3
+    with pytest.raises(ValueError):
+        table.fast_forward("audit2")
+    with pytest.raises(KeyError):
+        table.fast_forward("nope")
+    with pytest.raises(KeyError):
+        table.commit("append", added=[], branch="nope")
+
+
 def test_branch_ref_advances_on_commit(spark, table, seq_df):
     a = seq_df.limit(100)
     b = seq_df.limit(150).exceptAll(a)
