@@ -314,3 +314,31 @@ def test_maintain_cache_manifests(tmp_path, capsys, spark):
     # the cache is picked up by the planner and matches the live manifests
     t2 = Table.load(spark, dest)
     assert manifest_entries_df(t2).count() == len(t2.files())
+
+
+def test_maintain_branch_and_fast_forward(tmp_path, capsys, spark):
+    from olake_spark.datagen import generate_sequences
+    from olake_spark.table import Table
+
+    dest = str(tmp_path / "wap")
+    t = Table.create(spark, dest)
+    t.append(generate_sequences(spark, 100, seed=6, max_tok=16).repartition(2))
+
+    assert main(["maintain", "--dest", dest, "--op", "branch",
+                 "--ref", "audit", "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "branch" and msgs[0]["snapshot"] == 1
+    # stage a commit on the branch, then publish via the CLI
+    t = Table.load(spark, dest)
+    extra = generate_sequences(spark, 40, seed=7, max_tok=16)
+    from pyspark.sql import functions as F
+    t.append(extra.withColumn("doc_id", F.concat(F.lit("x-"), F.col("doc_id"))),
+             branch="audit")
+    assert Table.load(spark, dest).scan().count() == 100  # unpublished
+    assert main(["maintain", "--dest", dest, "--op", "fast-forward",
+                 "--ref", "audit", "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "fast-forward"
+    assert Table.load(spark, dest).scan().count() == 140
+    assert main(["maintain", "--dest", dest, "--op", "fast-forward",
+                 "--ref", "nope", "--cpus", "8"]) == 2
