@@ -225,12 +225,33 @@ def cluster(
             skipped=True,
         )
 
-    files = sorted(table.files(snap.snapshot_id), key=lambda f: f.path)
     if since_snapshot_id is not None:
-        # raises KeyError if the base snapshot was expired — caller
-        # falls back to a full pass
-        base = {f.path for f in table.files(since_snapshot_id)}
-        files = [f for f in files if f.path not in base]
+        # incremental selection via the manifest SHARD diff: commits
+        # carry untouched shards over, so files added since the base
+        # are exactly (current-only shards' entries) minus (base-only
+        # shards' paths) — O(churn) manifest reads instead of parsing
+        # and diffing two full O(table) file lists. Raises KeyError if
+        # the base snapshot was expired — caller falls back to a full
+        # pass.
+        base_snap = table.snapshot(since_snapshot_id)
+        cur_m = set(snap.manifests)
+        base_m = set(base_snap.manifests)
+        dropped = {
+            e.path
+            for m in sorted(base_m - cur_m)
+            for e in table._read_manifest(m)
+        }
+        files = sorted(
+            (
+                e
+                for m in sorted(cur_m - base_m)
+                for e in table._read_manifest(m)
+                if e.path not in dropped
+            ),
+            key=lambda f: f.path,
+        )
+    else:
+        files = sorted(table.files(snap.snapshot_id), key=lambda f: f.path)
     if not files:
         return ClusterResult(job_id=jid, snapshot_id=None, curve=curve, skipped=True)
 
