@@ -640,6 +640,11 @@ class Table:
             e.record_count for m in new_manifests for e in self._read_manifest(m)
         )
         total_files = sum(len(self._read_manifest(m)) for m in new_manifests)
+        total_bytes = sum(
+            e.file_size_bytes
+            for m in new_manifests
+            for e in self._read_manifest(m)
+        )
         summary = {
             "added-files": len(added),
             "removed-files": len(removed_paths),
@@ -647,6 +652,7 @@ class Table:
             "removed-rows": removed_rows,
             "total-files": total_files,
             "total-rows": total_rows,
+            "total-bytes": total_bytes,
             **(summary_extra or {}),
         }
         snap = Snapshot(
@@ -888,8 +894,30 @@ class Table:
         current = {f.path for f in self.files()}
         return self.commit("overwrite", added=files, removed_paths=current)
 
+    def _summary_total(self, key: str, snapshot_id: int | None) -> int | None:
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return 0
+        v = snap.summary.get(key)
+        return int(v) if v is not None else None
+
     def total_bytes(self, snapshot_id: int | None = None) -> int:
-        return sum(f.file_size_bytes for f in self.files(snapshot_id))
+        """Table size from the snapshot SUMMARY (O(1), recorded at
+        commit); falls back to a manifest sum for snapshots written
+        before summaries carried total-bytes."""
+        v = self._summary_total("total-bytes", snapshot_id)
+        if v is None:
+            v = sum(f.file_size_bytes for f in self.files(snapshot_id))
+        return v
 
     def total_rows(self, snapshot_id: int | None = None) -> int:
-        return sum(f.record_count for f in self.files(snapshot_id))
+        v = self._summary_total("total-rows", snapshot_id)
+        if v is None:
+            v = sum(f.record_count for f in self.files(snapshot_id))
+        return v
+
+    def total_files(self, snapshot_id: int | None = None) -> int:
+        v = self._summary_total("total-files", snapshot_id)
+        if v is None:
+            v = len(self.files(snapshot_id))
+        return v
