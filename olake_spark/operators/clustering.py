@@ -114,12 +114,69 @@ class ClusterResult:
     details: dict = field(default_factory=dict)
 
 
+#: manifest shard count at which spec derivation goes distributed
+_SPEC_DISTRIBUTED_MIN_SHARDS = 64
+
+
+def _cluster_specs_distributed(table: Table, snap) -> "list[ClusterCol]":
+    """Category set + n_tok bounds via one Catalyst aggregation over
+    the entries frame; the driver receives only the distinct source
+    values (bounded by category cardinality) and two longs."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.functions.zorder import integer_span_bits
+    from olake_spark.table.manifest_df import manifest_entries_df
+
+    first_spec = table.metadata.get(
+        "partition_spec_log", [table.partition_col]
+    )[0]
+    ent = manifest_entries_df(table, snap.snapshot_id)
+    spec = F.coalesce(F.col("spec_col"), F.lit(first_spec))
+    pv = F.when(spec == F.lit("source"), F.col("partition"))
+    smin = F.get_json_object("stats", "$.source.min")
+    smax = F.get_json_object("stats", "$.source.max")
+    nmin = F.get_json_object("stats", "$.n_tok.min").cast("long")
+    nmax = F.get_json_object("stats", "$.n_tok.max").cast("long")
+    agg = ent.select(
+        F.explode(F.array(pv, smin, smax)).alias("_c"), nmin.alias("_lo"),
+        nmax.alias("_hi"),
+    )
+    cats = sorted(
+        r._c
+        for r in agg.select("_c").filter(F.col("_c").isNotNull())
+        .distinct().collect()
+    )
+    b = agg.agg(F.min("_lo").alias("lo"), F.max("_hi").alias("hi")).first()
+    n_lo = b.lo if b.lo is not None else 0
+    n_hi = b.hi if b.hi is not None else 1
+    return [
+        ClusterCol("source", "categorical", categories=cats),
+        ClusterCol(
+            "n_tok", "numeric", lo=int(n_lo), hi=int(n_hi),
+            bits=integer_span_bits(int(n_lo), int(n_hi)),
+        ),
+        ClusterCol("doc_id", "hash"),
+    ]
+
+
 def default_cluster_specs(table: Table, snapshot_id: int | None = None) -> list[ClusterCol]:
     """Build curve-column specs from manifest stats (no data scan).
 
     (source categorical-rank, n_tok min/max-scaled, doc_id hashed) —
     source first so curve locality groups hot sources, n_tok so
-    length-bucketed training reads prune well."""
+    length-bucketed training reads prune well.
+
+    On many-shard tables the global category set and n_tok bounds come
+    from ONE aggregation over the manifest-entries frame — an
+    INCREMENTAL cluster pass must not parse every manifest on the
+    driver just to derive spec bounds."""
+    snap = table.snapshot(snapshot_id)
+    if (
+        snap is not None
+        and table.spark is not None
+        and len(snap.manifests) >= _SPEC_DISTRIBUTED_MIN_SHARDS
+    ):
+        return _cluster_specs_distributed(table, snap)
     files = table.files(snapshot_id)
     cats = sorted(
         # spec-aware: only partition values recorded under a "source"

@@ -155,6 +155,19 @@ def test_scan_auto_delegates_to_distributed_planning(spark, table, monkeypatch):
     assert calls["n"] == 1 and got == want and len(got) > 0
 
 
+def test_cluster_specs_distributed_parity(spark, table, monkeypatch):
+    """default_cluster_specs via the entries-frame aggregation equals
+    the driver-side derivation (categories, bounds, bit widths)."""
+    import olake_spark.operators.clustering as cl
+
+    want = cl.default_cluster_specs(table)
+    monkeypatch.setattr(cl, "_SPEC_DISTRIBUTED_MIN_SHARDS", 1)
+    got = cl.default_cluster_specs(table)
+    assert [
+        (s.name, s.kind, s.categories, s.lo, s.hi, s.bits) for s in got
+    ] == [(s.name, s.kind, s.categories, s.lo, s.hi, s.bits) for s in want]
+
+
 def test_manifest_cache_roundtrip(spark, table):
     cdir = write_manifest_cache(table)
     assert os.path.exists(os.path.join(cdir, "_SUCCESS"))
