@@ -588,6 +588,7 @@ def repeated_ngram_stats(
     min_repeats: int = 3,
     strategy: str = "auto",
     window_max_rows: int = WINDOW_MAX_ROWS,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Per-document coverage by corpus-level repeated n-grams — the
     duplicated-passage signal of Lee et al. 2022 ("Deduplicating
@@ -610,19 +611,23 @@ def repeated_ngram_stats(
       which is the safer shape when a handful of n-grams dominate a
       10^12-doc corpus.
     - ``auto`` (default): ``window`` when the corpus has at most
-      ``window_max_rows`` docs (the probe is one column-pruned count —
-      parquet answers it from footers), else ``join``. The scale-safe
-      shape is the default: any corpus big enough for a boilerplate
-      gram to produce a straggler-sized window group trips the
-      threshold; the single-scan window plan stays the small-corpus
-      fast path.
+      ``window_max_rows`` docs, else ``join``. The scale-safe shape is
+      the default: any corpus big enough for a boilerplate gram to
+      produce a straggler-sized window group trips the threshold; the
+      single-scan window plan stays the small-corpus fast path. The
+      probe is one ``docs.count()`` — cheap on a bare parquet scan
+      (footer metadata) but a FULL extra evaluation of a derived
+      upstream plan; callers holding an expensive frame should pass
+      ``approx_rows`` (any upstream estimate, rough is fine — it only
+      picks a physical strategy) or an explicit strategy instead.
 
     Returns (id_col, n_grams, n_hot, hot_fraction).
     """
     from olake_spark.operators.text import ngrams_col
 
     if strategy == "auto":
-        strategy = "window" if docs.count() <= window_max_rows else "join"
+        n_docs = approx_rows if approx_rows is not None else docs.count()
+        strategy = "window" if n_docs <= window_max_rows else "join"
     grams = docs.select(
         F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram")
     )

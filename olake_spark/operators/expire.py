@@ -236,13 +236,29 @@ def expire_snapshots(
                 table._manifest_cache.pop(rel, None)
                 res.deleted_manifests += 1
         # parquet manifest caches (table/manifest_df.write_manifest_cache)
-        # are keyed by snapshot id — caches of expired snapshots are
-        # unreachable garbage
+        # are pointer-published per snapshot id — pointers of expired
+        # snapshots and data dirs no live pointer references are garbage
         cache_root = os.path.join(table.root, "manifest_cache")
-        live_sids = {str(s.snapshot_id) for s in table.snapshots()}
+        live_sids = {s.snapshot_id for s in table.snapshots()}
+        live_names = set()
+        for sid in live_sids:
+            ptr = os.path.join(cache_root, f"{sid}.json")
+            if io.exists(ptr):
+                live_names.add(f"{sid}.json")
+                try:
+                    live_names.add(
+                        os.path.basename(io.get_json(ptr)["dir"].rstrip("/"))
+                    )
+                except (OSError, json.JSONDecodeError, KeyError):
+                    pass
         for name in io.list(cache_root):
-            if name not in live_sids:
-                io.delete_prefix(os.path.join(cache_root, name))
+            if name in live_names:
+                continue
+            p = os.path.join(cache_root, name)
+            if name.endswith(".json"):
+                io.delete(p)
+            else:
+                io.delete_prefix(p)
         # metadata versions older than the previous one are unreachable
         meta_root = os.path.join(table.root, "metadata")
         for name in io.list(meta_root):

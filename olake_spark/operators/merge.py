@@ -264,12 +264,18 @@ def commit_merge(
         table.refresh()
         if table.current_snapshot_id != planned_snapshot_id:
             cur = table.snapshot()
-            try:
-                planned = table.snapshot(planned_snapshot_id)
-            except KeyError:
-                raise RuntimeError(
-                    "planned snapshot expired during the merge; recompute"
-                ) from None
+            if planned_snapshot_id is None:
+                # planned against an EMPTY table (snapshot(None) would
+                # resolve to the current snapshot and void the diff):
+                # everything now present was added since planning
+                planned = None
+            else:
+                try:
+                    planned = table.snapshot(planned_snapshot_id)
+                except KeyError:
+                    raise RuntimeError(
+                        "planned snapshot expired during the merge; recompute"
+                    ) from None
             cur_m = set(cur.manifests) if cur else set()
             pl_m = set(planned.manifests) if planned else set()
             new_entries = {

@@ -261,6 +261,19 @@ class Table:
                 best = Snapshot.from_dict(d)
         return best
 
+    def _persist_mutation(self) -> int:
+        """rewrite_metadata with in-memory ROLLBACK on CommitConflict —
+        every metadata mutator (set_ref, rollback_to, fast_forward, ...)
+        mutates self.metadata before persisting, and a caller that
+        catches the conflict to retry (the documented pattern) must see
+        the pre-mutation state, exactly as commit() guarantees."""
+        backup = json.dumps(self.metadata)
+        try:
+            return self.rewrite_metadata()
+        except CommitConflict:
+            self.metadata = json.loads(backup)
+            raise
+
     # ------------------------------------------------------- refs / rollback
     @property
     def refs(self) -> dict[str, dict]:
@@ -289,13 +302,13 @@ class Table:
             "snapshot_id": sid,
             "type": ref_type,
         }
-        self.rewrite_metadata()
+        self._persist_mutation()
 
     def remove_ref(self, name: str) -> None:
         if name not in self.metadata.get("refs", {}):
             raise KeyError(f"ref {name!r} not found")
         del self.metadata["refs"][name]
-        self.rewrite_metadata()
+        self._persist_mutation()
 
     def partition_value(self, f: DataFile, col: str) -> str | None:
         """``f.partition`` when the file's partition spec column is
@@ -327,7 +340,7 @@ class Table:
         )
         log.append(new_col)
         self.metadata["partition_col"] = new_col
-        self.rewrite_metadata()
+        self._persist_mutation()
 
     def rollback_to(self, snapshot_id: int) -> None:
         """Point the table back at an ancestor snapshot (Iceberg
@@ -382,7 +395,7 @@ class Table:
                 "snapshot (use set_current_snapshot to repoint explicitly)"
             )
         self.metadata["current_snapshot_id"] = snapshot_id
-        self.rewrite_metadata()
+        self._persist_mutation()
 
     def set_current_snapshot(self, snapshot_id: int) -> None:
         """Repoint the table at ANY retained snapshot, ancestor or not
@@ -390,7 +403,7 @@ class Table:
         branch after a rollback."""
         self.snapshot(snapshot_id)  # KeyError if unknown
         self.metadata["current_snapshot_id"] = snapshot_id
-        self.rewrite_metadata()
+        self._persist_mutation()
 
     def _read_manifest(self, rel: str) -> list[DataFile]:
         if rel not in self._manifest_cache:
@@ -604,7 +617,7 @@ class Table:
         else:
             parent = self.snapshot()
         new_manifests: list[str] = []
-        removed_rows = 0
+        removed_rows = removed_files = removed_bytes = 0
         if parent is not None:
             for m in parent.manifests:
                 entries = self._read_manifest(m)
@@ -613,6 +626,8 @@ class Table:
                     new_manifests.append(m)
                     continue
                 removed_rows += sum(e.record_count for e in hit)
+                removed_files += len(hit)
+                removed_bytes += sum(e.file_size_bytes for e in hit)
                 survivors = [e for e in entries if e.path not in removed_paths]
                 if survivors:
                     new_manifests.append(self._write_manifest(survivors))
@@ -636,15 +651,33 @@ class Table:
             self.metadata["schemas"][str(schema_id)] = new_schema.json()
             self.metadata["current_schema_id"] = schema_id
 
-        total_rows = sum(
-            e.record_count for m in new_manifests for e in self._read_manifest(m)
-        )
-        total_files = sum(len(self._read_manifest(m)) for m in new_manifests)
-        total_bytes = sum(
-            e.file_size_bytes
-            for m in new_manifests
-            for e in self._read_manifest(m)
-        )
+        # totals as PARENT-SUMMARY DELTAS — O(churn), never an O(table)
+        # re-walk of every manifest per commit (removed_* were tallied
+        # from only the touched shards above). Tables whose parent
+        # predates total-bytes in summaries fall back to the full walk
+        # once; their next commit is delta-priced again.
+        pt = parent.summary if parent is not None else {}
+        if parent is None or all(
+            k in pt for k in ("total-rows", "total-files", "total-bytes")
+        ):
+            total_rows = (
+                pt.get("total-rows", 0)
+                + sum(f.record_count for f in added)
+                - removed_rows
+            )
+            total_files = pt.get("total-files", 0) + len(added) - removed_files
+            total_bytes = (
+                pt.get("total-bytes", 0)
+                + sum(f.file_size_bytes for f in added)
+                - removed_bytes
+            )
+        else:
+            total_rows = total_files = total_bytes = 0
+            for m in new_manifests:
+                for e in self._read_manifest(m):
+                    total_rows += e.record_count
+                    total_files += 1
+                    total_bytes += e.file_size_bytes
         summary = {
             "added-files": len(added),
             "removed-files": len(removed_paths),
@@ -667,15 +700,20 @@ class Table:
         self.metadata["snapshots"].append(snap.to_dict())
         if branch is None:
             self.metadata["current_snapshot_id"] = snap_id
-        # advance branch heads that pointed at the parent (tags stay
-        # put); an explicit branch commit advances via the same rule
-        if parent is not None:
-            for ref in self.metadata.get("refs", {}).values():
-                if (
-                    ref.get("type") == "branch"
-                    and ref["snapshot_id"] == parent.snapshot_id
-                ):
-                    ref["snapshot_id"] = snap_id
+            # a MAIN commit advances branch heads that tracked the parent
+            # (tags stay put) — the main-following contract
+            if parent is not None:
+                for ref in self.metadata.get("refs", {}).values():
+                    if (
+                        ref.get("type") == "branch"
+                        and ref["snapshot_id"] == parent.snapshot_id
+                    ):
+                        ref["snapshot_id"] = snap_id
+        else:
+            # an explicit branch commit advances ONLY the named branch —
+            # a sibling WAP branch staged from the same base must NOT be
+            # dragged onto this branch's unaudited snapshot
+            self.metadata["refs"][branch]["snapshot_id"] = snap_id
         self.metadata["last_updated_ms"] = int(time.time() * 1000)
 
         new_version = self.version + 1
@@ -863,7 +901,7 @@ class Table:
                 f"{branch!r} head {head}; not a fast-forward"
             )
         self.metadata["current_snapshot_id"] = head
-        self.rewrite_metadata()
+        self._persist_mutation()
         return head
 
     def _check_distribute_input(self, df: DataFrame, distribute: str | None) -> None:

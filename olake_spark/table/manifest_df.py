@@ -51,8 +51,23 @@ ENTRY_SCHEMA = (
 )
 
 
-def _cache_dir(table: Table, snapshot_id: int) -> str:
-    return os.path.join(table.root, "manifest_cache", str(snapshot_id))
+def _cache_pointer(table: Table, snapshot_id: int) -> str:
+    return os.path.join(table.root, "manifest_cache", f"{snapshot_id}.json")
+
+
+def _resolve_cache_dir(table: Table, snapshot_id: int) -> str | None:
+    """Directory of a PUBLISHED cache for this snapshot, else None.
+    Publication is pointer-based: writers build into a unique dir and
+    claim the per-snapshot pointer with a conditional create, so two
+    concurrent cache builds can never interleave parts into one
+    directory (mode('overwrite') into a shared path would, especially
+    with committer v2's task-side file placement)."""
+    ptr = _cache_pointer(table, snapshot_id)
+    if table.io.exists(ptr):
+        d = os.path.join(table.root, table.io.get_json(ptr)["dir"])
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            return d
+    return None
 
 
 def manifest_entries_df(
@@ -72,8 +87,8 @@ def manifest_entries_df(
     if snap is None:
         return spark.createDataFrame([], ENTRY_SCHEMA)
     if use_cache:
-        cdir = _cache_dir(table, snap.snapshot_id)
-        if os.path.exists(os.path.join(cdir, "_SUCCESS")):
+        cdir = _resolve_cache_dir(table, snap.snapshot_id)
+        if cdir is not None:
             return spark.read.schema(ENTRY_SCHEMA).parquet(cdir)
     return entries_from_manifests(table, snap.manifests, shards_per_task)
 
@@ -122,16 +137,36 @@ def entries_from_manifests(
 def write_manifest_cache(table: Table, snapshot_id: int | None = None) -> str:
     """Materialize one snapshot's entries as parquet for repeated
     planning. Distributed write; returns the cache directory. Safe to
-    call concurrently — parquet commit is directory-atomic via _SUCCESS
-    and the content is a pure function of the immutable snapshot."""
+    call concurrently: each writer builds into its OWN uuid directory,
+    then claims the per-snapshot pointer with a conditional create —
+    exactly one build publishes, losers delete their directory and
+    adopt the winner's. (A shared overwrite target would let two
+    concurrent builds interleave part files, silently doubling every
+    scan of a >=64-shard table forever.)"""
+    import uuid
+
     snap = table.snapshot(snapshot_id)
     if snap is None:
         raise ValueError("table has no snapshot to cache")
-    cdir = _cache_dir(table, snap.snapshot_id)
-    if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
-        manifest_entries_df(table, snap.snapshot_id, use_cache=False).write.mode(
-            "overwrite"
-        ).parquet(cdir)
+    existing = _resolve_cache_dir(table, snap.snapshot_id)
+    if existing is not None:
+        return existing
+    rel = os.path.join("manifest_cache", f"data-{uuid.uuid4().hex[:16]}")
+    cdir = os.path.join(table.root, rel)
+    manifest_entries_df(table, snap.snapshot_id, use_cache=False).write.mode(
+        "errorifexists"
+    ).parquet(cdir)
+    try:
+        table.io.create_json(_cache_pointer(table, snap.snapshot_id), {"dir": rel})
+    except FileExistsError:
+        table.io.delete_prefix(cdir)
+        winner = _resolve_cache_dir(table, snap.snapshot_id)
+        if winner is not None:
+            return winner
+        raise RuntimeError(
+            "manifest-cache pointer exists but resolves to no published "
+            "directory; delete the pointer to rebuild"
+        ) from None
     return cdir
 
 

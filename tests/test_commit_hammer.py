@@ -46,10 +46,10 @@ def _hammer_worker(root: str, wid: int, start_path: str) -> None:
         json.dump({"worker": wid, "done": done, "conflicts": conflicts}, f)
 
 
-def test_concurrent_processes_serialize_without_lost_commits(tmp_path):
-    root = str(tmp_path / "tbl")
+def _run_hammer(tmp_path, tag: str) -> str:
+    root = str(tmp_path / f"tbl_{tag}")
     Table.create(None, root)
-    start_path = str(tmp_path / "GO")
+    start_path = str(tmp_path / f"GO_{tag}")
     ctx = mp.get_context("spawn")  # clean interpreters, no inherited state
     procs = [
         ctx.Process(target=_hammer_worker, args=(root, w, start_path))
@@ -62,6 +62,11 @@ def test_concurrent_processes_serialize_without_lost_commits(tmp_path):
     for p in procs:
         p.join(timeout=120)
         assert p.exitcode == 0
+    return root
+
+
+def test_concurrent_processes_serialize_without_lost_commits(tmp_path):
+    root = _run_hammer(tmp_path, "a")
 
     total = N_WORKERS * COMMITS_PER_WORKER
     t = Table.load(None, root)
@@ -93,11 +98,21 @@ def test_concurrent_processes_serialize_without_lost_commits(tmp_path):
     # claimed exactly one higher version — no gaps, no double-claims
     assert t.version == total + 1
 
-    # contention was real: at least one worker observed a conflict and
-    # retried (4 procs x 8 commits on one pointer can't all first-try)
-    reports = []
-    for w in range(N_WORKERS):
-        with open(os.path.join(root, f"hammer_w{w}.json")) as f:
-            reports.append(json.load(f))
-    assert all(r["done"] == COMMITS_PER_WORKER for r in reports)
-    assert sum(r["conflicts"] for r in reports) > 0
+    # contention was real: some worker observed a conflict and retried.
+    # OS scheduling could in principle serialize one run perfectly, so
+    # a zero-conflict outcome gets ONE fresh re-run before failing —
+    # two fully-serialized 4x8 storms in a row is not a plausible
+    # scheduler accident, it would mean the claim never contends.
+    def _conflicts(r: str) -> int:
+        total = 0
+        for w in range(N_WORKERS):
+            with open(os.path.join(r, f"hammer_w{w}.json")) as f:
+                rep = json.load(f)
+            assert rep["done"] == COMMITS_PER_WORKER
+            total += rep["conflicts"]
+        return total
+
+    observed = _conflicts(root)
+    if observed == 0:
+        observed = _conflicts(_run_hammer(tmp_path, "b"))
+    assert observed > 0

@@ -225,3 +225,34 @@ def test_merge_commit_survives_concurrent_nonoverlapping_append(spark, tmp_path)
     compact(Table.load(spark, root), target_file_bytes=1 << 20)
     with pytest.raises(RuntimeError, match="rewritten concurrently"):
         commit_merge(t, planned3, touched3, outputs3, ids, {"kind": "merge"})
+
+
+def test_merge_on_empty_table_conflicts_with_concurrent_overlap(
+    spark, tmp_path, monkeypatch
+):
+    """Merge planned against an EMPTY table (planned snapshot None): a
+    concurrent append of overlapping keys landing before the commit
+    must force a recompute — snapshot(None) resolving to the current
+    snapshot would otherwise void the shard diff and silently commit a
+    duplicate key."""
+    import olake_spark.operators.merge as m
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    ch = generate_sequences(spark, 50, seed=1, max_tok=8)
+    orig = Table.commit
+    injected = {"done": False}
+
+    def inject(self, *a, **kw):
+        if (
+            not injected["done"]
+            and kw.get("summary_extra", {}).get("kind") == "merge"
+        ):
+            injected["done"] = True
+            other = Table.load(spark, self.root)
+            other.append(generate_sequences(spark, 50, seed=1, max_tok=8))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Table, "commit", inject)
+    with pytest.raises(RuntimeError, match="concurrently"):
+        m.merge_into(t, ch)
+    assert injected["done"]

@@ -351,6 +351,12 @@ def test_write_audit_publish_on_branch(spark, table, seq_df):
     table.append(seq_df.limit(180).exceptAll(seq_df.limit(170)))  # snap 4
     table.set_ref("audit2", snapshot_id=3, ref_type="branch")
     table.append(b.limit(5), branch="audit2")  # snap 5 off snap 3
+    # sibling isolation: the explicit audit2 commit advances ONLY
+    # audit2 — the 'audit' branch (which followed main to snapshot 4
+    # under the main-tracking rule) must not be dragged onto audit2's
+    # unaudited snapshot 5
+    assert table.refs["audit2"]["snapshot_id"] == 5
+    assert table.refs["audit"]["snapshot_id"] == 4
     with pytest.raises(ValueError):
         table.fast_forward("audit2")
     with pytest.raises(KeyError):
