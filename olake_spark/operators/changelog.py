@@ -74,19 +74,14 @@ def snapshot_changes(
     empty = table.spark.createDataFrame([], schema).withColumn(
         CHANGE_TYPE, F.lit("insert")
     )
-    # file delta via the manifest SHARD diff: commits carry untouched
-    # shards over, so the added/removed file sets are computable from
-    # only the shards the two snapshots do NOT share — O(churn)
-    # manifest reads, never two O(table) file-list materializations
-    from_snap = table.snapshot(from_snapshot_id)
-    from_m = set(from_snap.manifests) if from_snap else set()
-    to_m = set(to_snap.manifests) if to_snap else set()
-    to_only = {
-        e.path: e for m in sorted(to_m - from_m) for e in table._read_manifest(m)
-    }
-    from_only = {
-        e.path: e for m in sorted(from_m - to_m) for e in table._read_manifest(m)
-    }
+    # file delta via the manifest SHARD diff — O(churn) manifest reads,
+    # never two O(table) file-list materializations
+    # (table/format.snapshot_file_delta)
+    from olake_spark.table.format import snapshot_file_delta
+
+    to_only, from_only = snapshot_file_delta(
+        table, table.snapshot(from_snapshot_id), to_snap
+    )
     added = [f for p, f in to_only.items() if p not in from_only]
     removed = [f for p, f in from_only.items() if p not in to_only]
     if not added and not removed:

@@ -283,28 +283,18 @@ def cluster(
         )
 
     if since_snapshot_id is not None:
-        # incremental selection via the manifest SHARD diff: commits
-        # carry untouched shards over, so files added since the base
-        # are exactly (current-only shards' entries) minus (base-only
-        # shards' paths) — O(churn) manifest reads instead of parsing
-        # and diffing two full O(table) file lists. Raises KeyError if
-        # the base snapshot was expired — caller falls back to a full
-        # pass.
-        base_snap = table.snapshot(since_snapshot_id)
-        cur_m = set(snap.manifests)
-        base_m = set(base_snap.manifests)
-        dropped = {
-            e.path
-            for m in sorted(base_m - cur_m)
-            for e in table._read_manifest(m)
-        }
+        # incremental selection via the manifest SHARD diff — O(churn)
+        # manifest reads instead of parsing and diffing two full
+        # O(table) file lists (table/format.snapshot_file_delta).
+        # Raises KeyError if the base snapshot was expired — caller
+        # falls back to a full pass.
+        from olake_spark.table.format import snapshot_file_delta
+
+        cur_only, base_only = snapshot_file_delta(
+            table, table.snapshot(since_snapshot_id), snap
+        )
         files = sorted(
-            (
-                e
-                for m in sorted(cur_m - base_m)
-                for e in table._read_manifest(m)
-                if e.path not in dropped
-            ),
+            (e for p, e in cur_only.items() if p not in base_only),
             key=lambda f: f.path,
         )
     else:

@@ -143,16 +143,12 @@ def commit_rewrite(
                 planned = None
         if planned is None:
             return removed - {f.path for f in table.files()}
-        cur = table.snapshot()
-        cur_m = set(cur.manifests) if cur else set()
-        pl_m = set(planned.manifests)
-        new_paths = {
-            e.path for m in sorted(cur_m - pl_m) for e in table._read_manifest(m)
-        }
-        dropped_paths = {
-            e.path for m in sorted(pl_m - cur_m) for e in table._read_manifest(m)
-        }
-        return (removed & dropped_paths) - new_paths
+        from olake_spark.table.format import snapshot_file_delta
+
+        new_entries, dropped = snapshot_file_delta(
+            table, planned, table.snapshot()
+        )
+        return (removed & set(dropped)) - set(new_entries)
 
     def attempt() -> int:
         table.refresh()

@@ -276,18 +276,10 @@ def commit_merge(
                     raise RuntimeError(
                         "planned snapshot expired during the merge; recompute"
                     ) from None
-            cur_m = set(cur.manifests) if cur else set()
-            pl_m = set(planned.manifests) if planned else set()
-            new_entries = {
-                e.path: e
-                for m in sorted(cur_m - pl_m)
-                for e in table._read_manifest(m)
-            }
-            dropped_paths = {
-                e.path
-                for m in sorted(pl_m - cur_m)
-                for e in table._read_manifest(m)
-            }
+            from olake_spark.table.format import snapshot_file_delta
+
+            new_entries, dropped = snapshot_file_delta(table, planned, cur)
+            dropped_paths = set(dropped)
             missing = {
                 p
                 for p in touched_paths

@@ -143,6 +143,35 @@ class Snapshot:
         return cls(**d)
 
 
+def snapshot_file_delta(
+    table: "Table", base_snap: "Snapshot | None", target_snap: "Snapshot | None"
+) -> tuple[dict[str, DataFile], dict[str, DataFile]]:
+    """File entries ONLY reachable from ``target_snap`` and ONLY from
+    ``base_snap``, as (target_only, base_only) path-keyed dicts.
+
+    Computed from the manifest SHARD diff: manifests are immutable and a
+    commit carries untouched shards over, so the file-set delta between
+    two snapshots is exactly the delta of their shard sets — O(churned
+    shards) manifest reads, never two O(table) file-list walks. A path
+    can appear on BOTH sides (its shard was rewritten around some other
+    file's removal); true adds are ``target_only - base_only`` keys and
+    vice versa — the shared consumers (merge/rewrite commit validation,
+    incremental clustering, changelog) each subtract accordingly."""
+    base_m = set(base_snap.manifests) if base_snap else set()
+    tgt_m = set(target_snap.manifests) if target_snap else set()
+    target_only = {
+        e.path: e
+        for m in sorted(tgt_m - base_m)
+        for e in table._read_manifest(m)
+    }
+    base_only = {
+        e.path: e
+        for m in sorted(base_m - tgt_m)
+        for e in table._read_manifest(m)
+    }
+    return target_only, base_only
+
+
 class Table:
     """A snapshot-isolated, manifest-tracked parquet table."""
 
