@@ -294,6 +294,56 @@ def test_expire_distributed_orphan_scan_parity(spark, tmp_path):
     assert deleted[True] == deleted[False]
 
 
+def test_snapshot_file_delta_equals_bruteforce_diff(tmp_path):
+    """Property: for EVERY snapshot pair across a randomized sequence of
+    append/remove commits, snapshot_file_delta's subtracted sets equal
+    the brute-force full file-list diff. No Spark needed — commits of
+    hand-made DataFile entries drive the manifest machinery directly
+    (small shards force heavy shard churn)."""
+    import random
+
+    import olake_spark.table.format as fmt
+    from olake_spark.table.format import DataFile, Table, snapshot_file_delta
+
+    rng = random.Random(7)
+    old_max = fmt.MANIFEST_MAX_ENTRIES
+    fmt.MANIFEST_MAX_ENTRIES = 3  # many tiny shards -> real carry-over mix
+    try:
+        t = Table.create(None, str(tmp_path / "tbl"))
+        next_id = 0
+        for _ in range(12):
+            live = [f.path for f in t.files()]
+            removed = set(
+                rng.sample(live, k=min(len(live), rng.randrange(0, 4)))
+            )
+            added = []
+            for _ in range(rng.randrange(1, 5)):
+                added.append(
+                    DataFile(
+                        path=f"data/p/{next_id:04d}.parquet",
+                        record_count=1,
+                        file_size_bytes=10,
+                    )
+                )
+                next_id += 1
+            t.commit("append", added=added, removed_paths=removed)
+        snaps = t.snapshots()
+        for a in snaps:
+            for b in snaps:
+                ta, tb = (
+                    {f.path for f in t.files(a.snapshot_id)},
+                    {f.path for f in t.files(b.snapshot_id)},
+                )
+                b_only, a_only = snapshot_file_delta(t, a, b)
+                assert set(b_only) - set(a_only) == tb - ta, (
+                    a.snapshot_id,
+                    b.snapshot_id,
+                )
+                assert set(a_only) - set(b_only) == ta - tb
+    finally:
+        fmt.MANIFEST_MAX_ENTRIES = old_max
+
+
 def test_100k_file_planning_is_fast_and_exact(spark, tmp_path):
     """The 100x-scale contract: a table whose CURRENT snapshot tracks
     100_000 data files (synthetic manifests — no actual data files on
