@@ -114,8 +114,10 @@ class ClusterResult:
     details: dict = field(default_factory=dict)
 
 
-#: manifest shard count at which spec derivation goes distributed
-_SPEC_DISTRIBUTED_MIN_SHARDS = 64
+#: spec derivation goes distributed at the canonical threshold
+from olake_spark.table.format import (  # noqa: E402
+    SCAN_DISTRIBUTED_MIN_SHARDS as _SPEC_DISTRIBUTED_MIN_SHARDS,
+)
 
 
 def _cluster_specs_distributed(table: Table, snap) -> "list[ClusterCol]":
@@ -137,16 +139,19 @@ def _cluster_specs_distributed(table: Table, snap) -> "list[ClusterCol]":
     smax = F.get_json_object("stats", "$.source.max")
     nmin = F.get_json_object("stats", "$.n_tok.min").cast("long")
     nmax = F.get_json_object("stats", "$.n_tok.max").cast("long")
-    agg = ent.select(
-        F.explode(F.array(pv, smin, smax)).alias("_c"), nmin.alias("_lo"),
+    # ONE aggregation job: collect_set over the (bounded-cardinality)
+    # category values + the n_tok bounds together — a second pass would
+    # re-parse every manifest shard
+    b = ent.select(
+        F.explode(F.array(pv, smin, smax)).alias("_c"),
+        nmin.alias("_lo"),
         nmax.alias("_hi"),
-    )
-    cats = sorted(
-        r._c
-        for r in agg.select("_c").filter(F.col("_c").isNotNull())
-        .distinct().collect()
-    )
-    b = agg.agg(F.min("_lo").alias("lo"), F.max("_hi").alias("hi")).first()
+    ).agg(
+        F.collect_set("_c").alias("cats"),
+        F.min("_lo").alias("lo"),
+        F.max("_hi").alias("hi"),
+    ).first()
+    cats = sorted(c for c in (b.cats or []) if c is not None)
     n_lo = b.lo if b.lo is not None else 0
     n_hi = b.hi if b.hi is not None else 1
     return [

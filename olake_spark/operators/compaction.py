@@ -45,9 +45,10 @@ from olake_spark.table.format import DataFile, Table
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 _MIXED = "__mixed__"
 
-#: manifest shard count at which compaction planning stops materializing
-#: the full file list on the driver (mirrors operators/merge.py)
-_DISTRIBUTED_PLANNING_MIN_SHARDS = 64
+#: compaction planning goes distributed at the canonical threshold
+from olake_spark.table.format import (  # noqa: E402
+    SCAN_DISTRIBUTED_MIN_SHARDS as _DISTRIBUTED_PLANNING_MIN_SHARDS,
+)
 
 
 def _small_files_distributed(

@@ -91,6 +91,11 @@ def _orphans_distributed(
     return sorted(r.path for r in orphans)
 
 
+#: unpointed manifest-cache build dirs younger than this are assumed to
+#: be in-flight write_manifest_cache runs and survive GC
+_CACHE_BUILD_GRACE_MS = 60 * 60 * 1000
+
+
 @dataclass
 class ExpireResult:
     expired_snapshots: list[int] = field(default_factory=list)
@@ -193,10 +198,13 @@ def expire_snapshots(
         # resume path commit references to deleted files
         job_outputs = _uncommitted_job_outputs(table.root, io)
         data_root = os.path.join(table.root, "data")
+        from olake_spark.table.format import SCAN_DISTRIBUTED_MIN_SHARDS
+
         use_dist = distributed_orphan_scan
         if use_dist is None:
             use_dist = any(
-                len(s.manifests) >= 64 for s in table.snapshots()
+                len(s.manifests) >= SCAN_DISTRIBUTED_MIN_SHARDS
+                for s in table.snapshots()
             )
         if use_dist and table.spark is not None:
             orphans = _orphans_distributed(
@@ -237,7 +245,12 @@ def expire_snapshots(
                 res.deleted_manifests += 1
         # parquet manifest caches (table/manifest_df.write_manifest_cache)
         # are pointer-published per snapshot id — pointers of expired
-        # snapshots and data dirs no live pointer references are garbage
+        # snapshots and data dirs no live pointer references are
+        # garbage. An UNPOINTED data dir younger than the build grace is
+        # an in-flight write_manifest_cache whose pointer claim hasn't
+        # landed yet; deleting it would let the builder publish a
+        # pointer to a vanished directory and wedge the cache for a
+        # live snapshot.
         cache_root = os.path.join(table.root, "manifest_cache")
         live_sids = {s.snapshot_id for s in table.snapshots()}
         live_names = set()
@@ -251,14 +264,35 @@ def expire_snapshots(
                     )
                 except (OSError, json.JSONDecodeError, KeyError):
                     pass
+        dead_referenced = set()
+        for name in io.list(cache_root):
+            if name.endswith(".json") and name not in live_names:
+                try:
+                    dead_referenced.add(
+                        os.path.basename(
+                            io.get_json(os.path.join(cache_root, name))[
+                                "dir"
+                            ].rstrip("/")
+                        )
+                    )
+                except (OSError, json.JSONDecodeError, KeyError):
+                    pass
         for name in io.list(cache_root):
             if name in live_names:
                 continue
             p = os.path.join(cache_root, name)
             if name.endswith(".json"):
                 io.delete(p)
+            elif name in dead_referenced:
+                io.delete_prefix(p)  # referenced only by a dead pointer
             else:
-                io.delete_prefix(p)
+                # unpointed build dir: grace-protect in-flight builds
+                try:
+                    young = now_ms - io.mtime_ms(p) < _CACHE_BUILD_GRACE_MS
+                except OSError:
+                    young = False
+                if not young:
+                    io.delete_prefix(p)
         # metadata versions older than the previous one are unreachable
         meta_root = os.path.join(table.root, "metadata")
         for name in io.list(meta_root):

@@ -314,10 +314,11 @@ def commit_merge(
     )
 
 
-#: manifest shard count at which merge discovery stops materializing the
-#: file list on the driver (>= ~320k files at MANIFEST_MAX_ENTRIES=5000)
-#: and plans through table/manifest_df instead
-_DISTRIBUTED_PLANNING_MIN_SHARDS = 64
+#: merge discovery stops materializing the file list on the driver at
+#: the canonical threshold (>= ~320k files at MANIFEST_MAX_ENTRIES=5000)
+from olake_spark.table.format import (  # noqa: E402
+    SCAN_DISTRIBUTED_MIN_SHARDS as _DISTRIBUTED_PLANNING_MIN_SHARDS,
+)
 
 
 def merge_into(

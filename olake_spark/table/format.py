@@ -43,9 +43,11 @@ from olake_spark.table.stats import collect_file_stats
 
 MANIFEST_MAX_ENTRIES = 5000
 
-#: manifest shard count above which scan() plans through the
-#: distributed path (table/manifest_df) by default — a million-file
-#: table must not parse every manifest shard on the driver per scan
+#: CANONICAL manifest-shard threshold above which planning goes
+#: distributed by default (scan, merge discovery, compaction small-file
+#: selection, cluster-spec derivation, orphan GC all derive from this
+#: one constant) — a million-file table must not parse every manifest
+#: shard on the driver per planning pass
 SCAN_DISTRIBUTED_MIN_SHARDS = 64
 
 _DEFAULT_IO = LocalFileIO()
@@ -290,13 +292,15 @@ class Table:
                 best = Snapshot.from_dict(d)
         return best
 
-    def _persist_mutation(self) -> int:
-        """rewrite_metadata with in-memory ROLLBACK on CommitConflict —
-        every metadata mutator (set_ref, rollback_to, fast_forward, ...)
-        mutates self.metadata before persisting, and a caller that
-        catches the conflict to retry (the documented pattern) must see
-        the pre-mutation state, exactly as commit() guarantees."""
+    def _persist_mutation(self, mutate) -> int:
+        """Apply ``mutate()`` to self.metadata and persist, with
+        in-memory ROLLBACK on CommitConflict — a caller that catches
+        the conflict to retry (the documented pattern) must see the
+        pre-mutation state, exactly as commit() guarantees. The backup
+        is captured BEFORE the mutation runs — backing up after (the
+        naive shape) silently keeps the phantom edit."""
         backup = json.dumps(self.metadata)
+        mutate()
         try:
             return self.rewrite_metadata()
         except CommitConflict:
@@ -327,17 +331,19 @@ class Table:
         if sid is None:
             raise ValueError("table has no snapshot to reference")
         self.snapshot(sid)  # raises KeyError if expired/unknown
-        self.metadata.setdefault("refs", {})[name] = {
-            "snapshot_id": sid,
-            "type": ref_type,
-        }
-        self._persist_mutation()
+
+        def _mut():
+            self.metadata.setdefault("refs", {})[name] = {
+                "snapshot_id": sid,
+                "type": ref_type,
+            }
+
+        self._persist_mutation(_mut)
 
     def remove_ref(self, name: str) -> None:
         if name not in self.metadata.get("refs", {}):
             raise KeyError(f"ref {name!r} not found")
-        del self.metadata["refs"][name]
-        self._persist_mutation()
+        self._persist_mutation(lambda: self.metadata["refs"].pop(name))
 
     def partition_value(self, f: DataFile, col: str) -> str | None:
         """``f.partition`` when the file's partition spec column is
@@ -361,15 +367,19 @@ class Table:
         evolution would be silently inert."""
         if new_col not in {f.name for f in self.schema().fields}:
             raise KeyError(f"column {new_col!r} not in current schema")
-        cols = self.metadata.setdefault("stats_columns", list(STATS_COLUMNS))
-        if new_col not in cols:
-            cols.append(new_col)
-        log = self.metadata.setdefault(
-            "partition_spec_log", [self.metadata["partition_col"]]
-        )
-        log.append(new_col)
-        self.metadata["partition_col"] = new_col
-        self._persist_mutation()
+        def _mut():
+            cols = self.metadata.setdefault(
+                "stats_columns", list(STATS_COLUMNS)
+            )
+            if new_col not in cols:
+                cols.append(new_col)
+            log = self.metadata.setdefault(
+                "partition_spec_log", [self.metadata["partition_col"]]
+            )
+            log.append(new_col)
+            self.metadata["partition_col"] = new_col
+
+        self._persist_mutation(_mut)
 
     def rollback_to(self, snapshot_id: int) -> None:
         """Point the table back at an ancestor snapshot (Iceberg
@@ -423,16 +433,22 @@ class Table:
                 f"snapshot {snapshot_id} is not an ancestor of the current "
                 "snapshot (use set_current_snapshot to repoint explicitly)"
             )
-        self.metadata["current_snapshot_id"] = snapshot_id
-        self._persist_mutation()
+        self._persist_mutation(
+            lambda: self.metadata.__setitem__(
+                "current_snapshot_id", snapshot_id
+            )
+        )
 
     def set_current_snapshot(self, snapshot_id: int) -> None:
         """Repoint the table at ANY retained snapshot, ancestor or not
         (Iceberg set_current_snapshot) — e.g. to resurrect an abandoned
         branch after a rollback."""
         self.snapshot(snapshot_id)  # KeyError if unknown
-        self.metadata["current_snapshot_id"] = snapshot_id
-        self._persist_mutation()
+        self._persist_mutation(
+            lambda: self.metadata.__setitem__(
+                "current_snapshot_id", snapshot_id
+            )
+        )
 
     def _read_manifest(self, rel: str) -> list[DataFile]:
         if rel not in self._manifest_cache:
@@ -907,30 +923,45 @@ class Table:
         only when current is an ancestor of it (a true fast-forward —
         no published history is abandoned). The write-audit-publish
         'publish' step; use rollback_to/set_current_snapshot for
-        non-fast-forward repointing."""
+        non-fast-forward repointing.
+
+        Expired intermediates: expire_snapshots pins only a branch's
+        HEAD, so the walk from head back to current can hit a dropped
+        intermediate branch commit. As with rollback_to's gap rule, a
+        broken chain is accepted when current's id precedes everything
+        walked (it cannot be a younger sibling of the branch line) —
+        expiry must not permanently block publishing audited data."""
         ref = self.metadata.get("refs", {}).get(branch)
         if ref is None or ref.get("type") != "branch":
             raise KeyError(f"branch {branch!r} not found")
         head = ref["snapshot_id"]
         cur_id = self.current_snapshot_id
         node = self.snapshot(head)
+        found = gap = False
+        min_walked = None
         while node is not None:
             if node.snapshot_id == cur_id:
+                found = True
                 break
+            min_walked = node.snapshot_id
             if node.parent_id is None:
                 node = None
                 break
             try:
                 node = self.snapshot(node.parent_id)
             except KeyError:
+                gap = True
                 node = None
-        if cur_id is not None and node is None:
+        if cur_id is not None and not found and not (
+            gap and min_walked is not None and cur_id < min_walked
+        ):
             raise ValueError(
                 f"current snapshot {cur_id} is not an ancestor of branch "
                 f"{branch!r} head {head}; not a fast-forward"
             )
-        self.metadata["current_snapshot_id"] = head
-        self._persist_mutation()
+        self._persist_mutation(
+            lambda: self.metadata.__setitem__("current_snapshot_id", head)
+        )
         return head
 
     def _check_distribute_input(self, df: DataFrame, distribute: str | None) -> None:

@@ -15,10 +15,13 @@ engine's JSON/parquet manifests:
   per-predicate with ``get_json_object`` — no typed-map schema to keep
   in sync with stats_columns.
 - :func:`write_manifest_cache` — a parquet rendition of one snapshot's
-  entries under ``<root>/manifest_cache/<snapshot_id>``; snapshots are
-  immutable so the cache never invalidates. Repeated planning reads the
-  columnar cache (footer-pruned to the predicate columns) instead of
-  re-parsing JSON.
+  entries, pointer-published: builders write into a unique
+  ``<root>/manifest_cache/data-<uuid>`` directory and claim the
+  per-snapshot pointer ``<root>/manifest_cache/<snapshot_id>.json``
+  with a conditional create (exactly one build publishes; losers adopt
+  the winner). Snapshots are immutable so the cache never invalidates.
+  Repeated planning reads the columnar cache (footer-pruned to the
+  predicate columns) instead of re-parsing JSON.
 - :func:`prune_files_df` — the exact predicates of ``Table.scan``
   (identity-partition + min/max stats) as Catalyst filters over the
   entries frame.
@@ -63,10 +66,14 @@ def _resolve_cache_dir(table: Table, snapshot_id: int) -> str | None:
     directory (mode('overwrite') into a shared path would, especially
     with committer v2's task-side file placement)."""
     ptr = _cache_pointer(table, snapshot_id)
-    if table.io.exists(ptr):
+    try:
         d = os.path.join(table.root, table.io.get_json(ptr)["dir"])
-        if os.path.exists(os.path.join(d, "_SUCCESS")):
-            return d
+    except (OSError, json.JSONDecodeError, KeyError):
+        # pointer absent, mid-GC, or malformed — fall back to shard
+        # parsing rather than crash the default scan path
+        return None
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
     return None
 
 
