@@ -325,6 +325,46 @@ def test_rollback_past_gap_requires_ref_pin(spark, table, seq_df):
     assert table.current_snapshot_id == 1
 
 
+def test_full_maintenance_cycle_on_fake_remote_store(spark, tmp_path, seq_df):
+    """compact -> zorder -> merge -> expire, all on the fake-remote
+    FileIO: byte-identical results to POSIX semantics and ONLY
+    object-store primitives issued (get/put/create/list/delete — the
+    seam's whole contract)."""
+    from olake_spark.operators.clustering import cluster
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.expire import expire_snapshots
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+    from olake_spark.table.io import FakeRemoteFileIO
+
+    io = FakeRemoteFileIO(staging_dir=str(tmp_path / "_stage"))
+    t = Table.create(spark, str(tmp_path / "tbl"), io=io)
+    t.append(seq_df.limit(1000).repartition(8))
+    base = t.scan().agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("ck"),
+    ).first()
+    compact(t, target_file_bytes=1 << 20)
+    cluster(t, curve="zorder", target_file_bytes=1 << 20)
+    mid = t.scan().agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, n_tok))").alias("ck"),
+    ).first()
+    assert (mid.n, mid.ck) == (base.n, base.ck)
+    ch = (
+        t.scan().select(*DATA_COLUMNS).orderBy("doc_id").limit(20)
+        .withColumn("tokens", F.expr("slice(tokens, 1, 2)"))
+        .withColumn("n_tok", F.least("n_tok", F.lit(2)))
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    res = merge_into(t, ch)
+    assert res.updated == 20
+    er = expire_snapshots(t, keep_last=1)
+    assert er.deleted_data_files > 0
+    assert t.refresh().scan().count() == 1000
+    assert set(io.ops) <= {"get", "put", "create", "list", "delete"}, io.ops
+
+
 def test_write_audit_publish_on_branch(spark, table, seq_df):
     """Iceberg WAP shape: stage appends on an audit branch (table
     readers see nothing), validate via scan(ref=), fast_forward to
