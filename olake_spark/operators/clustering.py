@@ -37,6 +37,9 @@ from olake_spark.operators.compaction import (
     commit_rewrite,
 )
 from olake_spark.plans.ledger import Ledger
+from olake_spark.table.format import (
+    SCAN_DISTRIBUTED_MIN_SHARDS as _SPEC_DISTRIBUTED_MIN_SHARDS,
+)
 from olake_spark.table.format import DataFile, Table
 
 CKEY = "_ckey"
@@ -112,12 +115,6 @@ class ClusterResult:
     rows: int = 0
     skipped: bool = False
     details: dict = field(default_factory=dict)
-
-
-#: spec derivation goes distributed at the canonical threshold
-from olake_spark.table.format import (  # noqa: E402
-    SCAN_DISTRIBUTED_MIN_SHARDS as _SPEC_DISTRIBUTED_MIN_SHARDS,
-)
 
 
 def _cluster_specs_distributed(table: Table, snap) -> "list[ClusterCol]":

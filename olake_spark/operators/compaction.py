@@ -40,16 +40,13 @@ from olake_spark.functions.partitioning import (
     string_key_cols,
 )
 from olake_spark.plans.ledger import Ledger
+from olake_spark.table.format import (
+    SCAN_DISTRIBUTED_MIN_SHARDS as _DISTRIBUTED_PLANNING_MIN_SHARDS,
+)
 from olake_spark.table.format import DataFile, Table
 
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 _MIXED = "__mixed__"
-
-#: compaction planning goes distributed at the canonical threshold
-from olake_spark.table.format import (  # noqa: E402
-    SCAN_DISTRIBUTED_MIN_SHARDS as _DISTRIBUTED_PLANNING_MIN_SHARDS,
-)
-
 
 def _small_files_distributed(
     table: Table, snap, small_bytes: int

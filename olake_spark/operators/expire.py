@@ -151,10 +151,32 @@ def expire_snapshots(
     keep: list = []
     drop: list = []
     min_protected = min(protect_snapshot_ids) if protect_snapshot_ids else None
-    # named refs (tags/branches) pin their exact snapshot until removed
-    ref_ids = {
-        r["snapshot_id"] for r in table.metadata.get("refs", {}).values()
-    }
+    # named refs pin their exact snapshot until removed; BRANCH refs
+    # additionally pin their whole parent lineage down to the current
+    # snapshot (or the chain end) — fast_forward certifies a publish by
+    # walking head -> current, and an expired intermediate would either
+    # wedge valid publishes or force an unsound id-ordering heuristic
+    # that can silently abandon published history. Lineages are bounded
+    # by branch length (WAP branches are short-lived by design).
+    ref_ids: set = set()
+    by_id = {s.snapshot_id: s for s in snaps}
+    for r in table.metadata.get("refs", {}).values():
+        ref_ids.add(r["snapshot_id"])
+        if r.get("type") == "branch":
+            node = by_id.get(r["snapshot_id"])
+            walked: set = set()
+            while (
+                node is not None
+                and node.snapshot_id not in walked
+                and node.snapshot_id != current_id
+            ):
+                walked.add(node.snapshot_id)
+                ref_ids.add(node.snapshot_id)
+                node = (
+                    by_id.get(node.parent_id)
+                    if node.parent_id is not None
+                    else None
+                )
     for i, s in enumerate(snaps):
         is_recent = i >= len(snaps) - keep_last
         is_young = older_than_ms is not None and s.timestamp_ms >= older_than_ms
@@ -253,46 +275,57 @@ def expire_snapshots(
         # live snapshot.
         cache_root = os.path.join(table.root, "manifest_cache")
         live_sids = {s.snapshot_id for s in table.snapshots()}
-        live_names = set()
-        for sid in live_sids:
-            ptr = os.path.join(cache_root, f"{sid}.json")
-            if io.exists(ptr):
-                live_names.add(f"{sid}.json")
-                try:
-                    live_names.add(
-                        os.path.basename(io.get_json(ptr)["dir"].rstrip("/"))
-                    )
-                except (OSError, json.JSONDecodeError, KeyError):
-                    pass
-        dead_referenced = set()
-        for name in io.list(cache_root):
-            if name.endswith(".json") and name not in live_names:
-                try:
-                    dead_referenced.add(
-                        os.path.basename(
-                            io.get_json(os.path.join(cache_root, name))[
-                                "dir"
-                            ].rstrip("/")
-                        )
-                    )
-                except (OSError, json.JSONDecodeError, KeyError):
-                    pass
-        for name in io.list(cache_root):
-            if name in live_names:
+        names = io.list(cache_root)  # ONE listing serves the whole GC
+        protected_dirs: set[str] = set()
+        dead_pointers: set[str] = set()
+        dead_dirs: set[str] = set()
+        skip_dir_gc = False
+        for name in names:
+            if not name.endswith(".json"):
                 continue
-            p = os.path.join(cache_root, name)
-            if name.endswith(".json"):
-                io.delete(p)
-            elif name in dead_referenced:
-                io.delete_prefix(p)  # referenced only by a dead pointer
+            sid_str = name[:-5]
+            is_live = sid_str.isdigit() and int(sid_str) in live_sids
+            try:
+                ref_dir = os.path.basename(
+                    io.get_json(os.path.join(cache_root, name))[
+                        "dir"
+                    ].rstrip("/")
+                )
+            except (OSError, json.JSONDecodeError, KeyError):
+                ref_dir = None
+            if is_live:
+                if ref_dir is not None:
+                    protected_dirs.add(ref_dir)
+                else:
+                    # a LIVE pointer we could not read (transient store
+                    # error, or mid-create on the emulated store): its
+                    # dir is unidentifiable, so deleting ANY dir this
+                    # run could orphan it — skip dir GC entirely,
+                    # pointer GC below is still exact
+                    skip_dir_gc = True
             else:
-                # unpointed build dir: grace-protect in-flight builds
-                try:
-                    young = now_ms - io.mtime_ms(p) < _CACHE_BUILD_GRACE_MS
-                except OSError:
-                    young = False
-                if not young:
-                    io.delete_prefix(p)
+                dead_pointers.add(name)
+                if ref_dir is not None:
+                    dead_dirs.add(ref_dir)
+        for name in dead_pointers:
+            io.delete(os.path.join(cache_root, name))
+        if not skip_dir_gc:
+            for name in names:
+                if name.endswith(".json") or name in protected_dirs:
+                    continue
+                p = os.path.join(cache_root, name)
+                if name in dead_dirs:
+                    io.delete_prefix(p)  # referenced only by dead pointers
+                else:
+                    # unpointed build dir: grace-protect in-flight builds
+                    try:
+                        young = (
+                            now_ms - io.mtime_ms(p) < _CACHE_BUILD_GRACE_MS
+                        )
+                    except OSError:
+                        young = True  # vanished mid-GC: nothing to do
+                    if not young:
+                        io.delete_prefix(p)
         # metadata versions older than the previous one are unreachable
         meta_root = os.path.join(table.root, "metadata")
         for name in io.list(meta_root):

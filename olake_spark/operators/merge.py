@@ -52,6 +52,9 @@ from olake_spark.schema import (
     OLAKE_INSERT_TIME,
     olake_id_expr,
 )
+from olake_spark.table.format import (
+    SCAN_DISTRIBUTED_MIN_SHARDS as _DISTRIBUTED_PLANNING_MIN_SHARDS,
+)
 from olake_spark.table.format import DataFile, Table
 
 # Broadcast the change-key side only while its estimated on-heap size
@@ -312,13 +315,6 @@ def commit_merge(
     return retry_on_backoff(
         attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
     )
-
-
-#: merge discovery stops materializing the file list on the driver at
-#: the canonical threshold (>= ~320k files at MANIFEST_MAX_ENTRIES=5000)
-from olake_spark.table.format import (  # noqa: E402
-    SCAN_DISTRIBUTED_MIN_SHARDS as _DISTRIBUTED_PLANNING_MIN_SHARDS,
-)
 
 
 def merge_into(

@@ -639,10 +639,9 @@ class Table:
         writes on an audit branch (readers of the table see nothing),
         validate via ``scan(ref=branch)``, then ``fast_forward(branch)``
         to publish. The branch ref advances; current_snapshot_id does
-        NOT move. Note the branch ref pins only its HEAD against
-        expire_snapshots — size ``keep_last`` to cover unpublished
-        intermediate branch commits (Iceberg's branch retention has the
-        same shape)."""
+        NOT move. expire_snapshots pins the branch's whole parent
+        lineage down to the current snapshot, so staged intermediates
+        survive routine expiry until the branch ref is removed."""
         added = added or []
         removed_paths = removed_paths or set()
         # optimistic concurrency: fail if someone advanced VERSION
@@ -925,36 +924,32 @@ class Table:
         'publish' step; use rollback_to/set_current_snapshot for
         non-fast-forward repointing.
 
-        Expired intermediates: expire_snapshots pins only a branch's
-        HEAD, so the walk from head back to current can hit a dropped
-        intermediate branch commit. As with rollback_to's gap rule, a
-        broken chain is accepted when current's id precedes everything
-        walked (it cannot be a younger sibling of the branch line) —
-        expiry must not permanently block publishing audited data."""
+        The ancestry walk is STRICT — no expired-gap heuristic: an
+        id-ordering rule could bless a non-ancestor sibling and
+        silently abandon published rows. It doesn't need one, because
+        expire_snapshots pins every branch's parent LINEAGE down to the
+        current snapshot (operators/expire.py), so the head -> current
+        chain of a publishable branch cannot break."""
         ref = self.metadata.get("refs", {}).get(branch)
         if ref is None or ref.get("type") != "branch":
             raise KeyError(f"branch {branch!r} not found")
         head = ref["snapshot_id"]
         cur_id = self.current_snapshot_id
         node = self.snapshot(head)
-        found = gap = False
-        min_walked = None
-        while node is not None:
+        found = False
+        seen: set[int] = set()
+        while node is not None and node.snapshot_id not in seen:
             if node.snapshot_id == cur_id:
                 found = True
                 break
-            min_walked = node.snapshot_id
+            seen.add(node.snapshot_id)
             if node.parent_id is None:
-                node = None
                 break
             try:
                 node = self.snapshot(node.parent_id)
             except KeyError:
-                gap = True
-                node = None
-        if cur_id is not None and not found and not (
-            gap and min_walked is not None and cur_id < min_walked
-        ):
+                break
+        if cur_id is not None and not found:
             raise ValueError(
                 f"current snapshot {cur_id} is not an ancestor of branch "
                 f"{branch!r} head {head}; not a fast-forward"

@@ -190,6 +190,24 @@ class FakeRemoteFileIO(LocalFileIO):
     LocalFileIO, whose link-based claim has no such window.
     """
 
+    #: every operation here maps 1:1 onto a real object-store call —
+    #: the discipline a passing suite certifies. rename appears nowhere
+    #: because the FileIO API does not expose one.
+    STORE_PRIMITIVES = {
+        "get",            # GET object
+        "put",            # atomic whole-object PUT
+        "create",         # conditional create (If-None-Match: *)
+        "list",           # LIST prefix (one level)
+        "walk",           # LIST prefix (recursive)
+        "exists",         # HEAD object
+        "mtime",          # HEAD object (Last-Modified)
+        "size",           # HEAD object (Content-Length)
+        "delete",         # DELETE object
+        "delete_prefix",  # batched DELETE under a prefix
+        "ensure_prefix",  # no-op (prefixes aren't objects)
+        "delete_empty_prefix",  # no-op (prefixes aren't objects)
+    }
+
     def __init__(self, staging_dir: str | None = None):
         import tempfile
 
@@ -241,6 +259,34 @@ class FakeRemoteFileIO(LocalFileIO):
         self._count("list")
         return super().list(path)
 
+    def walk(self, path: str):
+        self._count("walk")
+        return super().walk(path)
+
+    def exists(self, path: str) -> bool:
+        self._count("exists")
+        return super().exists(path)
+
+    def mtime_ms(self, path: str) -> float:
+        self._count("mtime")
+        return super().mtime_ms(path)
+
+    def size(self, path: str) -> int:
+        self._count("size")
+        return super().size(path)
+
+    def ensure_prefix(self, path: str) -> None:
+        self._count("ensure_prefix")
+        super().ensure_prefix(path)
+
     def delete(self, path: str) -> None:
         self._count("delete")
         super().delete(path)
+
+    def delete_prefix(self, path: str) -> None:
+        self._count("delete_prefix")
+        super().delete_prefix(path)
+
+    def delete_empty_prefix(self, path: str) -> None:
+        self._count("delete_empty_prefix")
+        super().delete_empty_prefix(path)

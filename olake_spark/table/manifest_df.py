@@ -72,7 +72,7 @@ def _resolve_cache_dir(table: Table, snapshot_id: int) -> str | None:
         # pointer absent, mid-GC, or malformed — fall back to shard
         # parsing rather than crash the default scan path
         return None
-    if os.path.exists(os.path.join(d, "_SUCCESS")):
+    if table.io.exists(os.path.join(d, "_SUCCESS")):
         return d
     return None
 

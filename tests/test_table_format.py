@@ -23,10 +23,10 @@ def seq_df(spark):
 @pytest.fixture(params=["local", "fakeremote"])
 def table(spark, tmp_path, request):
     """The whole suite runs against BOTH FileIO implementations — the
-    object-store-seam contract (table/io.py): the table layer compiles
-    to get/list/delete/atomic-put/conditional-create only, so an
-    upload-then-publish fake-remote store must be behaviorally
-    identical to POSIX."""
+    object-store-seam contract (table/io.py): every primitive the table
+    layer issues maps onto a real object-store call (no rename exists
+    in the API), so an upload-then-publish fake-remote store must be
+    behaviorally identical to POSIX."""
     from olake_spark.table.io import FakeRemoteFileIO, LocalFileIO
 
     io = (
@@ -37,9 +37,11 @@ def table(spark, tmp_path, request):
     t = Table.create(spark, str(tmp_path / "tbl"), io=io)
     yield t
     if request.param == "fakeremote":
-        # the discipline check: every primitive the table issued exists
-        # on an object store; the FileIO API exposes no rename at all
-        assert set(io.ops) <= {"get", "put", "create", "list", "delete"}
+        # the discipline check: EVERY primitive is instrumented and
+        # every one the table issued maps onto a real object-store
+        # call (FakeRemoteFileIO.STORE_PRIMITIVES documents the
+        # mapping); rename isn't in the FileIO API at all
+        assert set(io.ops) <= FakeRemoteFileIO.STORE_PRIMITIVES, io.ops
 
 
 def test_generate_deterministic(spark):
@@ -362,7 +364,8 @@ def test_full_maintenance_cycle_on_fake_remote_store(spark, tmp_path, seq_df):
     er = expire_snapshots(t, keep_last=1)
     assert er.deleted_data_files > 0
     assert t.refresh().scan().count() == 1000
-    assert set(io.ops) <= {"get", "put", "create", "list", "delete"}, io.ops
+    # every primitive is instrumented; all of them store-expressible
+    assert set(io.ops) <= type(io).STORE_PRIMITIVES, io.ops
 
 
 def test_write_audit_publish_on_branch(spark, table, seq_df):
@@ -403,6 +406,39 @@ def test_write_audit_publish_on_branch(spark, table, seq_df):
         table.fast_forward("nope")
     with pytest.raises(KeyError):
         table.commit("append", added=[], branch="nope")
+
+
+def test_expire_pins_branch_lineage_and_sibling_publish_refused(
+    spark, table, seq_df
+):
+    """The sibling-abandonment scenario: main diverges after a branch
+    forks, then expiry runs. The branch's parent LINEAGE must survive
+    expiry (so the ancestry walk can't hit a gap), and fast_forward
+    must refuse the sibling publish — a gap heuristic here would have
+    silently abandoned main's published rows."""
+    from olake_spark.operators.expire import expire_snapshots
+
+    a = seq_df.limit(100)
+    table.append(a)  # snap 1
+    table.append(seq_df.limit(130).exceptAll(seq_df.limit(100)))  # 2
+    table.append(seq_df.limit(150).exceptAll(seq_df.limit(130)))  # 3 = fork
+    table.set_ref("b", ref_type="branch")
+    table.append(
+        seq_df.limit(160).exceptAll(seq_df.limit(150)), branch="b"
+    )  # 4 staged
+    table.append(seq_df.limit(175).exceptAll(seq_df.limit(160)))  # 5 = main diverges
+    table.append(
+        seq_df.limit(180).exceptAll(seq_df.limit(175)), branch="b"
+    )  # 6 staged (parent 4)
+    res = expire_snapshots(table, keep_last=2)
+    # branch lineage 6 -> 4 -> 3 is pinned; only pre-fork 1/2 expire
+    assert set(res.expired_snapshots) <= {1, 2}
+    assert {3, 4, 6} <= set(res.kept_snapshots)
+    # main (5) is NOT an ancestor of b's head (6): publish refused
+    with pytest.raises(ValueError, match="not a fast-forward"):
+        table.fast_forward("b")
+    # main's published rows are intact
+    assert table.scan().count() == 165
 
 
 def test_branch_ref_advances_on_commit(spark, table, seq_df):
