@@ -156,11 +156,17 @@ def parse_bool(col: Column) -> Column:
     )
 
 
-def coerce_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+def coerce_to_schema(
+    df: DataFrame, target: T.StructType, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Cast every column to the resolved schema type (ReformatRecord,
     reformat.go:45-60): scalars→singleton arrays when the target is an
     array (reformat.go:119-124), strings→timestamp via the format list,
-    strings→bool via the truth table, else plain cast."""
+    strings→bool via the truth table, else plain cast.
+
+    ``extra_cols``: pass-through columns kept verbatim after the schema
+    fields (e.g. parquet ``_metadata``-derived columns a delete-applying
+    scan must carry across the coercion)."""
     cols = []
     have = {f.name: f for f in df.schema.fields}
     for f in target.fields:
@@ -189,6 +195,8 @@ def coerce_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
             cols.append(parse_bool(c).alias(f.name))
         else:
             cols.append(c.cast(f.dataType).alias(f.name))
+    for name in extra_cols or []:
+        cols.append(F.col(name))
     return df.select(*cols)
 
 

@@ -79,12 +79,87 @@ def snapshot_changes(
     # (table/format.snapshot_file_delta)
     from olake_spark.table.format import snapshot_file_delta
 
-    to_only, from_only = snapshot_file_delta(
-        table, table.snapshot(from_snapshot_id), to_snap
-    )
+    from_snap = table.snapshot(from_snapshot_id)
+    to_only, from_only = snapshot_file_delta(table, from_snap, to_snap)
     added = [f for p, f in to_only.items() if p not in from_only]
     removed = [f for p, f in from_only.items() if p not in to_only]
-    if not added and not removed:
+
+    # merge-on-read deletes landed in the window change row visibility
+    # WITHOUT touching data manifests: rows of CARRIED-OVER files (live
+    # on both sides) killed by a new delete file belong on the old side
+    # of the diff. New-since-from deletes always out-sequence carried
+    # files, so applicability is key-range overlap (equality) or direct
+    # file reference (positional). Removed-file rows are already on the
+    # old side; added-file rows already scan with the TO snapshot's
+    # deletes applied — only carried files need this extra component.
+    from olake_spark.table.format import (
+        CONTENT_EQ_DELETES,
+        CONTENT_POS_DELETES,
+        new_delete_entries_since,
+    )
+
+    new_dels = new_delete_entries_since(table, from_snap, to_snap)
+    killed = None
+    if new_dels:
+        eq_new = [d for d in new_dels if d.content == CONTENT_EQ_DELETES]
+        pos_new = [d for d in new_dels if d.content == CONTENT_POS_DELETES]
+        pos_refs = set()
+        if pos_new:
+            pos_refs = {
+                r.file_path
+                for r in table.spark.read.schema("file_path string")
+                .parquet(*[table.abs_path(d.path) for d in pos_new])
+                .distinct()
+                .collect()
+            }
+        affected = []
+        for f in table.files(from_snapshot_id):
+            if f.path in from_only:
+                continue  # removed files are already the old side
+            if f.path in pos_refs:
+                affected.append(f)
+                continue
+            for d in eq_new:
+                st = d.stats.get("doc_id")
+                if not st or st.get("min") is None or f.overlaps(
+                    "doc_id", st["min"], st["max"]
+                ):
+                    affected.append(f)
+                    break
+        if affected:
+            vis = table.scan(
+                snapshot_id=from_snapshot_id,
+                files=affected,
+                with_position=True,
+            )
+            parts = []
+            if eq_new:
+                keys = table.spark.read.schema("_olake_id string").parquet(
+                    *[table.abs_path(d.path) for d in eq_new]
+                )
+                if sum(d.file_size_bytes for d in eq_new) <= 64 << 20:
+                    keys = F.broadcast(keys)
+                parts.append(vis.join(keys, OLAKE_ID, "semi"))
+            if pos_new:
+                pd_df = table.spark.read.schema(
+                    "file_path string, pos long"
+                ).parquet(*[table.abs_path(d.path) for d in pos_new])
+                pd_df = pd_df.withColumnsRenamed(
+                    {"file_path": "_file", "pos": "_pos"}
+                )
+                if sum(d.file_size_bytes for d in pos_new) <= 64 << 20:
+                    pd_df = F.broadcast(pd_df)
+                parts.append(vis.join(pd_df, ["_file", "_pos"], "semi"))
+            killed = parts[0]
+            for p in parts[1:]:
+                killed = killed.unionByName(p)
+            # a row killed by BOTH an equality and a positional delete
+            # must appear once on the old side
+            killed = killed.dropDuplicates(["_file", "_pos"]).drop(
+                "_file", "_pos"
+            )
+
+    if not added and not removed and killed is None:
         return empty
 
     row_hash = F.xxhash64(*[F.col(c) for c in out_cols])
@@ -104,6 +179,15 @@ def snapshot_changes(
         )
 
     old = _side(removed, from_snapshot_id, "old")
+    if killed is not None:
+        from olake_spark.functions.reformat import coerce_to_schema
+
+        k_proj = coerce_to_schema(killed, schema).select(
+            F.col(key_col).alias("_k"),
+            row_hash.alias("_h_old"),
+            F.struct(*out_cols).alias("_row_old"),
+        )
+        old = k_proj if old is None else old.unionByName(k_proj)
     new = _side(added, to_sid, "new")
     if old is None:
         diff = new.withColumn(CHANGE_TYPE, F.lit("insert"))

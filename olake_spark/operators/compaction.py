@@ -148,12 +148,54 @@ def commit_rewrite(
         )
         return (removed & set(dropped)) - set(new_entries)
 
+    def _delete_conflicts() -> list[str]:
+        """Merge-on-read delete files landed since planning whose doc_id
+        range overlaps an OUTPUT file: our outputs carry a higher
+        sequence number, which would silently void those row-level
+        deletes for every rewritten row — not retryable, the rewrite
+        must rerun against the new delete set. Checking against outputs
+        (not inputs) is exact: only rows that survived into an output
+        can resurrect. A planning snapshot that expired mid-job falls
+        back to checking EVERY live delete file (rare; false positives
+        just force a recompute)."""
+        if not added or table.current_snapshot_id == planned_snapshot_id:
+            return []
+        cur = table.snapshot()
+        planned = None
+        if planned_snapshot_id is not None:
+            try:
+                planned = table.snapshot(planned_snapshot_id)
+            except KeyError:
+                planned = None
+        from olake_spark.table.format import new_delete_entries_since
+
+        if planned is None:
+            new_dels = table.delete_files(cur.snapshot_id if cur else None)
+        else:
+            new_dels = new_delete_entries_since(table, planned, cur)
+        out = []
+        for d in new_dels:
+            st = d.stats.get("doc_id")
+            if not st or st.get("min") is None:
+                out.append(d.path)
+            elif any(
+                f.overlaps("doc_id", st["min"], st["max"]) for f in added
+            ):
+                out.append(d.path)
+        return out
+
     def attempt() -> int:
         table.refresh()
         missing = _missing_paths()
         if missing:
             raise RuntimeError(
                 f"{kind} inputs vanished from current snapshot: {sorted(missing)[:3]}..."
+            )
+        del_conf = _delete_conflicts()
+        if del_conf:
+            raise RuntimeError(
+                f"row-level deletes landed on {kind} outputs' key range "
+                f"concurrently; recompute ({del_conf[:3]}...)"
             )
         return table.commit(
             "replace",

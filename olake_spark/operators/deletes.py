@@ -1,0 +1,344 @@
+"""Row-level DELETE + merge-on-read delete-file maintenance.
+
+The reference applies CDC deletes by handing ``_cdc_deleted_at``-flagged
+rows to the destination (/root/reference/drivers/postgres/internal/cdc.go:123-131)
+— it has no table format to maintain. This module supplies the Iceberg
+v2 half of that contract over the engine's own table layer:
+
+- :func:`delete_where` — DELETE FROM t WHERE p, as a merge-on-read
+  commit: positional delete files ((file_path, pos) of each matched row,
+  found with one predicate scan that reads only manifest-pruned files)
+  or equality delete files (the matched keys). No data file is rewritten.
+- :func:`materialize_deletes` — fold every live delete file back into
+  the data files it applies to (rewrite affected files with deletes
+  applied, drop all delete files) — the maintenance op that bounds
+  scan-time anti-join work; run it on the compaction cadence.
+- :func:`remove_dangling_deletes` — metadata-only drop of delete files
+  that can no longer apply to any live data file (equality deletes whose
+  sequence number no live data file undercuts in their key range;
+  positional deletes whose referenced files are gone). Rewrites
+  (compaction/clustering/CoW merge) naturally strand delete files
+  because their outputs carry a higher sequence number.
+
+Scale shape: ``delete_where`` reads only stats-surviving files and
+writes O(matched rows) delete bytes; ``materialize_deletes`` rewrites
+only files a delete can reach (sequence + key-range pruning); dangling
+detection is pure manifest metadata except one tiny distinct-paths read
+over positional delete files.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
+from olake_spark.schema import OLAKE_ID
+from olake_spark.table.format import (
+    CONTENT_EQ_DELETES,
+    CONTENT_POS_DELETES,
+    CommitConflict,
+    DataFile,
+    Table,
+    new_delete_entries_since,
+)
+
+
+@dataclass
+class DeleteResult:
+    snapshot_id: int | None
+    deleted_rows: int = 0
+    delete_files: int = 0
+    details: dict = field(default_factory=dict)
+
+
+@dataclass
+class MaterializeResult:
+    snapshot_id: int | None
+    rewritten_files: int = 0
+    removed_delete_files: int = 0
+    output_files: int = 0
+
+
+def delete_where(
+    table: Table,
+    predicate: Column | str,
+    mode: str = "pos",
+) -> DeleteResult:
+    """DELETE FROM table WHERE predicate, merge-on-read.
+
+    ``mode='pos'`` records (file_path, pos) coordinates — exact, works
+    for any predicate, and scans only manifest-pruned files; the commit
+    validates that every referenced data file is still live (a
+    concurrent rewrite would strand the positions and resurrect the
+    rows — not retryable, rerun against the new snapshot).
+
+    ``mode='eq'`` records the matched equality keys instead — the right
+    shape when the predicate is key-addressable; needs NO commit-time
+    validation of its own (a rewrite committing after us conflict-checks
+    against our delete file via commit_rewrite's delete-delta check; one
+    committing before us just means our keys apply to its outputs).
+    """
+    from olake_spark.plans.retry import retry_on_backoff
+
+    if mode not in ("pos", "eq"):
+        raise ValueError(f"unknown delete_where mode {mode!r}")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    table.refresh()
+    snap = table.snapshot()
+    if snap is None:
+        return DeleteResult(snapshot_id=None)
+
+    if mode == "eq":
+        keys = (
+            table.scan(snapshot_id=snap.snapshot_id)
+            .filter(pred)
+            .select(OLAKE_ID, "doc_id")
+            .repartitionByRange(1, "doc_id")
+            .sortWithinPartitions("doc_id")
+        )
+        files = table.write_delete_files(keys, CONTENT_EQ_DELETES)
+        n_rows = sum(f.record_count for f in files)
+        if n_rows == 0:
+            return DeleteResult(snapshot_id=None)
+
+        def attempt_eq() -> int:
+            table.refresh()
+            return table.commit(
+                "delete",
+                added_deletes=files,
+                summary_extra={"kind": "delete-eq", "deleted-keys": n_rows},
+            )
+
+        sid = retry_on_backoff(
+            attempt_eq, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+        )
+        return DeleteResult(
+            snapshot_id=sid, deleted_rows=n_rows, delete_files=len(files)
+        )
+
+    hits = (
+        table.scan(snapshot_id=snap.snapshot_id, with_position=True)
+        .filter(pred)
+        .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+        .repartitionByRange(1, "file_path", "pos")
+        .sortWithinPartitions("file_path", "pos")
+    )
+    files = table.write_delete_files(hits, CONTENT_POS_DELETES)
+    n_rows = sum(f.record_count for f in files)
+    if n_rows == 0:
+        return DeleteResult(snapshot_id=None)
+    referenced = {
+        r.file_path
+        for r in table.spark.read.schema("file_path string")
+        .parquet(*[table.abs_path(f.path) for f in files])
+        .distinct()
+        .collect()
+    }
+
+    def attempt_pos() -> int:
+        table.refresh()
+        if table.current_snapshot_id != snap.snapshot_id:
+            live = {f.path for f in table.files()}
+            gone = referenced - live
+            if gone:
+                raise RuntimeError(
+                    "data files referenced by positional deletes were "
+                    f"rewritten concurrently; rerun delete_where ({sorted(gone)[:3]}...)"
+                )
+        return table.commit(
+            "delete",
+            added_deletes=files,
+            summary_extra={"kind": "delete-pos", "deleted-rows": n_rows},
+        )
+
+    sid = retry_on_backoff(
+        attempt_pos, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    return DeleteResult(
+        snapshot_id=sid,
+        deleted_rows=n_rows,
+        delete_files=len(files),
+        details={"referenced_files": len(referenced)},
+    )
+
+
+def _pos_referenced_paths(table: Table, pos_dels: list[DataFile]) -> set[str]:
+    if not pos_dels:
+        return set()
+    return {
+        r.file_path
+        for r in table.spark.read.schema("file_path string")
+        .parquet(*[table.abs_path(d.path) for d in pos_dels])
+        .distinct()
+        .collect()
+    }
+
+
+def _affected_data_files(
+    table: Table, snap_id: int
+) -> tuple[list[DataFile], list[DataFile]]:
+    """(affected data files, live delete files) for one snapshot —
+    manifest metadata plus one distinct-paths read of positional delete
+    files. A data file is affected iff some equality delete with a
+    HIGHER sequence number overlaps its doc_id range, or a positional
+    delete references it."""
+    dels = table.delete_files(snap_id)
+    if not dels:
+        return [], []
+    eq = [d for d in dels if d.content == CONTENT_EQ_DELETES]
+    pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
+    pos_refs = _pos_referenced_paths(table, pos)
+    affected = []
+    for f in table.files(snap_id):
+        if f.path in pos_refs:
+            affected.append(f)
+            continue
+        for d in eq:
+            if d.sequence_number <= f.sequence_number:
+                continue
+            st = d.stats.get("doc_id")
+            if not st or st.get("min") is None or f.overlaps(
+                "doc_id", st["min"], st["max"]
+            ):
+                affected.append(f)
+                break
+    return affected, dels
+
+
+def materialize_deletes(
+    table: Table,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> MaterializeResult:
+    """Rewrite every data file a live delete file can apply to, with
+    deletes applied, and drop ALL delete files — returns the table to a
+    pure copy-on-write state. Affected-file selection is sequence- and
+    key-range-pruned, so steady-state cost is O(files the CDC tail
+    actually touched), not O(table).
+
+    Commit validation mirrors compaction: inputs must still be live, and
+    delete files landed since planning force a recompute (our outputs
+    would out-sequence them)."""
+    from olake_spark.plans.retry import retry_on_backoff
+
+    table.refresh()
+    snap = table.snapshot()
+    if snap is None:
+        return MaterializeResult(snapshot_id=None)
+    affected, dels = _affected_data_files(table, snap.snapshot_id)
+    if not dels:
+        return MaterializeResult(snapshot_id=None)
+    del_paths = {d.path for d in dels}
+
+    outputs: list[DataFile] = []
+    if affected:
+        src = table.scan(snapshot_id=snap.snapshot_id, files=affected)
+        bytes_est = sum(f.file_size_bytes for f in affected) or 1
+        n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
+        out_df = src.repartitionByRange(
+            n_bins, F.col("source"), F.col("doc_id")
+        ).sortWithinPartitions("source", "doc_id")
+        outputs = table.write_data_files(out_df)
+
+    affected_paths = {f.path for f in affected}
+
+    def attempt() -> int:
+        table.refresh()
+        if table.current_snapshot_id != snap.snapshot_id:
+            cur = table.snapshot()
+            live = {f.path for f in table.files()}
+            if affected_paths - live:
+                raise RuntimeError(
+                    "materialize inputs were rewritten concurrently; rerun"
+                )
+            if new_delete_entries_since(table, snap, cur):
+                raise RuntimeError(
+                    "delete files landed during materialize; rerun"
+                )
+        return table.commit(
+            "replace",
+            added=outputs,
+            removed_paths=affected_paths,
+            removed_delete_paths=del_paths,
+            summary_extra={
+                "kind": "materialize-deletes",
+                "materialized-delete-files": len(del_paths),
+            },
+        )
+
+    sid = retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    return MaterializeResult(
+        snapshot_id=sid,
+        rewritten_files=len(affected),
+        removed_delete_files=len(del_paths),
+        output_files=len(outputs),
+    )
+
+
+def remove_dangling_deletes(table: Table) -> int:
+    """Drop delete files that can no longer apply to any live data file
+    — pure metadata except one distinct-paths read over positional
+    delete files. Rewrites strand delete files naturally (their outputs
+    carry a higher sequence number), so run this after compaction /
+    clustering sweeps. Returns the number of delete files removed."""
+    from olake_spark.plans.retry import retry_on_backoff
+
+    table.refresh()
+    snap = table.snapshot()
+    if snap is None:
+        return 0
+    dels = table.delete_files(snap.snapshot_id)
+    if not dels:
+        return 0
+    data = table.files(snap.snapshot_id)
+    live_paths = {f.path for f in data}
+    pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
+    pos_refs_live = {
+        p for p in _pos_referenced_paths(table, pos) if p in live_paths
+    }
+    dangling: set[str] = set()
+    for d in dels:
+        if d.content == CONTENT_POS_DELETES:
+            # exact: no referenced file is live
+            refs = {
+                r.file_path
+                for r in table.spark.read.schema("file_path string")
+                .parquet(table.abs_path(d.path))
+                .distinct()
+                .collect()
+            }
+            if not (refs & pos_refs_live):
+                dangling.add(d.path)
+            continue
+        st = d.stats.get("doc_id")
+        applies = False
+        for f in data:
+            if f.sequence_number >= d.sequence_number:
+                continue
+            if not st or st.get("min") is None or f.overlaps(
+                "doc_id", st["min"], st["max"]
+            ):
+                applies = True
+                break
+        if not applies:
+            dangling.add(d.path)
+    if not dangling:
+        return 0
+
+    def attempt() -> int:
+        table.refresh()
+        return table.commit(
+            "delete",
+            removed_delete_paths=dangling,
+            summary_extra={"kind": "remove-dangling-deletes"},
+        )
+
+    retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    return len(dangling)

@@ -215,6 +215,9 @@ def expire_snapshots(
         live_manifests: set[str] = set()
         for s in table.snapshots():
             live_manifests.update(s.manifests)
+            # merge-on-read DELETE manifests are live metadata and their
+            # parquet delete files live data, with the same rules
+            live_manifests.update(s.delete_manifests)
         # outputs of in-flight (uncommitted) maintenance jobs are live:
         # a resumed job will commit them — GC'ing them here would let the
         # resume path commit references to deleted files

@@ -305,6 +305,27 @@ def commit_merge(
                     "files added concurrently may contain matched keys; "
                     f"recompute the merge ({sorted(conflicting)[:3]}...)"
                 )
+            # merge-on-read delete files landed since planning: our
+            # rewritten outputs carry a higher sequence number, which
+            # would void those row-level deletes for every row we
+            # rewrote — recompute against the new delete set
+            if outputs:
+                from olake_spark.table.format import new_delete_entries_since
+
+                for d in new_delete_entries_since(table, planned, cur):
+                    st = d.stats.get("doc_id")
+                    if (
+                        not st
+                        or st.get("min") is None
+                        or any(
+                            f.overlaps("doc_id", st["min"], st["max"])
+                            for f in outputs
+                        )
+                    ):
+                        raise RuntimeError(
+                            "row-level deletes landed on merged key range "
+                            f"concurrently; recompute ({d.path})"
+                        )
         return table.commit(
             "overwrite",
             added=outputs,
@@ -324,16 +345,35 @@ def merge_into(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     exact_prune_max_keys: int = 100_000,
     distributed_planning: bool | None = None,
+    mode: str = "cow",
 ) -> MergeResult:
-    """Apply a CDC-shaped change batch to the table, copy-on-write.
+    """Apply a CDC-shaped change batch to the table.
+
+    ``mode='cow'`` (copy-on-write, default): rewrites every data file
+    containing a matched key — scans stay delete-free, but write
+    amplification is O(touched file bytes) per batch.
+
+    ``mode='mor'`` (merge-on-read, Iceberg v2): writes the upsert rows
+    as new data files plus ONE equality-delete file holding every change
+    key, and commits — no data file is read or rewritten, so apply cost
+    is O(batch) regardless of how many of the table's 10^12 rows the
+    keys touch. Scans anti-join the delete files until
+    ``materialize_deletes``/``compact`` folds them in. This is the
+    scale-correct shape for a continuous CDC tail; run CoW (or
+    materialize) on the maintenance cadence instead of per batch.
 
     ``distributed_planning``: None (default) auto-enables the
     manifest-DataFrame discovery path when the snapshot has >=
     ``_DISTRIBUTED_PLANNING_MIN_SHARDS`` manifest shards — a million-file
     table must not parse every manifest on the driver per merge; True /
-    False force it for tests or unusual layouts."""
+    False force it for tests or unusual layouts. CoW-only (MoR plans
+    nothing)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r}")
     ch = _prepare_changes(changes, dedup_order_col).cache()
     try:
+        if mode == "mor":
+            return _merge_apply_mor(table, ch, target_file_bytes)
         return _merge_apply(
             table, ch, target_file_bytes, exact_prune_max_keys,
             distributed_planning,
@@ -342,6 +382,117 @@ def merge_into(
         # unpersist on EVERY exit — the empty-batch early return and any
         # raise between cache and commit must not leak executor storage
         ch.unpersist()
+
+
+def _merge_apply_mor(
+    table: Table, ch: DataFrame, target_file_bytes: int
+) -> MergeResult:
+    """Merge-on-read apply: new data files + an equality-delete file,
+    zero reads of existing data.
+
+    Concurrency: no serializable-append validation is needed, unlike
+    CoW. The equality delete kills EVERY smaller-sequence version of its
+    keys, so interleaved MoR merges resolve to last-committer-wins — the
+    same outcome as running them serially in commit order; and a
+    concurrent append's files carry a higher or equal sequence number,
+    so this merge cannot clobber rows it never saw. Rewrite jobs
+    (compaction/clustering/CoW merge) do the conflict-checking on THEIR
+    side against delete files landed mid-rewrite
+    (format.new_delete_entries_since). Commit retries on version-bump
+    conflicts only — the written files are immutable and re-commit as-is.
+    """
+    import time
+
+    from olake_spark.plans.retry import retry_on_backoff
+    from olake_spark.table.format import CONTENT_EQ_DELETES, CommitConflict
+
+    phase_t: dict[str, float] = {}
+    t0 = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal t0
+        phase_t[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+
+    table.refresh()
+    schema = table.schema()
+    out_cols = [f.name for f in schema.fields]
+
+    stats = ch.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(CDC_DELETED_AT).isNotNull().cast("int")).alias("n_del"),
+    ).first()
+    n_changes = stats.n or 0
+    n_deletes_total = stats.n_del or 0
+    _mark("prepare_s")
+    if n_changes == 0:
+        return MergeResult(snapshot_id=None)
+
+    # --- delete keys: EVERY change key. Updates must kill the prior
+    # version; inserts have none and the extra key is a no-op in the
+    # scan's anti-join — writing them unconditionally is what lets MoR
+    # skip the existence scan entirely (the Flink/Iceberg upsert shape).
+    # Globally doc_id-sorted so each delete file carries a tight doc_id
+    # range for scan-time delete-file pruning.
+    tbl_rows, tbl_bytes = table.total_rows(), table.total_bytes()
+    avg_row_bytes = (tbl_bytes / tbl_rows) if tbl_rows else 256.0
+    n_del_files = max(1, math.ceil((n_changes * 48) / (32 << 20)))
+    del_keys = (
+        ch.select(OLAKE_ID, "doc_id")
+        .repartitionByRange(n_del_files, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    del_files = table.write_delete_files(del_keys, CONTENT_EQ_DELETES)
+
+    # --- upsert rows as ordinary clustered data files
+    now_ms = F.unix_micros(F.current_timestamp()) / F.lit(1000)
+    upserts = (
+        ch.filter(F.col(CDC_DELETED_AT).isNull())
+        .withColumn(OLAKE_INSERT_TIME, now_ms.cast("long"))
+        .select(*out_cols)
+    )
+    n_upserts = n_changes - n_deletes_total
+    outputs: list = []
+    if n_upserts > 0:
+        n_bins = max(
+            1, math.ceil(n_upserts * avg_row_bytes / target_file_bytes)
+        )
+        outputs = table.write_data_files(
+            upserts.repartitionByRange(
+                n_bins, F.col("source"), F.col("doc_id")
+            ).sortWithinPartitions("source", "doc_id")
+        )
+    _mark("write_s")
+
+    def attempt() -> int:
+        table.refresh()
+        return table.commit(
+            "overwrite",
+            added=outputs,
+            added_deletes=del_files,
+            summary_extra={
+                "kind": "merge-mor",
+                "upserted": n_upserts,
+                "delete-keys": n_changes,
+            },
+        )
+
+    new_snap = retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    _mark("commit_s")
+    return MergeResult(
+        snapshot_id=new_snap,
+        inserted=n_upserts,
+        deleted=n_deletes_total,
+        details={
+            "mode": "mor",
+            "delete_files": len(del_files),
+            "phase_seconds": phase_t,
+            # matched/updated counts are unknowable without a read —
+            # the whole point of MoR; 'inserted' here means 'upserted'
+        },
+    )
 
 
 def _candidates_from_manifests_distributed(
@@ -514,22 +665,25 @@ def _merge_apply(
     touched_paths: set[str] = set()
     n_matched = n_deletes_matched = 0
     if candidates:
-        cand_df = table.scan(snapshot_id=snap.snapshot_id, files=candidates)
+        # with_position attaches the table-relative source path PER scan
+        # branch before any union — input_file_name() cannot resolve over
+        # the multi-source plan a delete-applying scan produces
+        cand_df = table.scan(
+            snapshot_id=snap.snapshot_id, files=candidates, with_position=True
+        )
         flags = ch.select(
             OLAKE_ID,
             F.col(CDC_DELETED_AT).isNotNull().cast("int").alias("_isdel"),
         )
         per_file = (
-            cand_df.select(OLAKE_ID, F.input_file_name().alias("_file"))
+            cand_df.select(OLAKE_ID, "_file")
             .join(_keys_for_join(flags, n_changes), OLAKE_ID)
             .groupBy("_file")
             .agg(F.count("*").alias("_n"), F.sum("_isdel").alias("_nd"))
             .collect()
         )
-        abs_to_rel = {table.abs_path(f.path): f.path for f in candidates}
         for r in per_file:
-            p = r._file.removeprefix("file://")
-            touched_paths.add(abs_to_rel.get(p, p))
+            touched_paths.add(r._file)
             n_matched += r._n
             n_deletes_matched += r._nd or 0
     _mark("discover_s")

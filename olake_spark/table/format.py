@@ -65,14 +65,28 @@ def _atomic_write_text(path: str, text: str) -> None:
     _DEFAULT_IO.put_text(path, text)
 
 
+#: DataFile.content values — Iceberg v2 file-content kinds
+CONTENT_DATA = "data"
+CONTENT_EQ_DELETES = "eq-deletes"  # rows = equality keys to delete
+CONTENT_POS_DELETES = "pos-deletes"  # rows = (file_path, pos) to delete
+
+
 @dataclass
 class DataFile:
-    """One immutable parquet data file tracked by a manifest.
+    """One immutable parquet file tracked by a manifest.
 
     ``partition`` is the identity-partition value (source) when the file
     is partition-pure, else None (stats-based pruning still applies —
     Iceberg's model: data files can live anywhere; partition info lives
-    in the manifest, not the directory layout)."""
+    in the manifest, not the directory layout).
+
+    ``content`` distinguishes data files from merge-on-read DELETE files
+    (Iceberg v2): equality-delete files hold key rows, positional-delete
+    files hold (file_path, pos) rows. ``sequence_number`` is assigned at
+    commit (= the committing snapshot id, which is monotone in commit
+    order here): an equality delete applies to data files with a STRICTLY
+    SMALLER sequence number — data written in the same or a later commit
+    survives its own batch's delete keys."""
 
     path: str  # relative to table root
     record_count: int
@@ -81,6 +95,8 @@ class DataFile:
     stats: dict[str, dict] = field(default_factory=dict)  # col -> {min,max,null_count}
     schema_id: int = 0  # schema the file was written under (evolution)
     spec_col: str | None = None  # column `partition` is a value of (spec evolution)
+    content: str = CONTENT_DATA
+    sequence_number: int = 0
 
     def to_dict(self) -> dict:
         return {
@@ -91,6 +107,8 @@ class DataFile:
             "stats": self.stats,
             "schema_id": self.schema_id,
             "spec_col": self.spec_col,
+            "content": self.content,
+            "sequence_number": self.sequence_number,
         }
 
     @classmethod
@@ -103,6 +121,8 @@ class DataFile:
             stats=d.get("stats", {}),
             schema_id=d.get("schema_id", 0),
             spec_col=d.get("spec_col"),
+            content=d.get("content", CONTENT_DATA),
+            sequence_number=d.get("sequence_number", 0),
         )
 
     def may_contain(self, col: str, value) -> bool:
@@ -125,9 +145,13 @@ class Snapshot:
     parent_id: int | None
     timestamp_ms: int
     operation: str  # append | replace | overwrite | delete | expire
-    manifests: list[str]  # paths relative to table root
+    manifests: list[str]  # paths relative to table root (DATA manifests)
     summary: dict[str, Any] = field(default_factory=dict)
     schema_id: int = 0
+    # merge-on-read DELETE manifests (Iceberg v2) — kept separate from
+    # data manifests so every data-only consumer (files(), shard-diff
+    # validation, manifest caches, compaction planning) is untouched
+    delete_manifests: list[str] = field(default_factory=list)
 
     def to_dict(self) -> dict:
         return {
@@ -138,6 +162,7 @@ class Snapshot:
             "manifests": self.manifests,
             "summary": self.summary,
             "schema_id": self.schema_id,
+            "delete_manifests": self.delete_manifests,
         }
 
     @classmethod
@@ -172,6 +197,27 @@ def snapshot_file_delta(
         for e in table._read_manifest(m)
     }
     return target_only, base_only
+
+
+def new_delete_entries_since(
+    table: "Table", base_snap: "Snapshot | None", target_snap: "Snapshot | None"
+) -> list[DataFile]:
+    """Merge-on-read DELETE entries present in ``target_snap`` but not in
+    ``base_snap`` — the concurrent row-level deletes a rewrite job must
+    conflict-check before committing (its outputs carry a HIGHER sequence
+    number, which would silently void any delete landed mid-rewrite).
+    Same shard-diff pricing as :func:`snapshot_file_delta`."""
+    base_m = set(base_snap.delete_manifests) if base_snap else set()
+    tgt_m = set(target_snap.delete_manifests) if target_snap else set()
+    base_paths = {
+        e.path for m in sorted(base_m - tgt_m) for e in table._read_manifest(m)
+    }
+    return [
+        e
+        for m in sorted(tgt_m - base_m)
+        for e in table._read_manifest(m)
+        if e.path not in base_paths
+    ]
 
 
 class Table:
@@ -467,6 +513,19 @@ class Table:
             out.extend(self._read_manifest(m))
         return out
 
+    def delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Merge-on-read DELETE file entries of one snapshot. Driver-side
+        by design: delete-file count is bounded by the maintenance
+        cadence (materialize_deletes folds them back into data files),
+        not by table size."""
+        snap = self.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        out: list[DataFile] = []
+        for m in snap.delete_manifests:
+            out.extend(self._read_manifest(m))
+        return out
+
     def abs_path(self, rel: str) -> str:
         return os.path.join(self.root, rel)
 
@@ -480,6 +539,8 @@ class Table:
         files: list[DataFile] | None = None,
         ref: str | None = None,
         distributed_planning: bool | None = None,
+        apply_deletes: bool = True,
+        with_position: bool = False,
     ) -> DataFrame:
         """Snapshot-pinned read with manifest-level file pruning.
 
@@ -494,6 +555,20 @@ class Table:
         SCAN_DISTRIBUTED_MIN_SHARDS manifest shards (and no explicit
         ``files`` list) — manifest parsing and pruning then run as a
         Spark job and the driver touches only the survivors.
+
+        ``apply_deletes``: merge-on-read DELETE files of the snapshot are
+        applied by default — equality deletes as broadcast anti-joins per
+        sequence-number bucket (a delete applies only to data files with
+        a strictly smaller sequence number), positional deletes as one
+        (file_path, pos) anti-join over parquet ``_metadata``. Pass False
+        only to inspect raw pre-delete file contents (or when scanning
+        uncommitted output files, whose unset sequence number would
+        spuriously attract every equality delete).
+
+        ``with_position``: append ``_file`` (table-relative source file
+        path) and ``_pos`` (row ordinal within that file, parquet
+        ``_metadata.row_index``) columns — the coordinates a positional
+        delete file records (operators/deletes.delete_where).
         """
         if ref is not None:
             if snapshot_id is not None:
@@ -516,6 +591,8 @@ class Table:
                     sources=sources,
                     doc_id_range=doc_id_range,
                     n_tok_range=n_tok_range,
+                    apply_deletes=apply_deletes,
+                    with_position=with_position,
                 )
         schema = self.schema(snap.schema_id if snap else None)
         target_sid = snap.schema_id if snap else self.metadata["current_schema_id"]
@@ -539,26 +616,118 @@ class Table:
         if n_tok_range is not None:
             cand = [f for f in cand if f.overlaps("n_tok", *n_tok_range)]
         if not cand:
+            if with_position:
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [
+                        T.StructField("_file", T.StringType()),
+                        T.StructField("_pos", T.LongType()),
+                    ]
+                )
             return self.spark.createDataFrame([], schema)
-        # group files by the schema they were written under; coerce older
-        # groups to the snapshot schema (add-column -> null, int->long
-        # promotion -> cast) — Iceberg-style read-time schema evolution
-        by_sid: dict[int, list[DataFile]] = {}
+
+        # merge-on-read deletes pinned to the SAME snapshot (old readers
+        # see old delete files — snapshot isolation holds for row-level
+        # deletes too). Equality deletes may be pruned by doc_id only:
+        # the equality key is derived from doc_id, so a delete row for
+        # any in-range data row is itself in range; scan predicates on
+        # other columns must NOT prune delete files (an update may have
+        # moved the row across sources).
+        dels = (
+            self.delete_files(snap.snapshot_id)
+            if (apply_deletes and snap is not None)
+            else []
+        )
+        if doc_id_range is not None:
+            dels = [
+                d
+                for d in dels
+                if d.content != CONTENT_EQ_DELETES
+                or d.overlaps("doc_id", *doc_id_range)
+            ]
+        eq_dels = [d for d in dels if d.content == CONTENT_EQ_DELETES]
+        pos_dels = [d for d in dels if d.content == CONTENT_POS_DELETES]
+        eq_seqs = sorted({d.sequence_number for d in eq_dels})
+        need_meta = bool(pos_dels) or with_position
+
+        # group files by (schema written under, equality-delete bucket):
+        # files in bucket b share the exact applicable delete-file
+        # suffix eq_seqs[b:], so one broadcast anti-join per bucket
+        # applies the right deletes to every file — never a per-row
+        # sequence-number lookup against an O(files) map. Bucket count
+        # is bounded by the number of MoR commits since the last
+        # materialize_deletes, not by table size.
+        import bisect
+
+        by_group: dict[tuple[int, int], list[DataFile]] = {}
         for f in cand:
-            by_sid.setdefault(f.schema_id, []).append(f)
+            b = bisect.bisect_right(eq_seqs, f.sequence_number)
+            by_group.setdefault((f.schema_id, b), []).append(f)
+
+        def _eq_keys_df(ds: list[DataFile]) -> DataFrame:
+            r = self.spark.read.schema("_olake_id string").parquet(
+                *[self.abs_path(d.path) for d in ds]
+            )
+            # broadcast unless the delete set outgrew executor memory
+            # (steady-state delete volume is maintenance-bounded)
+            if sum(d.file_size_bytes for d in ds) <= 64 << 20:
+                r = F.broadcast(r)
+            return r
+
         parts = []
-        for sid, fs in sorted(by_sid.items()):
+        for (sid, b), fs in sorted(by_group.items()):
             part = self.spark.read.schema(self.schema(sid)).parquet(
                 *[self.abs_path(f.path) for f in fs]
             )
+            if need_meta:
+                part = part.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_sg_fp"),
+                    F.col("_metadata.row_index").alias("_sg_pos"),
+                )
             if sid != target_sid:
                 from olake_spark.functions.reformat import coerce_to_schema
 
-                part = coerce_to_schema(part, schema)
+                part = coerce_to_schema(
+                    part,
+                    schema,
+                    extra_cols=["_sg_fp", "_sg_pos"] if need_meta else None,
+                )
+            app = (
+                [d for d in eq_dels if d.sequence_number >= eq_seqs[b]]
+                if b < len(eq_seqs)
+                else []
+            )
+            if app:
+                part = part.join(_eq_keys_df(app), "_olake_id", "left_anti")
             parts.append(part)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+
+        rel_path = F.expr(
+            "substring(regexp_replace(_sg_fp, '^file:/*', '/'), "
+            f"{len(self.root) + 2})"
+        )
+        if pos_dels:
+            pos_df = self.spark.read.schema("file_path string, pos long").parquet(
+                *[self.abs_path(d.path) for d in pos_dels]
+            ).withColumnsRenamed({"file_path": "_sg_rel", "pos": "_sg_pos"})
+            if sum(d.file_size_bytes for d in pos_dels) <= 64 << 20:
+                pos_df = F.broadcast(pos_df)
+            df = (
+                df.withColumn("_sg_rel", rel_path)
+                .join(pos_df, ["_sg_rel", "_sg_pos"], "left_anti")
+                .drop("_sg_rel")
+            )
+        if with_position:
+            df = (
+                df.withColumn("_file", rel_path)
+                .withColumnRenamed("_sg_pos", "_pos")
+                .drop("_sg_fp")
+            )
+        elif need_meta:
+            df = df.drop("_sg_fp", "_sg_pos")
         # re-apply the prune predicates as row filters so results are exact
         if sources is not None:
             df = df.filter(F.col("source").isin(sources))
@@ -618,6 +787,49 @@ class Table:
             )
         return out
 
+    def write_delete_files(
+        self,
+        df: DataFrame,
+        content: str,
+        stats_cols: list[str] | None = None,
+    ) -> list[DataFile]:
+        """Write a merge-on-read DELETE payload (equality keys or
+        (file_path, pos) rows) into an immutable commit directory under
+        data/ — orphan GC's parquet sweep then covers uncommitted delete
+        files for free. Returns entries marked with ``content``; does
+        NOT commit (pass as ``commit(added_deletes=...)``)."""
+        if content not in (CONTENT_EQ_DELETES, CONTENT_POS_DELETES):
+            raise ValueError(f"unknown delete content kind {content!r}")
+        if stats_cols is None:
+            stats_cols = (
+                ["doc_id", "_olake_id"]
+                if content == CONTENT_EQ_DELETES
+                else ["file_path"]
+            )
+        commit_dir = f"data/{uuid.uuid4().hex[:16]}"
+        out_dir = self.abs_path(commit_dir)
+        df.write.mode("errorifexists").parquet(out_dir)
+        paths = [
+            os.path.join(out_dir, name)
+            for name in self.io.list(out_dir)
+            if name.endswith(".parquet")
+        ]
+        stats = collect_file_stats(self.spark, paths, stats_cols)
+        for s in stats:
+            if s["record_count"] == 0:
+                self.io.delete(s["path"])
+        return [
+            DataFile(
+                path=os.path.relpath(s["path"], self.root),
+                record_count=s["record_count"],
+                file_size_bytes=s["file_size_bytes"],
+                stats=s["stats"],
+                content=content,
+            )
+            for s in stats
+            if s["record_count"] > 0
+        ]
+
     # ---------------------------------------------------------------- commit
     def commit(
         self,
@@ -627,6 +839,8 @@ class Table:
         new_schema: T.StructType | None = None,
         summary_extra: dict | None = None,
         branch: str | None = None,
+        added_deletes: list[DataFile] | None = None,
+        removed_delete_paths: set[str] | None = None,
     ) -> int:
         """Create snapshot N+1 = parent snapshot ± files, atomically.
 
@@ -641,9 +855,18 @@ class Table:
         to publish. The branch ref advances; current_snapshot_id does
         NOT move. expire_snapshots pins the branch's whole parent
         lineage down to the current snapshot, so staged intermediates
-        survive routine expiry until the branch ref is removed."""
+        survive routine expiry until the branch ref is removed.
+
+        ``added_deletes`` / ``removed_delete_paths``: merge-on-read
+        DELETE files (Iceberg v2) tracked in separate delete manifests
+        with the same carry-over/rewrite rules as data manifests. Every
+        added entry (data and delete) gets ``sequence_number`` = the new
+        snapshot id — monotone in commit order, the ordinal that decides
+        which deletes apply to which data files at scan time."""
         added = added or []
         removed_paths = removed_paths or set()
+        added_deletes = added_deletes or []
+        removed_delete_paths = removed_delete_paths or set()
         # optimistic concurrency: fail if someone advanced VERSION
         disk_version = int(
             self.io.get_text(os.path.join(self.root, "VERSION")).strip()
@@ -660,6 +883,20 @@ class Table:
             parent = self.snapshot(ref["snapshot_id"])
         else:
             parent = self.snapshot()
+
+        # max+1, NOT parent+1: after rollback_to() the parent may be an
+        # old snapshot while higher ids still exist in the log — new ids
+        # must stay unique (Iceberg uses random longs for the same reason)
+        all_ids = [d["snapshot_id"] for d in self.metadata["snapshots"]]
+        snap_id = (max(all_ids) + 1) if all_ids else 1
+        # sequence numbers assigned at commit, before manifests are
+        # written — a retry after a lost commit race re-enters here and
+        # re-stamps against the fresh snap_id
+        for e in added:
+            e.sequence_number = snap_id
+        for e in added_deletes:
+            e.sequence_number = snap_id
+
         new_manifests: list[str] = []
         removed_rows = removed_files = removed_bytes = 0
         if parent is not None:
@@ -681,11 +918,22 @@ class Table:
                 self._write_manifest(added[i : i + MANIFEST_MAX_ENTRIES])
             )
 
-        # max+1, NOT parent+1: after rollback_to() the parent may be an
-        # old snapshot while higher ids still exist in the log — new ids
-        # must stay unique (Iceberg uses random longs for the same reason)
-        all_ids = [d["snapshot_id"] for d in self.metadata["snapshots"]]
-        snap_id = (max(all_ids) + 1) if all_ids else 1
+        # delete manifests: identical carry-over/rewrite discipline
+        new_delete_manifests: list[str] = []
+        if parent is not None:
+            for m in parent.delete_manifests:
+                entries = self._read_manifest(m)
+                survivors = [
+                    e for e in entries if e.path not in removed_delete_paths
+                ]
+                if len(survivors) == len(entries):
+                    new_delete_manifests.append(m)
+                elif survivors:
+                    new_delete_manifests.append(self._write_manifest(survivors))
+        for i in range(0, len(added_deletes), MANIFEST_MAX_ENTRIES):
+            new_delete_manifests.append(
+                self._write_manifest(added_deletes[i : i + MANIFEST_MAX_ENTRIES])
+            )
         # in-memory mutations below must roll back if the version claim
         # loses a concurrent-commit race, so a retry sees clean state
         metadata_backup = json.dumps(self.metadata)
@@ -732,6 +980,14 @@ class Table:
             "total-bytes": total_bytes,
             **(summary_extra or {}),
         }
+        if added_deletes or removed_delete_paths or (
+            parent is not None and parent.delete_manifests
+        ):
+            summary["added-delete-files"] = len(added_deletes)
+            summary["removed-delete-files"] = len(removed_delete_paths)
+            summary["total-delete-files"] = sum(
+                len(self._read_manifest(m)) for m in new_delete_manifests
+            )
         snap = Snapshot(
             snapshot_id=snap_id,
             parent_id=parent.snapshot_id if parent else None,
@@ -740,6 +996,7 @@ class Table:
             manifests=new_manifests,
             summary=summary,
             schema_id=schema_id,
+            delete_manifests=new_delete_manifests,
         )
         self.metadata["snapshots"].append(snap.to_dict())
         if branch is None:
@@ -985,7 +1242,14 @@ class Table:
             max_records_per_file,
         )
         current = {f.path for f in self.files()}
-        return self.commit("overwrite", added=files, removed_paths=current)
+        return self.commit(
+            "overwrite",
+            added=files,
+            removed_paths=current,
+            # full-refresh drops merge-on-read delete files with the data
+            # they applied to
+            removed_delete_paths={d.path for d in self.delete_files()},
+        )
 
     def _summary_total(self, key: str, snapshot_id: int | None) -> int | None:
         snap = self.snapshot(snapshot_id)

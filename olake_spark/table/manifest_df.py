@@ -50,7 +50,7 @@ from olake_spark.table.format import DataFile, Table
 ENTRY_SCHEMA = (
     "manifest string, path string, record_count long, "
     "file_size_bytes long, partition string, schema_id int, "
-    "spec_col string, stats string"
+    "spec_col string, stats string, sequence_number long"
 )
 
 
@@ -118,6 +118,7 @@ def entries_from_manifests(
         cols = [
             "manifest", "path", "record_count", "file_size_bytes",
             "partition", "schema_id", "spec_col", "stats",
+            "sequence_number",
         ]
         for pdf in batches:
             rows = []
@@ -134,6 +135,7 @@ def entries_from_manifests(
                                 d.get("schema_id", 0),
                                 d.get("spec_col"),
                                 json.dumps(d.get("stats", {})),
+                                d.get("sequence_number", 0),
                             )
                         )
             yield pd.DataFrame(rows, columns=cols)
@@ -236,6 +238,8 @@ def scan_planned(
     sources: list[str] | None = None,
     doc_id_range: tuple[str, str] | None = None,
     n_tok_range: tuple[int, int] | None = None,
+    apply_deletes: bool = True,
+    with_position: bool = False,
 ) -> DataFrame:
     """``Table.scan`` with DISTRIBUTED file planning: manifest parsing
     and pruning run as a Spark job and only the surviving entries reach
@@ -257,7 +261,8 @@ def scan_planned(
         entries, sources=sources, ranges=ranges, first_spec_col=first_spec
     )
     rows = surv.select(
-        "path", "record_count", "file_size_bytes", "schema_id"
+        "path", "record_count", "file_size_bytes", "schema_id",
+        "sequence_number",
     ).collect()
     files = [
         DataFile(
@@ -265,6 +270,10 @@ def scan_planned(
             record_count=r.record_count,
             file_size_bytes=r.file_size_bytes,
             schema_id=r.schema_id,
+            # sequence numbers must survive the round-trip: the delegated
+            # scan buckets files by seq to decide which equality-delete
+            # files apply to them
+            sequence_number=r.sequence_number or 0,  # pre-MoR caches: null
         )
         for r in rows
     ]
@@ -277,4 +286,6 @@ def scan_planned(
         doc_id_range=doc_id_range,
         n_tok_range=n_tok_range,
         files=files,
+        apply_deletes=apply_deletes,
+        with_position=with_position,
     )
