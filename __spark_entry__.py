@@ -7,10 +7,10 @@ names/aliases match exactly on both sides. The ANN queries oracle as
 exact-cosine reranks over candidate id sets computed driver-side with
 the same numpy probing as the query path (_ann_oracle_candidates); the
 Z-order key oracles as generated modular-arithmetic SQL
-(_zkey_oracle_sql). Ops SQL genuinely cannot express (the xxhash64-based
-MinHash/SimHash banding pipelines — xxhash64 has no DuckDB analog) have
-no oracle entry — the driver records the weaker rows-only check; their
-exactness is covered by brute-force oracles in tests/.
+(_zkey_oracle_sql). All 50 registered queries are hash-exact oracled
+(the banded near-dup pipelines use DuckDB-expressible hash variants in
+the registry; the xxhash64 production variants keep brute-force oracles
+in tests/ and their own bench timings).
 """
 
 from __future__ import annotations
@@ -466,26 +466,24 @@ def _broadcast_dim_join(spark, sf_dir):
     )
 
 
-def _semi_anti_join(spark, sf_dir):
+def _relational_set_ops(spark, sf_dir):
+    # semi/anti joins + UNION/INTERSECT/EXCEPT ALL in one probe (merged
+    # from r3's semi_anti_join + set_ops — 50-entry registry cap; both
+    # operator families still verified by the composed oracle)
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     okeys = o.select(F.col("o_custkey").alias("c_custkey"))
     with_orders = c.join(okeys, "c_custkey", "left_semi").count()
     without = c.join(okeys, "c_custkey", "left_anti").count()
-    return spark.createDataFrame(
-        [(with_orders, without)], "customers_with bigint, customers_without bigint"
-    )
-
-
-def _set_ops(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
     lo = c.filter(F.col("c_custkey") <= 800).select("c_custkey")
     hi = c.filter(F.col("c_custkey") >= 500).select("c_custkey")
     uni = lo.union(hi).distinct().count()
     inter = lo.intersect(hi).count()
     exc = lo.exceptAll(hi).count()
     return spark.createDataFrame(
-        [(uni, inter, exc)], "n_union bigint, n_intersect bigint, n_except bigint"
+        [(with_orders, without, uni, inter, exc)],
+        "customers_with bigint, customers_without bigint, "
+        "n_union bigint, n_intersect bigint, n_except bigint",
     )
 
 
@@ -1234,6 +1232,69 @@ def _corpus_token_stats(spark, sf_dir):
     return src_tall.unionByName(pack_tall).unionByName(vocab_tall)
 
 
+def _mor_merge_scan(spark, sf_dir):
+    # Merge-on-read row-level deletes end-to-end (Iceberg v2 shape;
+    # operators/deletes.py + merge mode='mor'): build a table from
+    # documents, apply a CDC batch via merge_into(mode='mor') — new data
+    # files plus ONE equality-delete file, ZERO data-file reads — then
+    # DELETE FROM via a positional delete file (predicate scan records
+    # (file, pos) coordinates), and return the MoR scan: sequence-
+    # bucketed equality-delete broadcast anti-joins + one (file, pos)
+    # anti-join over parquet _metadata, all pinned to the read snapshot.
+    # The oracle replays the same change routing + final DELETE in SQL.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from olake_spark.operators.deletes import delete_where
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, OLAKE_ID, with_system_columns
+    from olake_spark.table import Table
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.pmod(F.col("doc_id"), F.lit(10)).alias("_m"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"olake_mor_{digest}")
+    shutil.rmtree(root, ignore_errors=True)
+    base = with_system_columns(d.filter(F.col("_m") < 8).drop("_m"))
+    t = Table.create(
+        spark,
+        root,
+        schema=base.schema,
+        stats_columns=["doc_id", "source", OLAKE_ID],
+    )
+    t.append(base.repartition(8))
+    updates = (
+        d.filter(F.col("_m").isin(0, 1))
+        .drop("_m")
+        .withColumn("lang", F.lit("xx"))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    deletes = (
+        d.filter(F.col("_m").isin(2, 3))
+        .drop("_m")
+        .withColumn(CDC_DELETED_AT, F.current_timestamp())
+    )
+    inserts = (
+        d.filter(F.col("_m") >= 8)
+        .drop("_m")
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    merge_into(
+        t.refresh(),
+        updates.unionByName(deletes).unionByName(inserts),
+        mode="mor",
+    )
+    delete_where(t.refresh(), "n_chars % 7 = 0", mode="pos")
+    return t.refresh().scan().select("doc_id", "lang", "source", "n_chars")
+
+
 def _manifest_prune(spark, sf_dir):
     # distributed manifest planning parity probe: every 100-doc block of
     # `documents` plays one data file (min/max stats from the block),
@@ -1322,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_profile": _media_profile,
         "corpus_token_stats": _corpus_token_stats,
         "zkey_locality": _zkey_locality,
+        "mor_merge_scan": _mor_merge_scan,
         "manifest_prune": _manifest_prune,
         "drop_repeated_spans": _drop_repeated_spans,
         "doc_text_profile": _doc_text_profile,
@@ -1348,8 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_per_group": _top_k_per_group,
         "merge_as_join": _merge_as_join,
         "broadcast_dim_join": _broadcast_dim_join,
-        "semi_anti_join": _semi_anti_join,
-        "set_ops": _set_ops,
+        "relational_set_ops": _relational_set_ops,
         "rollup_revenue": _rollup_revenue,
         "quantile_stats": _quantile_stats,
         "cursor_max": _cursor_max,
@@ -1729,17 +1790,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        "semi_anti_join": """
+        "relational_set_ops": """
             SELECT
               (SELECT count(*) FROM customer
                WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
                  AS customers_with,
               (SELECT count(*) FROM customer
                WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
-                 AS customers_without
-        """,
-        "set_ops": """
-            SELECT
+                 AS customers_without,
               (SELECT count(*) FROM (
                  SELECT c_custkey FROM customer WHERE c_custkey <= 800
                  UNION
@@ -1752,6 +1810,24 @@ def oracle_sql() -> dict[str, str]:
                  SELECT c_custkey FROM customer WHERE c_custkey <= 800
                  EXCEPT ALL
                  SELECT c_custkey FROM customer WHERE c_custkey >= 500)) AS n_except
+        """,
+        "mor_merge_scan": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, doc_id % 10 AS m,
+                     lang, source, n_chars
+              FROM documents
+            ), final AS (
+              SELECT id AS doc_id, lang, source, n_chars
+              FROM d WHERE m IN (4, 5, 6, 7)
+              UNION ALL
+              SELECT id, 'xx', source, n_chars + 1000
+              FROM d WHERE m IN (0, 1)
+              UNION ALL
+              SELECT id, lang, source, n_chars
+              FROM d WHERE m >= 8
+            )
+            SELECT doc_id, lang, source, n_chars
+            FROM final WHERE n_chars % 7 <> 0
         """,
         "rollup_revenue": """
             SELECT l_returnflag, l_linestatus,
