@@ -50,7 +50,8 @@ from olake_spark.table.format import DataFile, Table
 ENTRY_SCHEMA = (
     "manifest string, path string, record_count long, "
     "file_size_bytes long, partition string, schema_id int, "
-    "spec_col string, stats string, sequence_number long"
+    "spec_col string, stats string, sequence_number long, "
+    "content string"
 )
 
 
@@ -118,7 +119,7 @@ def entries_from_manifests(
         cols = [
             "manifest", "path", "record_count", "file_size_bytes",
             "partition", "schema_id", "spec_col", "stats",
-            "sequence_number",
+            "sequence_number", "content",
         ]
         for pdf in batches:
             rows = []
@@ -136,6 +137,7 @@ def entries_from_manifests(
                                 d.get("spec_col"),
                                 json.dumps(d.get("stats", {})),
                                 d.get("sequence_number", 0),
+                                d.get("content", "data"),
                             )
                         )
             yield pd.DataFrame(rows, columns=cols)
