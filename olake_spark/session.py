@@ -44,6 +44,9 @@ def get_spark(
         # bigger Arrow batches amortize numpy dispatch in the curve-key
         # UDFs (default 10k rows leaves vectorized ops overhead-bound)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # the olake Python data source (sources/datasource.py) prunes
+        # files from pushed filters; the API is gated off by default
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("OLAKE_SPARK_DRIVER_MEM", "16g"))
         # Spark UI is the engine's live-monitor analog (SURVEY §2.7 C6);
