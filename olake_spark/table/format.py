@@ -1027,6 +1027,74 @@ class Table:
         self.version = new_version
         return snap_id
 
+    def replace_manifests(
+        self,
+        new_manifests: list[str],
+        operation: str = "rewrite-manifests",
+        summary_extra: dict | None = None,
+    ) -> int:
+        """Metadata-only commit: snapshot N+1 tracks the SAME file set
+        through a new manifest-shard layout (Iceberg's rewriteManifests).
+        The version claim makes it safe against concurrent data commits:
+        if anyone added/removed files after this table was loaded, the
+        claim fails with CommitConflict and the caller re-plans against
+        the fresh state — the new shards are then unreferenced and the
+        caller deletes them. Totals carry over from the parent summary
+        (the file set is unchanged by contract)."""
+        disk_version = int(
+            self.io.get_text(os.path.join(self.root, "VERSION")).strip()
+        )
+        if disk_version != self.version:
+            raise CommitConflict(
+                f"table at version {disk_version}, loaded at {self.version}"
+            )
+        parent = self.snapshot()
+        if parent is None:
+            raise ValueError("cannot rewrite manifests of an empty table")
+        all_ids = [d["snapshot_id"] for d in self.metadata["snapshots"]]
+        snap_id = max(all_ids) + 1
+        summary = dict(parent.summary)
+        summary.update(
+            {
+                "added-files": 0,
+                "removed-files": 0,
+                "added-rows": 0,
+                "removed-rows": 0,
+                "rewritten-manifests": len(parent.manifests),
+                "new-manifests": len(new_manifests),
+                **(summary_extra or {}),
+            }
+        )
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            parent_id=parent.snapshot_id,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            manifests=list(new_manifests),
+            summary=summary,
+            schema_id=parent.schema_id,
+            delete_manifests=list(parent.delete_manifests),
+        )
+        metadata_backup = json.dumps(self.metadata)
+        self.metadata["snapshots"].append(snap.to_dict())
+        self.metadata["current_snapshot_id"] = snap_id
+        for ref in self.metadata.get("refs", {}).values():
+            if (
+                ref.get("type") == "branch"
+                and ref["snapshot_id"] == parent.snapshot_id
+            ):
+                ref["snapshot_id"] = snap_id
+        self.metadata["last_updated_ms"] = int(time.time() * 1000)
+        new_version = self.version + 1
+        try:
+            self._claim_version(new_version)
+        except CommitConflict:
+            self.metadata = json.loads(metadata_backup)
+            raise
+        self.io.put_text(os.path.join(self.root, "VERSION"), str(new_version))
+        self.version = new_version
+        return snap_id
+
     def _claim_version(self, new_version: int) -> None:
         """Conditional-create metadata v<N+1> — exactly ONE writer can
         claim a given version (the commit-conflict primitive: hard-link
