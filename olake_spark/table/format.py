@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -69,6 +70,37 @@ def _atomic_write_text(path: str, text: str) -> None:
 CONTENT_DATA = "data"
 CONTENT_EQ_DELETES = "eq-deletes"  # rows = equality keys to delete
 CONTENT_POS_DELETES = "pos-deletes"  # rows = (file_path, pos) to delete
+
+#: system column holding the bucket-transform value (Iceberg bucket(N, col)
+#: partitioning). Unlike Iceberg we materialize it as a real int column so
+#: footer stats carry it and the whole identity-partition machinery
+#: (purity detection, exact write routing, manifest pruning) applies
+#: unchanged — the Hive-bucketing tradeoff, one int per row of storage.
+BUCKET_COL = "_olake_bucket"
+
+_BUCKET_SPEC_RE = re.compile(r"^bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
+
+
+def parse_partition_spec(spec: str) -> dict | None:
+    """``"bucket(N,col)"`` -> ``{"type": "bucket", "n": N, "source": col}``;
+    None for a plain identity column name."""
+    m = _BUCKET_SPEC_RE.match(spec)
+    if not m:
+        return None
+    n = int(m.group(1))
+    if n < 2:
+        raise ValueError(f"bucket count must be >= 2, got {n}")
+    return {"type": "bucket", "n": n, "source": m.group(2)}
+
+
+def bucket_value_expr(source: str, n: int):
+    """Deterministic bucket id of a column value: pmod(xxhash64(str), n).
+    xxhash64 rather than Iceberg's murmur3_x86_32 — consistency across
+    THIS engine's tables is what co-located joins need; the string cast
+    makes equal values of different physical types hash alike."""
+    return F.pmod(
+        F.xxhash64(F.col(source).cast("string")), F.lit(n)
+    ).cast("int")
 
 
 @dataclass
@@ -253,6 +285,24 @@ class Table:
         root = os.path.abspath(root)
         for sub in ("metadata", "manifests", "data", "jobs"):
             io.ensure_prefix(os.path.join(root, sub))
+        transform = parse_partition_spec(partition_col)
+        stats_cols = list(stats_columns or STATS_COLUMNS)
+        if transform is not None:
+            if transform["source"] not in {f.name for f in schema.fields}:
+                raise KeyError(
+                    f"bucket source column {transform['source']!r} not in schema"
+                )
+            # the bucket id is a real (system) column: appended to the
+            # schema, stamped at write time, footer-stats-tracked so
+            # partition purity and pruning work like any identity column
+            if BUCKET_COL not in {f.name for f in schema.fields}:
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(BUCKET_COL, T.IntegerType())]
+                )
+            if BUCKET_COL not in stats_cols:
+                stats_cols.append(BUCKET_COL)
+            partition_col = BUCKET_COL
         metadata = {
             "format_version": 1,
             "table_uuid": uuid.uuid4().hex,
@@ -260,11 +310,13 @@ class Table:
             "schemas": {"0": schema.json()},
             "current_schema_id": 0,
             "partition_col": partition_col,
-            "stats_columns": list(stats_columns or STATS_COLUMNS),
+            "stats_columns": stats_cols,
             "current_snapshot_id": None,
             "snapshots": [],
             "last_updated_ms": int(time.time() * 1000),
         }
+        if transform is not None:
+            metadata["partition_transform"] = transform
         io.put_json(os.path.join(root, "metadata", "v1.json"), metadata)
         io.put_text(os.path.join(root, "VERSION"), "1")
         return cls(spark, root, metadata, 1, io=io)
@@ -304,6 +356,12 @@ class Table:
     @property
     def partition_col(self) -> str:
         return self.metadata["partition_col"]
+
+    @property
+    def partition_transform(self) -> dict | None:
+        """``{"type": "bucket", "n": N, "source": col}`` when the table
+        was created with a ``bucket(N,col)`` spec, else None."""
+        return self.metadata.get("partition_transform")
 
     def schema(self, schema_id: int | None = None) -> T.StructType:
         sid = self.metadata["current_schema_id"] if schema_id is None else schema_id
@@ -774,6 +832,11 @@ class Table:
             partition = (
                 src.get("min") if src and src.get("min") == src.get("max") else None
             )
+            # manifests type `partition` as string everywhere (JSON
+            # shards, manifest_df's entries frame) — render non-string
+            # spec values (bucket ids, evolved int columns) canonically
+            if partition is not None and not isinstance(partition, str):
+                partition = str(partition)
             out.append(
                 DataFile(
                     path=os.path.relpath(s["path"], self.root),
@@ -1167,6 +1230,20 @@ class Table:
             out = out.withColumn(
                 CDC_DELETED_AT, F.lit(None).cast("timestamp")
             )
+        tr = self.partition_transform
+        if (
+            tr is not None
+            and BUCKET_COL in table_cols
+            and BUCKET_COL not in out.columns
+        ):
+            if tr["source"] not in out.columns:
+                raise ValueError(
+                    f"bucket source column {tr['source']!r} missing from "
+                    "the frame; cannot derive the bucket id"
+                )
+            out = out.withColumn(
+                BUCKET_COL, bucket_value_expr(tr["source"], tr["n"])
+            )
         return out
 
     _MAX_IDENTITY_PARTITIONS = 4096
@@ -1206,10 +1283,20 @@ class Table:
         # (e.g. [2, 10]) would be unsorted under string comparison and
         # collapse distinct values into one bin
         key = F.col(pc).cast("string")
-        vals = sorted(
-            r[0] for r in df.select(key.alias("_k")).distinct().collect()
-            if r[0] is not None
-        )
+        tr = self.partition_transform
+        if tr is not None and pc == BUCKET_COL:
+            # bucket domain is closed [0, n): route exactly with ZERO
+            # planning scan (the identity path below pays a distinct
+            # job to learn its values; buckets are known a priori).
+            # Lexicographic order of the rendered ids is fine — bin
+            # routing only needs boundaries sorted in the key's own
+            # comparison order, which string-cast keys satisfy.
+            vals = sorted(str(i) for i in range(tr["n"]))
+        else:
+            vals = sorted(
+                r[0] for r in df.select(key.alias("_k")).distinct().collect()
+                if r[0] is not None
+            )
         if len(vals) > self._MAX_IDENTITY_PARTITIONS:
             raise ValueError(
                 f"{len(vals)} distinct {pc!r} values exceeds "
@@ -1285,7 +1372,20 @@ class Table:
         return head
 
     def _check_distribute_input(self, df: DataFrame, distribute: str | None) -> None:
-        if distribute is not None and self.partition_col not in df.columns:
+        if distribute is None:
+            return
+        tr = self.partition_transform
+        if tr is not None:
+            # the bucket id is hash-derived from the source column —
+            # deterministic across planning and write passes, so only
+            # the SOURCE needs to be present
+            if tr["source"] not in df.columns:
+                raise ValueError(
+                    f"distribute={distribute!r} on a bucket table requires "
+                    f"source column {tr['source']!r} in the input frame"
+                )
+            return
+        if self.partition_col not in df.columns:
             raise ValueError(
                 f"distribute={distribute!r} requires partition column "
                 f"{self.partition_col!r} in the input frame — an "

@@ -526,9 +526,10 @@ def test_distribute_partition_numeric_and_null_values(spark, tmp_path):
     df = spark.createDataFrame(rows, schema)
     t.append(df, distribute="partition")
     files = t.files()
-    # every file pure: one bucket value each, all four values present
+    # every file pure: one bucket value each, all four values present —
+    # rendered as strings (manifests type `partition` as string)
     assert all(f.partition is not None for f in files)
-    assert {f.partition for f in files} == {2, 10, 7, 100}
+    assert {f.partition for f in files} == {"2", "10", "7", "100"}
     assert t.scan().count() == 400
 
     # NULL vs '' on a string partition column
