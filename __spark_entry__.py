@@ -487,6 +487,137 @@ def _relational_set_ops(spark, sf_dir):
     )
 
 
+def _join_aggregates(spark, sf_dir):
+    # fact-side shuffle join + two-hop broadcast dim join in ONE
+    # variant-tagged probe (merged from r3's merge_as_join +
+    # broadcast_dim_join — 50-entry registry cap; both join shapes stay
+    # verified by the composed oracle)
+    a = _merge_as_join(spark, sf_dir).select(
+        F.lit("fact_join").alias("variant"),
+        F.col("o_orderstatus").alias("grp"),
+        F.col("n_items").cast("long").alias("cnt"),
+        F.col("revenue").cast("double").alias("val"),
+    )
+    b = _broadcast_dim_join(spark, sf_dir).select(
+        F.lit("dim_join").alias("variant"),
+        F.col("r_name").alias("grp"),
+        F.col("n_cust").cast("long").alias("cnt"),
+        F.col("acctbal_sum").cast("double").alias("val"),
+    )
+    return a.unionByName(b)
+
+
+def _cursor_suite(spark, sf_dir):
+    # incremental-sync cursor family in ONE variant-tagged probe
+    # (merged from r3's cursor_max + incremental_filter — registry cap)
+    a = _cursor_max(spark, sf_dir).select(
+        F.lit("max_cursor").alias("variant"),
+        "event_type",
+        F.col("cursor_us").cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    b = _incremental_filter(spark, sf_dir).select(
+        F.lit("incremental").alias("variant"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("val_sum").cast("double").alias("val"),
+    )
+    return a.unionByName(b)
+
+
+def _column_ndv(spark, sf_dir):
+    # ANALYZE's NDV-sketch register computation (operators/analyze.py,
+    # the Iceberg Puffin analog): one scan emits (column, register,
+    # leading-zero rank) from built-in md5 hex splits + a generated
+    # integer CASE chain, then groupBy(column, register).max(rank) with
+    # map-side combine — the driver-visible state is cols x 2^p ints at
+    # ANY table size. word_hash='md5_60' makes every register bit-exact
+    # in DuckDB, so the oracle recomputes the registers themselves; the
+    # float estimator on top is pytest-verified against exact distinct
+    # counts (tests/test_analyze.py).
+    from olake_spark.operators.analyze import hll_registers
+
+    d = _t(spark, sf_dir, "documents")
+    return hll_registers(
+        d, ["lang", "source", "doc_id"], p=12, word_hash="md5_60"
+    ).withColumnRenamed("column", "col_name")
+
+
+def _hll_register_oracle(cols, p=12):
+    from olake_spark.operators.analyze import rank_case_sql
+
+    hexd = p // 4
+    parts = []
+    for c in cols:
+        s = f"CAST({c} AS VARCHAR)"
+        reg = f"CAST(('0x' || substr(md5({s}), 1, {hexd})) AS BIGINT)"
+        w = f"CAST(('0x' || substr(md5({s}), {hexd + 1}, 12)) AS BIGINT)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, {reg} AS register, "
+            f"{rank_case_sql(w, 48)} AS rank "
+            f"FROM documents WHERE {c} IS NOT NULL"
+        )
+    inner = " UNION ALL ".join(parts)
+    return (
+        "SELECT col_name, register, CAST(MAX(rank) AS INTEGER) AS max_rank "
+        f"FROM ({inner}) GROUP BY col_name, register"
+    )
+
+
+def _bucket_colocated_join(spark, sf_dir):
+    # bucket(N,key) transform + co-located join (table/format.py,
+    # operators/bucket_join.py): orders and customer are written into
+    # bucket-pure tables sharing bucket(8,custkey); bucket_join then
+    # joins them per-bucket from the manifests — the left side is never
+    # hash-exchanged, the right side moves as first-fit-packed chunk
+    # broadcasts (the Python-API shape of Spark's storage-partitioned
+    # join). The oracle is the plain relational join.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from olake_spark.operators.bucket_join import bucket_join
+    from olake_spark.table import Table
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        "c_mktsegment",
+    )
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"olake_bj_{digest}")
+    shutil.rmtree(base, ignore_errors=True)
+    fact = Table.create(
+        spark,
+        os.path.join(base, "fact"),
+        schema=o.schema,
+        partition_col="bucket(8,custkey)",
+        stats_columns=["custkey"],
+    )
+    fact.append(o, distribute="partition")
+    dim = Table.create(
+        spark,
+        os.path.join(base, "dim"),
+        schema=c.schema,
+        partition_col="bucket(8,custkey)",
+        stats_columns=["custkey"],
+    )
+    dim.append(c, distribute="partition")
+    joined = bucket_join(
+        fact.refresh(), dim.refresh(), on="custkey",
+        right_cols=["c_mktsegment"],
+    )
+    return joined.groupBy("c_mktsegment", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("custkey").alias("n_cust"),
+        F.round(F.sum("o_totalprice"), 4).alias("price_sum"),
+    )
+
+
 def _rollup_revenue(spark, sf_dir):
     # multi-level aggregation (ROLLUP) with grouping ids
     li = _t(spark, sf_dir, "lineitem")
@@ -1408,13 +1539,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_regex_routing": _partition_regex_routing,
         "dedup_latest_event": _dedup_latest_event,
         "top_k_per_group": _top_k_per_group,
-        "merge_as_join": _merge_as_join,
-        "broadcast_dim_join": _broadcast_dim_join,
+        "join_aggregates": _join_aggregates,
+        "bucket_colocated_join": _bucket_colocated_join,
+        "column_ndv": _column_ndv,
         "relational_set_ops": _relational_set_ops,
         "rollup_revenue": _rollup_revenue,
         "quantile_stats": _quantile_stats,
-        "cursor_max": _cursor_max,
-        "incremental_filter": _incremental_filter,
+        "cursor_suite": _cursor_suite,
         "cdc_op_routing": _cdc_op_routing,
         "sessionization": _sessionization,
         "asof_join": _asof_join,
@@ -1776,20 +1907,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, rk, o_orderkey, o_totalprice
             FROM r WHERE rk <= 3
         """,
-        "merge_as_join": """
-            SELECT o_orderstatus, count(*) AS n_items,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        "join_aggregates": """
+            SELECT 'fact_join' AS variant, o_orderstatus AS grp,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS val
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderstatus
-        """,
-        "broadcast_dim_join": """
-            SELECT r_name, count(*) AS n_cust,
-                   round(sum(c_acctbal), 4) AS acctbal_sum
+            UNION ALL
+            SELECT 'dim_join', r_name, CAST(count(*) AS BIGINT),
+                   round(sum(c_acctbal), 4)
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
+        "bucket_colocated_join": """
+            SELECT c_mktsegment, o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                   round(sum(o_totalprice), 4) AS price_sum
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderstatus
+        """,
+        "column_ndv": _hll_register_oracle(["lang", "source", "doc_id"]),
         "relational_set_ops": """
             SELECT
               (SELECT count(*) FROM customer
@@ -1846,12 +1986,13 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
             FROM lineitem GROUP BY l_returnflag
         """,
-        "cursor_max": """
-            SELECT event_type, epoch_us(max(ts)) AS cursor_us
+        "cursor_suite": """
+            SELECT 'max_cursor' AS variant, event_type,
+                   epoch_us(max(ts)) AS cnt, CAST(NULL AS DOUBLE) AS val
             FROM events GROUP BY event_type
-        """,
-        "incremental_filter": """
-            SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS val_sum
+            UNION ALL
+            SELECT 'incremental', event_type, count(*),
+                   round(sum(value), 4)
             FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
             GROUP BY event_type
         """,

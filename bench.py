@@ -164,6 +164,10 @@ def main() -> None:
     # keep the xxhash64 production hash for the bench timing (the
     # registry entry switched to the DuckDB-expressible md5_60 variant)
     qs["simhash_near_dup"] = _bench_simhash
+    # late-r4 registry merges (join_aggregates / cursor_suite): keep the
+    # r3 timing keys by running the same underlying probes directly
+    qs["merge_as_join"] = entrymod._merge_as_join
+    qs["broadcast_dim_join"] = entrymod._broadcast_dim_join
     for _rep in range(reps):
         for name in [
             "q1_pricing_summary",
@@ -629,6 +633,48 @@ def _run_maintenance_rep(
             out, info = ann_index_topk(idx, qvec, k=10, n_probe=4)
             out.write.format("noop").mode("overwrite").save()
         maintenance["ann_prune_fraction"] = info["prune_fraction"]
+
+        # ANALYZE: full NDV-sketch refresh — one scan; the register
+        # shuffle is capped at cols x 4096 rows per input partition
+        from olake_spark.operators.analyze import analyze_table
+
+        with timed("analyze"):
+            adoc = analyze_table(
+                table.refresh(), columns=["doc_id", "source", "n_tok"]
+            )
+        maintenance["ndv_doc_id"] = round(adoc["columns"]["doc_id"]["ndv"], 1)
+
+        # bucket-transform write + co-located join: the left side is
+        # never hash-exchanged; the right side moves as packed chunk
+        # broadcasts (bucket_build measures the exact-routing write tax)
+        from olake_spark.operators.bucket_join import bucket_join
+
+        fact_rows = rows // 2
+        fsrc = generate_sequences(
+            spark, fact_rows, seed=77, max_tok=64, num_partitions=cpus
+        )
+        dsrc = (
+            generate_sequences(spark, fact_rows, seed=77, max_tok=8)
+            .where(F.xxhash64("doc_id") % 10 == 0)
+            .select("doc_id", F.col("n_tok").alias("grade"))
+        )
+        with timed("bucket_build"):
+            bf = Table.create(
+                spark, os.path.join(root, "bfact"),
+                partition_col="bucket(16,doc_id)",
+            )
+            bf.append(fsrc, distribute="partition")
+            bd = Table.create(
+                spark, os.path.join(root, "bdim"), schema=dsrc.schema,
+                partition_col="bucket(16,doc_id)",
+                stats_columns=["doc_id"],
+            )
+            bd.append(dsrc, distribute="partition")
+        with timed("bucket_join"):
+            bucket_join(
+                bf.refresh(), bd.refresh(), on="doc_id",
+                right_cols=["grade"],
+            ).write.format("noop").mode("overwrite").save()
 
     finally:
         shutil.rmtree(root, ignore_errors=True)
