@@ -823,18 +823,24 @@ class Table:
         for s in stats:
             if s["record_count"] == 0:
                 self.io.delete(s["path"])
-        stats = [s for s in stats if s["record_count"] > 0]
+        return self._entries_from_stats(stats)
+
+    def _entries_from_stats(self, stats: list[dict]) -> list[DataFile]:
+        """Stats dicts (collect_file_stats) -> manifest entries under the
+        CURRENT spec/schema: identity-partition purity from the spec
+        column's min/max, non-string values rendered as strings
+        (manifests type `partition` as string everywhere — JSON shards
+        and manifest_df's entries frame)."""
         out = []
         pc = self.partition_col
         for s in stats:
+            if s["record_count"] == 0:
+                continue
             st = s["stats"]
             src = st.get(pc, {})
             partition = (
                 src.get("min") if src and src.get("min") == src.get("max") else None
             )
-            # manifests type `partition` as string everywhere (JSON
-            # shards, manifest_df's entries frame) — render non-string
-            # spec values (bucket ids, evolved int columns) canonically
             if partition is not None and not isinstance(partition, str):
                 partition = str(partition)
             out.append(
@@ -1370,6 +1376,159 @@ class Table:
             lambda: self.metadata.__setitem__("current_snapshot_id", head)
         )
         return head
+
+    def _is_ancestor_of_current(self, snapshot_id: int) -> bool:
+        node = self.snapshot()
+        seen: set[int] = set()
+        while node is not None and node.snapshot_id not in seen:
+            if node.snapshot_id == snapshot_id:
+                return True
+            seen.add(node.snapshot_id)
+            if node.parent_id is None:
+                return False
+            try:
+                node = self.snapshot(node.parent_id)
+            except KeyError:
+                return False
+        return False
+
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """Replay a staged APPEND snapshot's added files onto the
+        CURRENT snapshot as a fresh commit (Iceberg cherrypickSnapshot)
+        — the write-audit-publish tool when ``fast_forward`` is
+        impossible because main advanced after the audit branch was
+        staged.
+
+        Only pure appends are cherry-pickable: a snapshot that removed
+        files or touched delete files was planned against ITS parent's
+        state, and replaying the removal onto a diverged current could
+        drop rows a later commit still references (Iceberg carries the
+        same restriction). The added entries are copied and re-stamped
+        with the new commit's sequence number, so equality deletes that
+        landed meanwhile correctly do NOT apply to the replayed rows.
+
+        Double-publish protection: refused when the target is already
+        an ancestor of current, or when any of its added file PATHS is
+        still referenced by the current snapshot (exact while the files
+        live; a cherry-pick of rows that were later compacted away is
+        indistinguishable from a fresh append and is the caller's
+        responsibility, as with Iceberg's wap.id dedupe). The path
+        check is O(batch) via the distributed entries frame past
+        SCAN_DISTRIBUTED_MIN_SHARDS, a driver file walk below it."""
+        snap = self.snapshot(snapshot_id)
+        parent = (
+            self.snapshot(snap.parent_id)
+            if snap.parent_id is not None
+            else None
+        )
+        added, removed = snapshot_file_delta(self, parent, snap)
+        true_added = [e for p, e in added.items() if p not in removed]
+        true_removed = [p for p in removed if p not in added]
+        if snap.operation != "append" or true_removed:
+            raise ValueError(
+                f"snapshot {snapshot_id} ({snap.operation}) is not a pure "
+                "append; only append snapshots can be cherry-picked"
+            )
+        parent_dm = set(parent.delete_manifests) if parent else set()
+        if set(snap.delete_manifests) != parent_dm:
+            raise ValueError(
+                f"snapshot {snapshot_id} changed delete files; not "
+                "cherry-pickable"
+            )
+        if self._is_ancestor_of_current(snapshot_id):
+            raise ValueError(
+                f"snapshot {snapshot_id} is already an ancestor of the "
+                "current snapshot"
+            )
+        cur = self.snapshot()
+        if cur is not None and true_added:
+            batch_paths = {e.path for e in true_added}
+            if (
+                len(cur.manifests) >= SCAN_DISTRIBUTED_MIN_SHARDS
+                and self.spark is not None
+            ):
+                from olake_spark.table.manifest_df import (
+                    entries_from_manifests,
+                )
+
+                dup = (
+                    entries_from_manifests(self, cur.manifests)
+                    .where(F.col("path").isin(sorted(batch_paths)))
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            else:
+                dup = any(f.path in batch_paths for f in self.files())
+            if dup:
+                raise ValueError(
+                    f"snapshot {snapshot_id} was already cherry-picked "
+                    "onto this lineage (its files are still referenced)"
+                )
+        # deep-copy: commit() stamps sequence numbers on added entries,
+        # and these objects are shared with the manifest cache
+        entries = [DataFile.from_dict(e.to_dict()) for e in true_added]
+        return self.commit(
+            "cherrypick",
+            added=entries,
+            summary_extra={"cherry-picked-from": snapshot_id},
+        )
+
+    def add_files(self, paths: list[str]) -> int:
+        """Register EXISTING parquet files as table data WITHOUT
+        rewriting them (Iceberg's add_files import) — e.g. the output
+        of a plain sync-writer run or a bulk copy landed next to the
+        table.
+
+        Files must already live under the table root: manifest paths
+        are root-relative and the expire/orphan-GC machinery owns
+        everything it references, so an outside path would either be
+        unexpressible or deleted by a later expiry the table never
+        should have owned. Column names must match the current schema
+        exactly — a missing column would read back as NULL and silently
+        corrupt system columns (``_olake_id``) that merges key on.
+        Footer stats are collected and identity/bucket purity detected
+        exactly as for engine-written files; zero-record files are
+        skipped but NOT deleted (they are not ours until registered)."""
+        if not paths:
+            raise ValueError("no files to add")
+        abs_paths = []
+        for p in paths:
+            ap = os.path.abspath(p)
+            if not ap.startswith(self.root + os.sep):
+                raise ValueError(
+                    f"{p!r} is outside the table root {self.root!r}; "
+                    "copy it under the table before importing"
+                )
+            abs_paths.append(ap)
+        import pyarrow.parquet as pq
+
+        want = {f.name for f in self.schema().fields}
+        for ap in abs_paths:
+            got = set(pq.ParquetFile(ap).schema_arrow.names)
+            if got != want:
+                raise ValueError(
+                    f"{ap}: column names {sorted(got)} do not match the "
+                    f"table schema {sorted(want)}"
+                )
+        rels = {os.path.relpath(ap, self.root) for ap in abs_paths}
+        already = rels & {f.path for f in self.files()}
+        if already:
+            raise ValueError(
+                f"already registered: {sorted(already)[:5]}"
+            )
+        stats = collect_file_stats(
+            self.spark, abs_paths,
+            self.metadata.get("stats_columns", STATS_COLUMNS),
+        )
+        entries = self._entries_from_stats(stats)
+        if not entries:
+            raise ValueError("all candidate files are empty")
+        return self.commit(
+            "add-files",
+            added=entries,
+            summary_extra={"imported-files": len(entries)},
+        )
 
     def _check_distribute_input(self, df: DataFrame, distribute: str | None) -> None:
         if distribute is None:
