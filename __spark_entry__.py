@@ -589,7 +589,9 @@ def _bucket_colocated_join(spark, sf_dir):
         "c_mktsegment",
     )
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"olake_bj_{digest}")
+    base = os.path.join(
+        tempfile.gettempdir(), f"olake_bj_{digest}_{os.getpid()}"
+    )
     shutil.rmtree(base, ignore_errors=True)
     fact = Table.create(
         spark,
@@ -1390,7 +1392,9 @@ def _mor_merge_scan(spark, sf_dir):
         "n_chars",
     )
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"olake_mor_{digest}")
+    root = os.path.join(
+        tempfile.gettempdir(), f"olake_mor_{digest}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     base = with_system_columns(d.filter(F.col("_m") < 8).drop("_m"))
     t = Table.create(

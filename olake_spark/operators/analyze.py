@@ -204,6 +204,12 @@ def analyze_table(
     if snap is None:
         raise ValueError("cannot analyze an empty table")
     columns = columns or _default_columns(table)
+    known = {f.name for f in table.schema().fields}
+    unknown = [c for c in columns if c not in known]
+    if unknown:
+        raise KeyError(
+            f"columns {unknown} not in the table schema {sorted(known)}"
+        )
 
     base_doc = None
     added_files = None

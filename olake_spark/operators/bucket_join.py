@@ -120,6 +120,18 @@ def bucket_join(
             f"vs bucket({rt['n']},{rt['source']}) — same N and source "
             "column are required for colocation"
         )
+    # same PHYSICAL type too: the bucket hash works on the string
+    # rendering ('7' vs '7.0'), so differently-typed keys that a plain
+    # join would match via numeric coercion land in DIFFERENT buckets
+    # and would silently drop rows
+    ltype = {f.name: f.dataType for f in left.schema().fields}[lt["source"]]
+    rtype = {f.name: f.dataType for f in right.schema().fields}[rt["source"]]
+    if ltype.simpleString() != rtype.simpleString():
+        raise ValueError(
+            f"bucket source {lt['source']!r} is {ltype.simpleString()} on "
+            f"the left but {rtype.simpleString()} on the right; equal "
+            "values would hash to different buckets"
+        )
     if lt["source"] not in on:
         raise ValueError(
             f"join keys {on} must include the bucket source column "
@@ -143,8 +155,15 @@ def bucket_join(
         return df.select(*on, *right_cols) if right_cols is not None else df
 
     rres_bytes = sum(f.file_size_bytes for f in rres)
+    # every chunk's right side carries the residual files on top of its
+    # pure buckets — pack against the REMAINING headroom, or a single
+    # impure right file would push every well-packed chunk past the cap
+    # and silently disable broadcasting (re-shuffling the left side).
+    # When the residual alone exceeds the cap no chunk can broadcast
+    # anyway; keep full-size chunks to minimize branch count.
+    pack_bytes = max(chunk_bytes - rres_bytes, 0) or chunk_bytes
     parts: list[DataFrame] = []
-    for chunk in _chunks_ffd(sorted(lg), rg, chunk_bytes):
+    for chunk in _chunks_ffd(sorted(lg), rg, pack_bytes):
         lfs = [f for b in chunk for f in lg[b]]
         rfs = [f for b in chunk for f in rg.get(b, [])]
         # a residual right file may hold rows of ANY bucket — it must be

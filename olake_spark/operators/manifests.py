@@ -10,8 +10,11 @@ even when the file count is modest. Iceberg's answer is the
 rewriteManifests action; this is the same op over the engine's JSON
 shards:
 
-- small shard count: the driver streams entries shard-by-shard into
-  full-size shards (memory O(target_entries), never O(table));
+- small shard count (< SCAN_DISTRIBUTED_MIN_SHARDS, i.e. a bounded
+  number of entries): the driver re-sorts the entries and packs them
+  into full-size shards — memory O(threshold x MANIFEST_MAX_ENTRIES),
+  bounded by the auto-selection rule, not by table size (forcing
+  ``distributed=False`` on a huge table is on the caller);
 - past ``SCAN_DISTRIBUTED_MIN_SHARDS``: executors re-shard — the
   entries frame is range-partitioned into ceil(n/target) groups (sorted
   by partition value then path, so one shard covers one partition's

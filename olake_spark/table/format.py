@@ -1492,25 +1492,40 @@ class Table:
         skipped but NOT deleted (they are not ours until registered)."""
         if not paths:
             raise ValueError("no files to add")
-        abs_paths = []
-        for p in paths:
-            ap = os.path.abspath(p)
+        abs_paths = list(
+            dict.fromkeys(os.path.abspath(p) for p in paths)
+        )  # dedupe (overlapping CLI globs) or one path registers twice
+        for ap in abs_paths:
             if not ap.startswith(self.root + os.sep):
                 raise ValueError(
-                    f"{p!r} is outside the table root {self.root!r}; "
+                    f"{ap!r} is outside the table root {self.root!r}; "
                     "copy it under the table before importing"
                 )
-            abs_paths.append(ap)
         import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
 
-        want = {f.name for f in self.schema().fields}
+        want_fields = {f.name: f.dataType for f in self.schema().fields}
         for ap in abs_paths:
-            got = set(pq.ParquetFile(ap).schema_arrow.names)
-            if got != want:
+            file_schema = from_arrow_schema(
+                pq.ParquetFile(ap).schema_arrow
+            )
+            got_fields = {f.name: f.dataType for f in file_schema.fields}
+            if set(got_fields) != set(want_fields):
                 raise ValueError(
-                    f"{ap}: column names {sorted(got)} do not match the "
-                    f"table schema {sorted(want)}"
+                    f"{ap}: column names {sorted(got_fields)} do not "
+                    f"match the table schema {sorted(want_fields)}"
                 )
+            # types too: a mismatched physical type passes the name
+            # check but breaks (or silently nulls) every later scan,
+            # which reads with the TABLE schema pinned
+            for name, want_t in want_fields.items():
+                got_t = got_fields[name]
+                if got_t.simpleString() != want_t.simpleString():
+                    raise ValueError(
+                        f"{ap}: column {name!r} is {got_t.simpleString()}"
+                        f" but the table schema says "
+                        f"{want_t.simpleString()}"
+                    )
         rels = {os.path.relpath(ap, self.root) for ap in abs_paths}
         already = rels & {f.path for f in self.files()}
         if already:
