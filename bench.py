@@ -618,6 +618,21 @@ def _run_maintenance_rep(
         with timed("materialize_deletes"):
             materialize_deletes(table.refresh(), target_file_bytes=target)
 
+        # manifest-log compaction after the append/compact/cluster/merge
+        # churn above — metadata-only, measures planning-debt payoff
+        from olake_spark.operators.manifests import rewrite_manifests
+
+        table.refresh()
+        pre_shards = len(table.snapshot().manifests)
+        with timed("rewrite_manifests"):
+            rres = rewrite_manifests(table)
+        maintenance["manifest_shards_before"] = pre_shards
+        maintenance["manifest_shards_after"] = (
+            pre_shards
+            if rres.skipped
+            else len(table.refresh().snapshot().manifests)
+        )
+
         # persisted ANN index: build once, probe via manifest pruning —
         # ann_prune_fraction is the files-skipped evidence (VERDICT #3)
         from olake_spark.operators.ann_index import ann_index_topk, build_ann_index

@@ -160,6 +160,7 @@ class OlakeBatchReader(DataSourceReader):
         self.target_schema_id = (
             snap.schema_id if snap else table.metadata["current_schema_id"]
         )
+        self.rename_maps = _rename_maps(table, self.target_schema_id)
         self.stats_columns = list(
             table.metadata.get("stats_columns", STATS_COLUMNS)
         )
@@ -281,6 +282,7 @@ class OlakeBatchReader(DataSourceReader):
             self.schemas_json,
             self.target_schema_id,
             self.delete_entries,
+            rename_maps=self.rename_maps,
         )
 
 
@@ -327,6 +329,21 @@ _NEG = _Unbounded(low=True)
 _POS = _Unbounded(low=False)
 
 
+def _rename_maps(table: Table, target_sid: int) -> dict[int, dict[str, str]]:
+    """Field-id resolution maps for every schema version that needs one
+    (schema DDL: rename / drop+re-add). ``sid -> {target_name:
+    source_name}``; schemas where pure name matching is already correct
+    are omitted, so the per-batch hot path stays untouched for tables
+    with no DDL history."""
+    out: dict[int, dict[str, str]] = {}
+    for s in table.metadata["schemas"]:
+        sid = int(s)
+        m = table.evolution_projection(sid, target_sid)
+        if m is not None:
+            out[sid] = m
+    return out
+
+
 def _arrow_target(schema: T.StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -358,6 +375,7 @@ def _read_data_files(
     schemas_json: dict,
     target_schema_id: int,
     delete_entries: list[dict],
+    rename_maps: dict[int, dict[str, str]] | None = None,
 ):
     """Arrow-side equivalent of Table.scan's per-file read: positional
     deletes drop row ordinals, equality deletes anti-join _olake_id for
@@ -428,6 +446,16 @@ def _read_data_files(
             if keys is not None and len(keys):
                 keep = pc.invert(pc.is_in(tbl.column(OLAKE_ID), value_set=keys))
                 tbl = tbl.filter(pc.fill_null(keep, True))
+        m = (rename_maps or {}).get(e.schema_id)
+        if m is not None:
+            # field-id resolution (schema DDL): project ONLY the mapped
+            # source columns, renamed — a dropped+re-added name must not
+            # leak old values through name matching in _align_table
+            names = set(tbl.column_names)
+            pairs = [(dst, src) for dst, src in m.items() if src in names]
+            tbl = tbl.select([src for _, src in pairs]).rename_columns(
+                [dst for dst, _ in pairs]
+            )
         tbl = _align_table(tbl, target, spark_schema)
         yield from tbl.to_batches(max_chunksize=1 << 16)
 
@@ -491,6 +519,7 @@ class OlakeStreamReader(DataSourceStreamReader):
         table = Table.load(None, self.root)
         self.schemas_json = dict(table.metadata["schemas"])
         self.target_schema_id = table.metadata["current_schema_id"]
+        self.rename_maps = _rename_maps(table, self.target_schema_id)
 
     def initialOffset(self) -> dict:
         if self.start == "earliest":
@@ -557,6 +586,7 @@ class OlakeStreamReader(DataSourceStreamReader):
             self.schemas_json,
             self.target_schema_id,
             delete_entries=[],
+            rename_maps=self.rename_maps,
         )
 
     def commit(self, end: dict) -> None:

@@ -485,6 +485,201 @@ class Table:
 
         self._persist_mutation(_mut)
 
+    # ---------------------------------------------------------- schema DDL
+    def _all_field_ids(self) -> tuple[dict[int, dict[str, int]], int]:
+        """Per-schema ``name -> field id`` maps (Iceberg field IDs) plus
+        the next free id. Maps persisted by a DDL commit are used as-is;
+        schemas that predate DDL (drift appends widened them via
+        ``commit(new_schema=)``) derive ids lazily: a name, once seen,
+        keeps its id in every later schema it appears in — bit-identical
+        to the name-matched coercion those tables were written under."""
+        # memo per (version, schema count): scan calls this once per
+        # (schema_id, delete-bucket) group and parsing every schema's
+        # JSON each time is avoidable driver work on DDL-heavy tables
+        key = (self.version, len(self.metadata["schemas"]))
+        cached = getattr(self, "_field_id_memo", None)
+        if cached is not None and cached[0] == key:
+            return cached[1], cached[2]
+        persisted = {
+            int(s): m
+            for s, m in self.metadata.get("field_ids", {}).items()
+        }
+        out: dict[int, dict[str, int]] = {}
+        cum: dict[str, int] = {}
+        nxt = 0
+        for sid in sorted(int(s) for s in self.metadata["schemas"]):
+            if sid in persisted:
+                ids = dict(persisted[sid])
+            else:
+                ids = {}
+                for f in self.schema(sid).fields:
+                    if f.name in cum:
+                        ids[f.name] = cum[f.name]
+                    else:
+                        ids[f.name] = nxt
+                        nxt += 1
+            cum.update(ids)
+            nxt = max(nxt, max(ids.values(), default=-1) + 1)
+            out[sid] = ids
+        nxt = max(nxt, self.metadata.get("last_field_id", 0))
+        self._field_id_memo = (key, out, nxt)
+        return out, nxt
+
+    def _field_ids(self, schema_id: int) -> dict[str, int]:
+        return self._all_field_ids()[0][schema_id]
+
+    def _ddl_guard(self, name: str, op: str) -> None:
+        from olake_spark.schema import (
+            CDC_DELETED_AT,
+            OLAKE_ID,
+            OLAKE_INSERT_TIME,
+        )
+
+        if name in {OLAKE_ID, OLAKE_INSERT_TIME, CDC_DELETED_AT, BUCKET_COL}:
+            raise ValueError(f"cannot {op} system column {name!r}")
+        spec_log = self.metadata.get(
+            "partition_spec_log", [self.partition_col]
+        )
+        tr = self.partition_transform
+        if name in spec_log or (tr is not None and name == tr["source"]):
+            raise ValueError(
+                f"cannot {op} {name!r}: it is (or was) a partition spec "
+                "column — file routing and purity pruning key on it; "
+                "evolve the partition spec first"
+            )
+        if name in self.metadata.get("stats_columns", STATS_COLUMNS):
+            raise ValueError(
+                f"cannot {op} {name!r}: manifest min/max pruning keys on "
+                "it (stats_columns); renames would silently disable "
+                "file skipping for existing files"
+            )
+
+    def _commit_schema_change(
+        self, new_fields: list[T.StructField], new_ids: dict[str, int],
+        nxt: int, op: str,
+    ) -> int:
+        all_ids, _ = self._all_field_ids()
+        new_sid = self.metadata["current_schema_id"] + 1
+        # persist EVERY schema's map: once any DDL lands, later lazy
+        # derivation would otherwise re-number around the DDL's choices
+        field_ids = {str(s): m for s, m in all_ids.items()}
+        field_ids[str(new_sid)] = new_ids
+        return self.commit(
+            "schema-change",
+            new_schema=T.StructType(new_fields),
+            metadata_extra={
+                "field_ids": field_ids,
+                "last_field_id": nxt,
+            },
+            summary_extra={"ddl": op},
+        )
+
+    def add_column(self, name: str, dtype: str | T.DataType) -> int:
+        """ALTER TABLE ADD COLUMN — metadata-only (Iceberg UpdateSchema.
+        addColumn): no data file is touched; existing files read back
+        NULL for the new column, snapshots pinned before the DDL don't
+        see it at all. A name that was dropped earlier gets a FRESH
+        field id, so old data never resurrects under the new column."""
+        if isinstance(dtype, str):
+            try:
+                dtype = T._parse_datatype_string(dtype)
+            except Exception:
+                # sparkless context (e.g. pure-metadata tooling): only
+                # simple atomic DDL names parse; pass a T.DataType else
+                atomic = {
+                    c().simpleString(): c
+                    for c in T._atomic_types
+                    if c not in (T.CharType, T.VarcharType, T.DecimalType)
+                }.get(dtype)
+                if atomic is None:
+                    raise ValueError(
+                        f"cannot parse type {dtype!r} without an active "
+                        "SparkSession; pass a pyspark.sql.types.DataType"
+                    )
+                dtype = atomic()
+        cur = self.schema()
+        if name in {f.name for f in cur.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        _, nxt = self._all_field_ids()
+        ids = dict(self._field_ids(self.metadata["current_schema_id"]))
+        ids[name] = nxt
+        return self._commit_schema_change(
+            list(cur.fields) + [T.StructField(name, dtype, True)],
+            ids, nxt + 1, f"add:{name}",
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only: the field keeps
+        its id, so every existing file's column (written under the old
+        name) reads back under the new name with zero rewrite; a
+        snapshot pinned before the DDL still scans the old name.
+        Partition-spec, stats(pruning) and system columns are refused —
+        their machinery keys on physical names."""
+        cur = self.schema()
+        names = {f.name for f in cur.fields}
+        if old not in names:
+            raise KeyError(f"column {old!r} not in current schema")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._ddl_guard(old, "rename")
+        self._ddl_guard(new, "rename to")
+        ids = dict(self._field_ids(self.metadata["current_schema_id"]))
+        _, nxt = self._all_field_ids()
+        ids[new] = ids.pop(old)
+        fields = [
+            T.StructField(new, f.dataType, f.nullable)
+            if f.name == old
+            else f
+            for f in cur.fields
+        ]
+        return self._commit_schema_change(
+            fields, ids, nxt, f"rename:{old}->{new}"
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: data files keep the
+        physical column (storage is reclaimed as compaction naturally
+        rewrites them); scans project it away by field id, and a later
+        ``add_column`` of the same name is a NEW field that reads NULL
+        from old files instead of resurrecting dropped values."""
+        cur = self.schema()
+        if name not in {f.name for f in cur.fields}:
+            raise KeyError(f"column {name!r} not in current schema")
+        self._ddl_guard(name, "drop")
+        ids = dict(self._field_ids(self.metadata["current_schema_id"]))
+        _, nxt = self._all_field_ids()
+        del ids[name]
+        return self._commit_schema_change(
+            [f for f in cur.fields if f.name != name],
+            ids, nxt, f"drop:{name}",
+        )
+
+    def evolution_projection(
+        self, from_sid: int, to_sid: int
+    ) -> dict[str, str] | None:
+        """``target_name -> source_name`` for fields of ``to_sid`` whose
+        field id exists in ``from_sid``; None when the mapping is pure
+        name-identity (the common no-DDL case — callers skip the extra
+        projection and keep today's plan shape)."""
+        if from_sid == to_sid:
+            return None
+        all_ids, _ = self._all_field_ids()
+        src_ids, dst_ids = all_ids[from_sid], all_ids[to_sid]
+        src_by_fid = {fid: n for n, fid in src_ids.items()}
+        mapping = {}
+        identity = True
+        for dst, fid in dst_ids.items():
+            src = src_by_fid.get(fid)
+            if src is not None:
+                mapping[dst] = src
+                if src != dst:
+                    identity = False
+            elif dst in src_ids:
+                # same NAME, different field id (drop + re-add): the
+                # source column must NOT leak through name matching
+                identity = False
+        return None if identity else mapping
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Point the table back at an ancestor snapshot (Iceberg
         rollback_to_snapshot). Metadata-only — no snapshot is created and
@@ -746,11 +941,22 @@ class Table:
             if sid != target_sid:
                 from olake_spark.functions.reformat import coerce_to_schema
 
-                part = coerce_to_schema(
-                    part,
-                    schema,
-                    extra_cols=["_sg_fp", "_sg_pos"] if need_meta else None,
-                )
+                extras = ["_sg_fp", "_sg_pos"] if need_meta else None
+                mapping = self.evolution_projection(sid, target_sid)
+                if mapping is not None:
+                    # field-id resolution (schema DDL): renamed columns
+                    # read under their current name, dropped+re-added
+                    # names do NOT resurrect old values
+                    have = set(part.columns)
+                    part = part.select(
+                        *[
+                            F.col(src).alias(dst)
+                            for dst, src in mapping.items()
+                            if src in have
+                        ],
+                        *(extras or []),
+                    )
+                part = coerce_to_schema(part, schema, extra_cols=extras)
             app = (
                 [d for d in eq_dels if d.sequence_number >= eq_seqs[b]]
                 if b < len(eq_seqs)
@@ -910,6 +1116,7 @@ class Table:
         branch: str | None = None,
         added_deletes: list[DataFile] | None = None,
         removed_delete_paths: set[str] | None = None,
+        metadata_extra: dict | None = None,
     ) -> int:
         """Create snapshot N+1 = parent snapshot ± files, atomically.
 
@@ -1006,6 +1213,8 @@ class Table:
         # in-memory mutations below must roll back if the version claim
         # loses a concurrent-commit race, so a retry sees clean state
         metadata_backup = json.dumps(self.metadata)
+        if metadata_extra:
+            self.metadata.update(metadata_extra)
         schema_id = self.metadata["current_schema_id"]
         if new_schema is not None:
             schema_id += 1
