@@ -164,13 +164,35 @@ def snapshot_changes(
 
     row_hash = F.xxhash64(*[F.col(c) for c in out_cols])
 
+    target_schema_sid = to_snap.schema_id if to_snap else None
+
+    def _to_target(df, snapshot_id):
+        """Align a frame scanned at ``snapshot_id`` (so carrying THAT
+        snapshot's column names) to the target schema: field-id
+        projection first — a span crossing a rename_column would
+        otherwise null-fill the renamed column on the old side and
+        report every carried row as a spurious update."""
+        from olake_spark.functions.reformat import coerce_to_schema
+
+        snap = table.snapshot(snapshot_id)
+        if snap is not None and target_schema_sid is not None:
+            m = table.evolution_projection(snap.schema_id, target_schema_sid)
+            if m is not None:
+                have = set(df.columns)
+                df = df.select(
+                    *[
+                        F.col(src).alias(dst)
+                        for dst, src in m.items()
+                        if src in have
+                    ]
+                )
+        return coerce_to_schema(df, schema)
+
     def _side(files, snapshot_id, tag):
         if not files:
             return None
-        from olake_spark.functions.reformat import coerce_to_schema
-
-        df = coerce_to_schema(
-            table.scan(snapshot_id=snapshot_id, files=files), schema
+        df = _to_target(
+            table.scan(snapshot_id=snapshot_id, files=files), snapshot_id
         )
         return df.select(
             F.col(key_col).alias("_k"),
@@ -180,9 +202,7 @@ def snapshot_changes(
 
     old = _side(removed, from_snapshot_id, "old")
     if killed is not None:
-        from olake_spark.functions.reformat import coerce_to_schema
-
-        k_proj = coerce_to_schema(killed, schema).select(
+        k_proj = _to_target(killed, from_snapshot_id).select(
             F.col(key_col).alias("_k"),
             row_hash.alias("_h_old"),
             F.struct(*out_cols).alias("_row_old"),

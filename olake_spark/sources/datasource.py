@@ -579,6 +579,20 @@ class OlakeStreamReader(DataSourceStreamReader):
         entries = [DataFile.from_dict(d) for d in partition.files]
         if not entries:
             return
+        rename_maps = self.rename_maps
+        # a DDL mid-stream creates schema ids this reader's pinned maps
+        # predate; files written under them would silently null-fill the
+        # renamed columns through name matching — reload and resolve the
+        # missing ids by field id against the PINNED target schema
+        known = {int(s) for s in self.schemas_json}
+        missing = {e.schema_id for e in entries} - known
+        if missing:
+            table = Table.load(None, self.root)
+            rename_maps = dict(rename_maps)
+            for sid in missing:
+                m = table.evolution_projection(sid, self.target_schema_id)
+                if m is not None:
+                    rename_maps[sid] = m
         yield from _read_data_files(
             self.root,
             entries,
@@ -586,7 +600,7 @@ class OlakeStreamReader(DataSourceStreamReader):
             self.schemas_json,
             self.target_schema_id,
             delete_entries=[],
-            rename_maps=self.rename_maps,
+            rename_maps=rename_maps,
         )
 
     def commit(self, end: dict) -> None:

@@ -488,11 +488,23 @@ class Table:
     # ---------------------------------------------------------- schema DDL
     def _all_field_ids(self) -> tuple[dict[int, dict[str, int]], int]:
         """Per-schema ``name -> field id`` maps (Iceberg field IDs) plus
-        the next free id. Maps persisted by a DDL commit are used as-is;
-        schemas that predate DDL (drift appends widened them via
-        ``commit(new_schema=)``) derive ids lazily: a name, once seen,
-        keeps its id in every later schema it appears in — bit-identical
-        to the name-matched coercion those tables were written under."""
+        the next free id. Maps persisted by a DDL commit are used as-is.
+
+        Schemas WITHOUT a persisted map derive ids lazily, under two
+        regimes:
+        - no DDL ever ran (no ``field_ids`` in metadata): a name, once
+          seen, keeps its id in every later schema it appears in —
+          bit-identical to the name-matched coercion those tables were
+          written under;
+        - DDL ran (the DDL commit persisted a map for every schema that
+          existed, so an unpersisted schema is strictly NEWER): inherit
+          by name from the IMMEDIATELY PREVIOUS schema only, fresh ids
+          otherwise. Inheriting from the cumulative history here would
+          hand a drift re-add of a renamed-away or dropped NAME the old
+          field id — silently remapping or resurrecting old data.
+        Fresh ids always start at ``last_field_id``: an id retired by
+        drop_column must never be reissued to a different name, or old
+        files would leak their dropped column into it."""
         # memo per (version, schema count): scan calls this once per
         # (schema_id, delete-bucket) group and parsing every schema's
         # JSON each time is avoidable driver work on DDL-heavy tables
@@ -506,22 +518,25 @@ class Table:
         }
         out: dict[int, dict[str, int]] = {}
         cum: dict[str, int] = {}
-        nxt = 0
+        prev: dict[str, int] = {}
+        has_ddl = bool(persisted)
+        nxt = self.metadata.get("last_field_id", 0)
         for sid in sorted(int(s) for s in self.metadata["schemas"]):
             if sid in persisted:
                 ids = dict(persisted[sid])
             else:
+                base = prev if has_ddl else cum
                 ids = {}
                 for f in self.schema(sid).fields:
-                    if f.name in cum:
-                        ids[f.name] = cum[f.name]
+                    if f.name in base:
+                        ids[f.name] = base[f.name]
                     else:
                         ids[f.name] = nxt
                         nxt += 1
             cum.update(ids)
+            prev = ids
             nxt = max(nxt, max(ids.values(), default=-1) + 1)
             out[sid] = ids
-        nxt = max(nxt, self.metadata.get("last_field_id", 0))
         self._field_id_memo = (key, out, nxt)
         return out, nxt
 
@@ -583,7 +598,7 @@ class Table:
         if isinstance(dtype, str):
             try:
                 dtype = T._parse_datatype_string(dtype)
-            except Exception:
+            except Exception as e:
                 # sparkless context (e.g. pure-metadata tooling): only
                 # simple atomic DDL names parse; pass a T.DataType else
                 atomic = {
@@ -592,14 +607,25 @@ class Table:
                     if c not in (T.CharType, T.VarcharType, T.DecimalType)
                 }.get(dtype)
                 if atomic is None:
+                    from pyspark.errors import PySparkRuntimeError
+
+                    if isinstance(e, PySparkRuntimeError):
+                        raise ValueError(
+                            f"cannot parse type {dtype!r} without an "
+                            "active SparkSession; pass a "
+                            "pyspark.sql.types.DataType"
+                        ) from e
                     raise ValueError(
-                        f"cannot parse type {dtype!r} without an active "
-                        "SparkSession; pass a pyspark.sql.types.DataType"
-                    )
+                        f"invalid type string {dtype!r}: {e}"
+                    ) from e
                 dtype = atomic()
         cur = self.schema()
         if name in {f.name for f in cur.fields}:
             raise ValueError(f"column {name!r} already exists")
+        # the rename guard's asymmetry would otherwise let a SYSTEM name
+        # the schema happens to lack (e.g. _olake_bucket on an unbucketed
+        # table) in as a user column — permanently trapped afterwards
+        self._ddl_guard(name, "add")
         _, nxt = self._all_field_ids()
         ids = dict(self._field_ids(self.metadata["current_schema_id"]))
         ids[name] = nxt
@@ -652,6 +678,54 @@ class Table:
         return self._commit_schema_change(
             [f for f in cur.fields if f.name != name],
             ids, nxt, f"drop:{name}",
+        )
+
+    # widenings that are exact for every representable value — the same
+    # set Iceberg's UpdateSchema allows (minus decimal, unsupported here)
+    _SAFE_PROMOTIONS = {
+        ("int", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("float", "double"),
+    }
+
+    def update_column_type(self, name: str, dtype: str | T.DataType) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE — metadata-only, restricted to
+        SAFE widenings (int->long, float->double, ...): the field keeps
+        its id, old files read back casted (the scan's per-file coercion
+        already casts write-time types to the pinned schema), new writes
+        must carry the widened type. Narrowing or cross-family casts are
+        refused — they'd silently lose data on read."""
+        if isinstance(dtype, str):
+            try:
+                dtype = T._parse_datatype_string(dtype)
+            except Exception as e:
+                raise ValueError(f"invalid type string {dtype!r}: {e}") from e
+        cur = self.schema()
+        field = next((f for f in cur.fields if f.name == name), None)
+        if field is None:
+            raise KeyError(f"column {name!r} not in current schema")
+        self._ddl_guard(name, "retype")
+        old_s, new_s = field.dataType.simpleString(), dtype.simpleString()
+        if old_s == new_s:
+            raise ValueError(f"column {name!r} is already {new_s}")
+        if (old_s, new_s) not in self._SAFE_PROMOTIONS:
+            raise ValueError(
+                f"cannot change {name!r} from {old_s} to {new_s}: only "
+                "safe widenings are allowed "
+                f"({sorted(self._SAFE_PROMOTIONS)})"
+            )
+        ids = dict(self._field_ids(self.metadata["current_schema_id"]))
+        _, nxt = self._all_field_ids()
+        fields = [
+            T.StructField(name, dtype, f.nullable) if f.name == name else f
+            for f in cur.fields
+        ]
+        return self._commit_schema_change(
+            fields, ids, nxt, f"retype:{name}:{old_s}->{new_s}"
         )
 
     def evolution_projection(
@@ -1539,10 +1613,42 @@ class Table:
     ) -> int:
         self._check_distribute_input(df, distribute)
         files = self.write_data_files(
-            self._distribute(self._complete_system_columns(df), distribute),
+            self._distribute(
+                self._align_to_schema(self._complete_system_columns(df)),
+                distribute,
+            ),
             max_records_per_file,
         )
         return self.commit("append", added=files, branch=branch)
+
+    def _align_to_schema(self, df: DataFrame) -> DataFrame:
+        """Refuse frames whose columns don't match the CURRENT schema —
+        the file is stamped with the current schema_id, so a stale-named
+        frame (e.g. built before a rename_column) would claim one schema
+        while physically holding another, and every read of it would
+        silently null-fill the mismatched columns. Matching frames are
+        re-ordered to schema order so files stay uniform on disk."""
+        want = [f.name for f in self.schema().fields]
+        got = df.columns
+        missing = [c for c in want if c not in got]
+        extra = [c for c in got if c not in want]
+        if missing or extra:
+            raise ValueError(
+                f"frame columns do not match the table schema: "
+                f"missing {missing}, unexpected {extra} (table columns: "
+                f"{want}); after a rename_column, rename the frame's "
+                "columns too — after add_column/drop_column, add or drop "
+                "them in the frame"
+            )
+        types = {f.name: f.dataType.simpleString() for f in self.schema().fields}
+        for f in df.schema.fields:
+            if f.dataType.simpleString() != types[f.name]:
+                raise ValueError(
+                    f"frame column {f.name!r} is "
+                    f"{f.dataType.simpleString()} but the table schema "
+                    f"says {types[f.name]}"
+                )
+        return df.select(*want)
 
     def fast_forward(self, branch: str) -> int:
         """Publish a branch: move current to the branch HEAD, allowed
@@ -1789,7 +1895,10 @@ class Table:
         to older snapshots still see the prior files until expiry."""
         self._check_distribute_input(df, distribute)
         files = self.write_data_files(
-            self._distribute(self._complete_system_columns(df), distribute),
+            self._distribute(
+                self._align_to_schema(self._complete_system_columns(df)),
+                distribute,
+            ),
             max_records_per_file,
         )
         current = {f.path for f in self.files()}

@@ -108,9 +108,20 @@ def test_ddl_guards(table):
         table.drop_column("nope")
 
 
+def test_append_refuses_stale_named_frame(table, spark):
+    """A frame built before a rename must be rejected, not silently
+    written with a schema_id whose column names it doesn't carry."""
+    table.rename_column("tokens", "toks")
+    with pytest.raises(ValueError, match="do not match the table schema"):
+        table.append(generate_sequences(spark, 10, seed=8, max_tok=16))
+
+
 def test_distributed_planning_parity_after_ddl(table, spark):
     table.rename_column("tokens", "toks")
-    table.append(generate_sequences(spark, 50, seed=8, max_tok=16))
+    table.append(
+        generate_sequences(spark, 50, seed=8, max_tok=16)
+        .withColumnRenamed("tokens", "toks")
+    )
     a = table.scan(distributed_planning=True)
     b = table.scan(distributed_planning=False)
     assert a.exceptAll(b).count() == 0
@@ -196,3 +207,147 @@ def test_cli_ddl_verbs(table, capsys):
     rc = main(["maintain", "--dest", table.root, "--op", "drop-column",
                "--column", "doc_id", "--cpus", "4"])
     assert rc == 2
+
+
+def test_drift_readd_after_rename_gets_fresh_id(table, spark):
+    """Review finding: a drift widen (commit(new_schema=)) AFTER a DDL
+    must not hand the re-used NAME the old field id — that would remap
+    the renamed column's data onto the new column."""
+    from pyspark.sql import types as T
+
+    expected = table.scan().selectExpr("sum(size(tokens))").first()[0]
+    table.rename_column("tokens", "toks")
+    # drift re-adds the OLD name as a fresh (unrelated) column
+    new_schema = T.StructType(
+        list(table.schema().fields)
+        + [T.StructField("tokens", T.StringType())]
+    )
+    table.commit("schema-change", new_schema=new_schema)
+    out = table.scan()
+    # old data still reads under toks; the re-added tokens is empty
+    assert out.selectExpr("sum(size(toks))").first()[0] == expected
+    assert out.where("tokens is not null").count() == 0
+    # distinct field ids for the two names
+    ids = table._field_ids(table.metadata["current_schema_id"])
+    assert ids["tokens"] != ids["toks"]
+
+
+def test_dropped_field_id_never_reissued(table, spark):
+    """An id retired by drop_column must not be reissued to a later
+    drift column, or old files would leak the dropped data into it."""
+    from pyspark.sql import types as T
+
+    table.add_column("grade", "double")
+    table.append(
+        generate_sequences(spark, 40, seed=10, max_tok=16).withColumn(
+            "grade", F.lit(6.0)
+        )
+    )
+    grade_id = table._field_ids(table.metadata["current_schema_id"])["grade"]
+    table.drop_column("grade")
+    new_schema = T.StructType(
+        list(table.schema().fields) + [T.StructField("other", T.DoubleType())]
+    )
+    table.commit("schema-change", new_schema=new_schema)
+    ids = table._field_ids(table.metadata["current_schema_id"])
+    assert ids["other"] != grade_id
+    assert table.scan().where("other is not null").count() == 0
+
+
+def test_add_column_refuses_system_names(table):
+    with pytest.raises(ValueError, match="system"):
+        table.add_column("_olake_bucket", "int")
+
+
+def test_add_column_bad_type_string(table):
+    with pytest.raises(ValueError, match="invalid type string"):
+        table.add_column("grade", "duble")
+
+
+def test_changelog_across_rename_no_spurious_updates(table, spark):
+    """A changelog span crossing a rename must align the old side by
+    field id: rows merely moved by compaction are NOT updates."""
+    from olake_spark.operators.compaction import compact
+    from olake_spark.operators.changelog import snapshot_changes
+
+    cursor = table.current_snapshot_id
+    table.rename_column("tokens", "toks")
+    compact(table, target_file_bytes=8 * 1024 * 1024)
+    table.refresh()
+    diff = snapshot_changes(table, cursor)
+    counts = {r["_change_type"]: r["count"]
+              for r in diff.groupBy("_change_type").count().collect()}
+    assert counts == {}, counts
+
+
+def test_stream_reader_resolves_post_start_ddl(table, spark):
+    """A rename AFTER the stream started must still stream the renamed
+    column's data (by field id) under the reader's pinned names."""
+    from olake_spark.sources.datasource import OlakeStreamReader
+
+    class _Opts(dict):
+        pass
+
+    reader = OlakeStreamReader(
+        {"path": table.root, "stream_start": "latest"},
+        table.schema(),
+    )
+    start = reader.initialOffset()
+    table.rename_column("tokens", "toks")
+    table.append(
+        generate_sequences(spark, 30, seed=11, max_tok=16)
+        .withColumnRenamed("tokens", "toks")
+    )
+    end = reader.latestOffset()
+    rows = []
+    for p in reader.partitions(start, end):
+        for batch in reader.read(p):
+            rows.extend(batch.to_pylist())
+    assert len(rows) == 30
+    # pinned (pre-DDL) schema names, with real data resolved by field id
+    assert all(r["tokens"] is not None and len(r["tokens"]) > 0 for r in rows)
+
+
+def test_update_column_type_safe_widening(table, spark):
+    """int->long retype is metadata-only; old int files read back as
+    long, new writes must carry the widened type."""
+    from pyspark.sql import types as T
+
+    table.add_column("views", "int")
+    table.append(
+        generate_sequences(spark, 50, seed=12, max_tok=16).withColumn(
+            "views", F.lit(7).cast("int")
+        )
+    )
+    pre = _paths(table)
+    table.update_column_type("views", "bigint")
+    assert _paths(table) == pre  # zero rewrite
+    out = table.scan()
+    assert dict(out.dtypes)["views"] == "bigint"
+    assert out.where("views = 7").count() == 50
+    # stale-typed frame now refused
+    with pytest.raises(ValueError, match="frame column 'views'"):
+        table.append(
+            generate_sequences(spark, 5, seed=13, max_tok=16).withColumn(
+                "views", F.lit(1).cast("int")
+            )
+        )
+    # widened frame accepted
+    table.append(
+        generate_sequences(spark, 5, seed=13, max_tok=16).withColumn(
+            "views", F.lit(8).cast("bigint")
+        )
+    )
+    assert table.scan().where("views = 8").count() == 5
+
+
+def test_update_column_type_refuses_unsafe(table):
+    table.add_column("views", "bigint")
+    with pytest.raises(ValueError, match="safe widenings"):
+        table.update_column_type("views", "int")  # narrowing
+    with pytest.raises(ValueError, match="safe widenings"):
+        table.update_column_type("views", "string")  # cross-family
+    with pytest.raises(ValueError, match="already"):
+        table.update_column_type("views", "bigint")
+    with pytest.raises(ValueError, match="pruning"):
+        table.update_column_type("n_tok", "bigint")  # stats column
