@@ -173,19 +173,13 @@ def snapshot_changes(
         otherwise null-fill the renamed column on the old side and
         report every carried row as a spurious update."""
         from olake_spark.functions.reformat import coerce_to_schema
+        from olake_spark.table.format import project_by_field_id
 
         snap = table.snapshot(snapshot_id)
         if snap is not None and target_schema_sid is not None:
             m = table.evolution_projection(snap.schema_id, target_schema_sid)
             if m is not None:
-                have = set(df.columns)
-                df = df.select(
-                    *[
-                        F.col(src).alias(dst)
-                        for dst, src in m.items()
-                        if src in have
-                    ]
-                )
+                df = project_by_field_id(df, m)
         return coerce_to_schema(df, schema)
 
     def _side(files, snapshot_id, tag):

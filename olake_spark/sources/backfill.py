@@ -121,7 +121,10 @@ def chunked_backfill(
         out = with_system_columns(_ensure_doc_id(df))
         if transform is not None:
             out = transform(out)
-        outputs = table.write_data_files(out)
+        # same strict frame validation append/overwrite apply — a chunk
+        # whose columns drifted from the table schema must be refused,
+        # not silently written under the current schema_id
+        outputs = table.write_data_files(table._align_to_schema(out))
         rows = sum(o.record_count for o in outputs)
         ledger.mark_done(
             key, [o.to_dict() for o in outputs], {"rows": rows, "files_out": len(outputs)}

@@ -508,7 +508,16 @@ class OlakeStreamReader(DataSourceStreamReader):
     rows), driven by the snapshot log instead of directory listing.
     Rewrite commits (compact/cluster/materialize_deletes) add files
     without adding rows and are skipped; row-level CDC between
-    snapshots is the batch ``snapshot_changelog`` surface."""
+    snapshots is the batch ``snapshot_changelog`` surface.
+
+    Schema DDL mid-stream: the output schema is PINNED at query start
+    (Spark streaming cannot widen it). Renames/drops resolve by field
+    id — ``partitions()`` refreshes the maps driver-side when a batch
+    carries a post-start schema id. A mid-stream ``update_column_type``
+    streams under the pinned NARROWER type: values that fit cast
+    losslessly, an overflowing value fails the microbatch loudly
+    (pyarrow safe cast) — restart the query to adopt the widened
+    schema. Silent truncation never happens."""
 
     def __init__(self, options, schema: T.StructType):
         self.root = os.path.abspath(_get_opt(options, "path") or "")
@@ -573,6 +582,20 @@ class OlakeStreamReader(DataSourceStreamReader):
             for p, e in sorted(added.items()):
                 if e.content == CONTENT_DATA:
                     out.append(OlakePartition(files=[e.to_dict()]))
+        # resolve post-start DDL schema ids HERE (driver, table already
+        # loaded) so executors don't reload metadata once per file —
+        # this reader object persists across batches and its updated
+        # maps ship inside every task's pickle
+        fresh = {
+            d["schema_id"]
+            for part in out
+            for d in part.files
+        } - {int(s) for s in self.schemas_json}
+        for sid in fresh:
+            m = table.evolution_projection(sid, self.target_schema_id)
+            if m is not None:
+                self.rename_maps[sid] = m
+            self.schemas_json[str(sid)] = table.metadata["schemas"][str(sid)]
         return out or [OlakePartition()]
 
     def read(self, partition: OlakePartition):

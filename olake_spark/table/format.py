@@ -81,6 +81,53 @@ BUCKET_COL = "_olake_bucket"
 _BUCKET_SPEC_RE = re.compile(r"^bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
 
 
+def _parse_type(dtype: "str | T.DataType") -> T.DataType:
+    """DDL type-string -> DataType, working in sparkless contexts too:
+    Spark's parser needs an active session, so simple atomic names fall
+    back to a local map (pure-metadata tooling retypes/adds without a
+    JVM); genuinely invalid strings report the parse error."""
+    if not isinstance(dtype, str):
+        return dtype
+    try:
+        return T._parse_datatype_string(dtype)
+    except Exception as e:
+        atomic = {
+            c().simpleString(): c
+            for c in T._atomic_types
+            if c not in (T.CharType, T.VarcharType, T.DecimalType)
+        }.get(dtype)
+        if atomic is not None:
+            return atomic()
+        from pyspark.errors import PySparkRuntimeError
+
+        if isinstance(e, PySparkRuntimeError):
+            raise ValueError(
+                f"cannot parse type {dtype!r} without an active "
+                "SparkSession; pass a pyspark.sql.types.DataType"
+            ) from e
+        raise ValueError(f"invalid type string {dtype!r}: {e}") from e
+
+
+def project_by_field_id(
+    df: DataFrame, mapping: dict[str, str], extras: list[str] | None = None
+) -> DataFrame:
+    """Apply an ``evolution_projection`` mapping (target_name ->
+    source_name) to a frame: ONLY mapped source columns survive, renamed
+    — a dropped-then-re-added name must not fall back to name matching,
+    which would resurrect the old column's values. Shared by Table.scan
+    and the changelog's old-side alignment (the Arrow datasource carries
+    the same idiom in pyarrow form, sources/datasource.py)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(src).alias(dst)
+            for dst, src in mapping.items()
+            if src in have
+        ],
+        *(extras or []),
+    )
+
+
 def parse_partition_spec(spec: str) -> dict | None:
     """``"bucket(N,col)"`` -> ``{"type": "bucket", "n": N, "source": col}``;
     None for a plain identity column name."""
@@ -595,30 +642,7 @@ class Table:
         NULL for the new column, snapshots pinned before the DDL don't
         see it at all. A name that was dropped earlier gets a FRESH
         field id, so old data never resurrects under the new column."""
-        if isinstance(dtype, str):
-            try:
-                dtype = T._parse_datatype_string(dtype)
-            except Exception as e:
-                # sparkless context (e.g. pure-metadata tooling): only
-                # simple atomic DDL names parse; pass a T.DataType else
-                atomic = {
-                    c().simpleString(): c
-                    for c in T._atomic_types
-                    if c not in (T.CharType, T.VarcharType, T.DecimalType)
-                }.get(dtype)
-                if atomic is None:
-                    from pyspark.errors import PySparkRuntimeError
-
-                    if isinstance(e, PySparkRuntimeError):
-                        raise ValueError(
-                            f"cannot parse type {dtype!r} without an "
-                            "active SparkSession; pass a "
-                            "pyspark.sql.types.DataType"
-                        ) from e
-                    raise ValueError(
-                        f"invalid type string {dtype!r}: {e}"
-                    ) from e
-                dtype = atomic()
+        dtype = _parse_type(dtype)
         cur = self.schema()
         if name in {f.name for f in cur.fields}:
             raise ValueError(f"column {name!r} already exists")
@@ -699,11 +723,7 @@ class Table:
         already casts write-time types to the pinned schema), new writes
         must carry the widened type. Narrowing or cross-family casts are
         refused — they'd silently lose data on read."""
-        if isinstance(dtype, str):
-            try:
-                dtype = T._parse_datatype_string(dtype)
-            except Exception as e:
-                raise ValueError(f"invalid type string {dtype!r}: {e}") from e
+        dtype = _parse_type(dtype)
         cur = self.schema()
         field = next((f for f in cur.fields if f.name == name), None)
         if field is None:
@@ -1021,15 +1041,7 @@ class Table:
                     # field-id resolution (schema DDL): renamed columns
                     # read under their current name, dropped+re-added
                     # names do NOT resurrect old values
-                    have = set(part.columns)
-                    part = part.select(
-                        *[
-                            F.col(src).alias(dst)
-                            for dst, src in mapping.items()
-                            if src in have
-                        ],
-                        *(extras or []),
-                    )
+                    part = project_by_field_id(part, mapping, extras)
                 part = coerce_to_schema(part, schema, extra_cols=extras)
             app = (
                 [d for d in eq_dels if d.sequence_number >= eq_seqs[b]]

@@ -342,3 +342,32 @@ def test_maintain_branch_and_fast_forward(tmp_path, capsys, spark):
     assert Table.load(spark, dest).scan().count() == 140
     assert main(["maintain", "--dest", dest, "--op", "fast-forward",
                  "--ref", "nope", "--cpus", "8"]) == 2
+
+
+def test_sync_survives_source_schema_drift(tmp_path, capsys, spark):
+    """A recurring sync whose source gained a column must evolve the
+    table schema (reference Fields.Process) instead of crashing on the
+    strict frame validation."""
+    src_dir = str(tmp_path / "src")
+    dest = str(tmp_path / "tbl")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base.write.parquet(os.path.join(src_dir, "docs.parquet"))
+    assert main(["sync", "--source", os.path.join(src_dir, "docs.parquet"),
+                 "--dest", dest, "--cpus", "8"]) == 0
+    _lines(capsys)
+
+    # source drifts: a new column appears
+    from pyspark.sql import functions as F
+
+    base.withColumn("lang_score", F.lit(0.5)).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "docs.parquet")
+    )
+    assert main(["sync", "--source", os.path.join(src_dir, "docs.parquet"),
+                 "--dest", dest, "--cpus", "8"]) == 0
+    msgs = {m["type"]: m for m in _lines(capsys)}
+    assert msgs["STATE"]["rows"] == 500
+    from olake_spark.table import Table
+
+    t = Table.load(spark, dest)
+    assert "lang_score" in [f.name for f in t.schema().fields]
+    assert t.scan().where("lang_score = 0.5").count() == 500

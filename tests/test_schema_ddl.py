@@ -285,9 +285,6 @@ def test_stream_reader_resolves_post_start_ddl(table, spark):
     column's data (by field id) under the reader's pinned names."""
     from olake_spark.sources.datasource import OlakeStreamReader
 
-    class _Opts(dict):
-        pass
-
     reader = OlakeStreamReader(
         {"path": table.root, "stream_start": "latest"},
         table.schema(),
