@@ -471,6 +471,8 @@ def _metadata_rows(root: str, partition: OlakePartition, snapshot_id):
         yield from mt.snapshot_rows(table)
     elif kind == "history":
         yield from mt.history_rows(table)
+    elif kind == "schemas":
+        yield from mt.schemas_rows(table)
     elif kind == "refs":
         yield from mt.refs_rows(table)
     elif kind == "manifests":
@@ -813,6 +815,7 @@ class OlakeDataSource(DataSource):
                 "delete_files": mt.FILES_SCHEMA,
                 "manifests": mt.MANIFESTS_SCHEMA,
                 "partitions": mt.PARTITIONS_SCHEMA,
+                "schemas": mt.SCHEMAS_SCHEMA,
             }
             try:
                 return schemas[kind]

@@ -42,6 +42,7 @@ METADATA_KINDS = (
     "delete_files",
     "manifests",
     "partitions",
+    "schemas",
 )
 
 SNAPSHOTS_SCHEMA = T.StructType(
@@ -162,6 +163,32 @@ def refs_rows(table: Table) -> list[tuple]:
     return out
 
 
+SCHEMAS_SCHEMA = T.StructType(
+    [
+        T.StructField("schema_id", T.IntegerType()),
+        T.StructField("is_current", T.BooleanType()),
+        T.StructField("field_id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+    ]
+)
+
+
+def schemas_rows(table: Table) -> list[tuple]:
+    """One row per (schema version, field) with the field id — the DDL
+    audit surface: renames show as the same field_id under a new name,
+    drop+re-add as two distinct ids sharing a name across versions."""
+    cur = table.metadata["current_schema_id"]
+    out = []
+    for s in sorted(int(k) for k in table.metadata["schemas"]):
+        ids = table._field_ids(s)
+        for f in table.schema(s).fields:
+            out.append(
+                (s, s == cur, ids[f.name], f.name, f.dataType.simpleString())
+            )
+    return out
+
+
 def manifests_rows(table: Table, snapshot_id: int | None = None) -> list[tuple]:
     snap = table.snapshot(snapshot_id)
     if snap is None:
@@ -255,6 +282,8 @@ def metadata_df(
         return spark.createDataFrame(history_rows(table), HISTORY_SCHEMA)
     if kind == "refs":
         return spark.createDataFrame(refs_rows(table), REFS_SCHEMA)
+    if kind == "schemas":
+        return spark.createDataFrame(schemas_rows(table), SCHEMAS_SCHEMA)
     if kind == "manifests":
         return spark.createDataFrame(
             manifests_rows(table, snapshot_id), MANIFESTS_SCHEMA

@@ -123,7 +123,7 @@ def test_time_travel_options(spark, table):
 
 def test_metadata_kinds_parity(spark, table):
     for kind in ("snapshots", "history", "refs", "files", "delete_files",
-                 "manifests", "partitions"):
+                 "manifests", "partitions", "schemas"):
         ds = (
             spark.read.format("olake")
             .option("metadata", kind)

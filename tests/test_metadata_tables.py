@@ -107,3 +107,30 @@ def test_metadata_time_travel_and_bad_kind(spark, table):
     with pytest.raises(ValueError, match="unknown metadata kind"):
         metadata_df(table, "nope")
     assert set(METADATA_KINDS) >= {"snapshots", "files", "partitions"}
+
+
+def test_schemas_table_shows_ddl_lineage(spark, tmp_path_factory):
+    from olake_spark.datagen import generate_sequences
+
+    root = tmp_path_factory.mktemp("meta_schemas")
+    t = Table.create(spark, str(root / "tbl"))
+    t.append(generate_sequences(spark, 100, seed=3, max_tok=16))
+    t.rename_column("tokens", "toks")
+    t.add_column("grade", "double")
+    rows = metadata_df(t, "schemas").collect()
+    by_sid = {}
+    for r in rows:
+        by_sid.setdefault(r.schema_id, {})[r.name] = (r.field_id, r.is_current)
+    # rename keeps the field id across versions
+    assert by_sid[0]["tokens"][0] == by_sid[2]["toks"][0]
+    # only the latest schema is current
+    assert all(c for _, c in by_sid[2].values())
+    assert not any(c for _, c in by_sid[0].values())
+    assert "grade" in by_sid[2] and "grade" not in by_sid[0]
+    # datasource surface agrees
+    spark.dataSource.register(__import__(
+        "olake_spark.sources.datasource", fromlist=["OlakeDataSource"]
+    ).OlakeDataSource)
+    d = (spark.read.format("olake").option("metadata", "schemas")
+         .load(t.root))
+    assert sorted(map(tuple, d.collect())) == sorted(map(tuple, rows))
