@@ -124,7 +124,7 @@ def chunked_backfill(
         # same strict frame validation append/overwrite apply — a chunk
         # whose columns drifted from the table schema must be refused,
         # not silently written under the current schema_id
-        outputs = table.write_data_files(table._align_to_schema(out))
+        outputs = table.write_data_files(table.align_to_schema(out))
         rows = sum(o.record_count for o in outputs)
         ledger.mark_done(
             key, [o.to_dict() for o in outputs], {"rows": rows, "files_out": len(outputs)}

@@ -1626,14 +1626,14 @@ class Table:
         self._check_distribute_input(df, distribute)
         files = self.write_data_files(
             self._distribute(
-                self._align_to_schema(self._complete_system_columns(df)),
+                self.align_to_schema(self._complete_system_columns(df)),
                 distribute,
             ),
             max_records_per_file,
         )
         return self.commit("append", added=files, branch=branch)
 
-    def _align_to_schema(self, df: DataFrame) -> DataFrame:
+    def align_to_schema(self, df: DataFrame) -> DataFrame:
         """Refuse frames whose columns don't match the CURRENT schema —
         the file is stamped with the current schema_id, so a stale-named
         frame (e.g. built before a rename_column) would claim one schema
@@ -1908,7 +1908,7 @@ class Table:
         self._check_distribute_input(df, distribute)
         files = self.write_data_files(
             self._distribute(
-                self._align_to_schema(self._complete_system_columns(df)),
+                self.align_to_schema(self._complete_system_columns(df)),
                 distribute,
             ),
             max_records_per_file,

@@ -371,3 +371,54 @@ def test_sync_survives_source_schema_drift(tmp_path, capsys, spark):
     t = Table.load(spark, dest)
     assert "lang_score" in [f.name for f in t.schema().fields]
     assert t.scan().where("lang_score = 0.5").count() == 500
+
+
+def test_sync_drift_safe_widening_and_refusals(tmp_path, capsys, spark):
+    """Safe type widenings auto-apply through the guarded DDL; vanished
+    columns and unsafe retypes end as clean ERROR envelopes (rc 2), not
+    tracebacks or silent table mangling."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.table import Table
+
+    src_dir = str(tmp_path / "src")
+    dest = str(tmp_path / "tbl")
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = os.path.join(src_dir, "docs.parquet")
+    base.withColumn("views", F.lit(3).cast("int")).write.parquet(path)
+    assert main(["sync", "--source", path, "--dest", dest, "--cpus", "8"]) == 0
+    _lines(capsys)
+
+    # safe widening int -> bigint: auto-promoted
+    base.withColumn("views", F.lit(4).cast("bigint")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert main(["sync", "--source", path, "--dest", dest, "--cpus", "8"]) == 0
+    _lines(capsys)
+    t = Table.load(spark, dest)
+    assert dict(t.scan().dtypes)["views"] == "bigint"
+    assert t.scan().where("views = 4").count() == 500
+
+    # narrower batch against the widened table: coerced, no DDL
+    pre_sid = t.metadata["current_schema_id"]
+    base.withColumn("views", F.lit(5).cast("int")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    assert main(["sync", "--source", path, "--dest", dest, "--cpus", "8"]) == 0
+    _lines(capsys)
+    t.refresh()
+    assert t.metadata["current_schema_id"] == pre_sid
+    assert t.scan().where("views = 5").count() == 500
+
+    # vanished column: refused cleanly, table untouched
+    base.write.mode("overwrite").parquet(path)
+    assert main(["sync", "--source", path, "--dest", dest, "--cpus", "8"]) == 2
+    msgs = [m for m in _lines(capsys) if m["type"] == "ERROR"]
+    assert msgs and "lost columns" in msgs[0]["message"]
+    assert Table.load(spark, dest).scan().where("views = 5").count() == 500
+
+    # unsafe retype: refused through the DDL whitelist
+    base.withColumn("views", F.lit("x")).write.mode("overwrite").parquet(path)
+    assert main(["sync", "--source", path, "--dest", dest, "--cpus", "8"]) == 2
+    msgs = [m for m in _lines(capsys) if m["type"] == "ERROR"]
+    assert msgs and "safe widenings" in msgs[0]["message"]
