@@ -193,3 +193,27 @@ def test_maintain_cli_cherry_pick_and_add_files(spark, tmp_path, capsys):
     out = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert any(m.get("op") == "add-files" for m in out)
     assert t.refresh().scan().count() == 195
+
+
+def test_cherry_pick_across_schema_ddl(spark, tmp_path):
+    """A snapshot staged under the OLD schema cherry-picks onto a main
+    that renamed a column meanwhile: its entries keep their write-time
+    schema_id, so the scan resolves the staged files by field id."""
+    t = _base_table(spark, tmp_path / "t", rows=100, seed=40)
+    t.set_ref("audit", ref_type="branch")
+    t.append(generate_sequences(spark, 40, seed=41).repartition(1),
+             branch="audit")
+    t = t.refresh()
+    head = t.refs["audit"]["snapshot_id"]
+    expected = (
+        t.scan(ref="audit").selectExpr("sum(size(tokens))").first()[0]
+        - t.scan().selectExpr("sum(size(tokens))").first()[0]
+    )
+    t.rename_column("tokens", "toks")
+    t.cherry_pick(head)
+    out = t.refresh().scan()
+    assert out.count() == 140
+    assert "toks" in out.columns and "tokens" not in out.columns
+    # the 40 replayed rows' token arrays survive under the new name
+    base = t.scan(snapshot_id=1).selectExpr("sum(size(tokens))").first()[0]
+    assert out.selectExpr("sum(size(toks))").first()[0] == base + expected
