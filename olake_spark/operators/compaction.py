@@ -49,22 +49,33 @@ DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 _MIXED = "__mixed__"
 
 def _small_files_distributed(
-    table: Table, snap, small_bytes: int
+    table: Table,
+    snap,
+    small_bytes: int,
+    sources: list[str] | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> list[DataFile]:
     """Small-file candidates via the manifest-entries frame: shards parse
-    in executors, the size filter runs in Catalyst, and the driver
-    collects only the files compaction will actually rewrite."""
+    in executors, the size and predicate filters run in Catalyst, and the
+    driver collects only the files compaction will actually rewrite."""
     import json as _json
 
     from pyspark.sql import functions as F
 
-    from olake_spark.table.manifest_df import manifest_entries_df
-
-    rows = (
-        manifest_entries_df(table, snap.snapshot_id)
-        .filter(F.col("file_size_bytes") < small_bytes)
-        .collect()
+    from olake_spark.table.manifest_df import (
+        manifest_entries_df,
+        prune_files_df,
     )
+
+    ent = manifest_entries_df(table, snap.snapshot_id)
+    if sources is not None or where:
+        first_spec = table.metadata.get(
+            "partition_spec_log", [table.partition_col]
+        )[0]
+        ent = prune_files_df(
+            ent, sources=sources, ranges=where, first_spec_col=first_spec
+        )
+    rows = ent.filter(F.col("file_size_bytes") < small_bytes).collect()
     return sorted(
         (
             DataFile(
@@ -277,8 +288,19 @@ def compact(
     job_id: str | None = None,
     mode: str = "binpack",
     distributed_planning: bool | None = None,
+    sources: list[str] | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> CompactionResult:
     """Rewrite small files into ~``target_file_bytes`` files.
+
+    ``sources`` / ``where`` scope the rewrite (Iceberg's
+    rewrite_data_files filter): only candidate files whose partition
+    value or min/max stats overlap survive planning — at fleet scale you
+    compact the hot partition on its ingest cadence, not the whole
+    table. ``where`` maps a stats column to a closed ``(lo, hi)`` range;
+    files without stats for the column are conservatively kept. Exact
+    row-level scoping is unnecessary: compaction rewrites whole files,
+    so a file straddling the boundary is simply rewritten whole.
 
     mode='binpack' (default, matches Iceberg rewrite_data_files binpack):
     ZERO-shuffle — the parquet scan itself packs small files into
@@ -303,10 +325,14 @@ def compact(
     if max_group_bytes is None:
         max_group_bytes = 64 * target_file_bytes
 
+    scope = ""
+    if sources is not None or where:
+        scope = f":{sorted(sources or [])}:{sorted((where or {}).items())}"
     jid = job_id or _job_id(
         "compact",
         snap.snapshot_id,
-        f"{target_file_bytes}:{small_file_ratio}:{min_group_files}:{max_group_bytes}:{mode}",
+        f"{target_file_bytes}:{small_file_ratio}:{min_group_files}"
+        f":{max_group_bytes}:{mode}{scope}",
     )
     ledger = Ledger.for_job(table.root, jid)
     if ledger.committed_snapshot_id is not None:
@@ -328,9 +354,23 @@ def compact(
     if use_dist is None:
         use_dist = len(snap.manifests) >= _DISTRIBUTED_PLANNING_MIN_SHARDS
     if use_dist:
-        files = _small_files_distributed(table, snap, small_bytes)
+        files = _small_files_distributed(
+            table, snap, small_bytes, sources=sources, where=where
+        )
     else:
         files = table.files(snap.snapshot_id)
+        if sources is not None:
+            files = [
+                f
+                for f in files
+                if (
+                    pv in sources
+                    if (pv := table.partition_value(f, "source")) is not None
+                    else any(f.may_contain("source", s) for s in sources)
+                )
+            ]
+        for col, (lo, hi) in (where or {}).items():
+            files = [f for f in files if f.overlaps(col, lo, hi)]
     groups = plan_groups(files, small_bytes, min_group_files, max_group_bytes)
     if not groups:
         return CompactionResult(job_id=jid, snapshot_id=None, skipped=True)

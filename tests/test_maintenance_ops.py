@@ -518,3 +518,60 @@ def test_incremental_clustering_rewrites_only_churn(spark, tmp_path):
         since_snapshot_id=t.current_snapshot_id,
     )
     assert res2.skipped
+
+
+def test_compaction_scoped_by_sources_and_range(spark, tmp_path, seq_df):
+    """Predicate-scoped rewrite (Iceberg rewrite_data_files filter):
+    only files overlapping the scope are rewritten; everything else
+    keeps its path, and the table's rows are untouched either way."""
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    # two partition-pure appends -> 2 small files per source (exact
+    # routing writes one file per source per append), so every source
+    # forms a compactable group
+    t.append(seq_df.repartition(30), distribute="partition")
+    t.append(seq_df.repartition(30), distribute="partition")
+    before = t.scan().cache()
+    before.count()
+    srcs = sorted({f.partition for f in t.files() if f.partition})
+    hot = srcs[0]
+    untouched_before = {
+        f.path for f in t.files() if f.partition and f.partition != hot
+    }
+    res = compact(t, target_file_bytes=4 << 20, sources=[hot])
+    assert not res.skipped
+    t.refresh()
+    after = {f.path for f in t.files()}
+    assert untouched_before <= after  # other sources never rewritten
+    assert all(
+        f.partition != hot or f.path not in untouched_before
+        for f in t.files()
+    )
+    assert _tokens_equal(t.scan(), before)
+
+    # range scoping: compact only the low-n_tok tail; job ids differ so
+    # the scoped job doesn't collide with a prior full compact
+    t2 = Table.create(spark, str(tmp_path / "tbl2"))
+    t2.append(seq_df.repartition(30))
+    t2_before = t2.scan().cache()
+    t2_before.count()
+    compact(t2, target_file_bytes=4 << 20, where={"n_tok": (8, 16)})
+    t2.refresh()
+    assert _tokens_equal(t2.scan(), t2_before)
+    t2_before.unpersist()
+    # distributed planning path agrees on the candidate set
+    t3 = Table.create(spark, str(tmp_path / "tbl3"))
+    t3.append(seq_df.repartition(30), distribute="partition")
+    t3.append(seq_df.repartition(30), distribute="partition")
+    r_local = compact(
+        t3, target_file_bytes=4 << 20, sources=[hot],
+        distributed_planning=False, job_id="scoped-local",
+    )
+    assert r_local.input_files > 0
+    t4 = Table.create(spark, str(tmp_path / "tbl4"))
+    t4.append(seq_df.repartition(30), distribute="partition")
+    t4.append(seq_df.repartition(30), distribute="partition")
+    r_dist = compact(
+        t4, target_file_bytes=4 << 20, sources=[hot],
+        distributed_planning=True, job_id="scoped-dist",
+    )
+    assert r_dist.input_files == r_local.input_files
