@@ -86,6 +86,11 @@ def _small_files_distributed(
                 stats=_json.loads(r.stats),
                 schema_id=r.schema_id,
                 spec_col=r.spec_col,
+                # an unset sequence number (0) would spuriously attract
+                # EVERY equality delete in the rewrite scan and silently
+                # drop upserted rows from the committed output
+                sequence_number=r.sequence_number or 0,
+                content=r.content or "data",
             )
             for r in rows
         ),
@@ -327,7 +332,10 @@ def compact(
 
     scope = ""
     if sources is not None or where:
-        scope = f":{sorted(sources or [])}:{sorted((where or {}).items())}"
+        # None vs [] must hash differently: 'no source filter' and
+        # 'compact zero sources' are distinct jobs in the resume ledger
+        src_key = "None" if sources is None else str(sorted(sources))
+        scope = f":{src_key}:{sorted((where or {}).items())}"
     jid = job_id or _job_id(
         "compact",
         snap.snapshot_id,
@@ -358,19 +366,9 @@ def compact(
             table, snap, small_bytes, sources=sources, where=where
         )
     else:
-        files = table.files(snap.snapshot_id)
-        if sources is not None:
-            files = [
-                f
-                for f in files
-                if (
-                    pv in sources
-                    if (pv := table.partition_value(f, "source")) is not None
-                    else any(f.may_contain("source", s) for s in sources)
-                )
-            ]
-        for col, (lo, hi) in (where or {}).items():
-            files = [f for f in files if f.overlaps(col, lo, hi)]
+        files = table.prune_files(
+            table.files(snap.snapshot_id), sources=sources, ranges=where
+        )
     groups = plan_groups(files, small_bytes, min_group_files, max_group_bytes)
     if not groups:
         return CompactionResult(job_id=jid, snapshot_id=None, skipped=True)

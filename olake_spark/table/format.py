@@ -496,6 +496,38 @@ class Table:
             raise KeyError(f"ref {name!r} not found")
         self._persist_mutation(lambda: self.metadata["refs"].pop(name))
 
+    def prune_files(
+        self,
+        files: list[DataFile],
+        sources: list[str] | None = None,
+        ranges: dict[str, tuple] | None = None,
+    ) -> list[DataFile]:
+        """Driver-side file pruning with the SAME predicates as the
+        Catalyst-side ``manifest_df.prune_files_df`` — the one place the
+        local semantics live (Table.scan and scoped compaction both call
+        this; the distributed planners call prune_files_df):
+
+        - ``sources``: identity-partition prune only when the file's
+          spec col IS "source" (post-evolution files may partition by a
+          different column; legacy entries resolve to the FIRST spec);
+          otherwise min/max stats prune exactly.
+        - ``ranges``: {column: (lo, hi)} closed-interval min/max overlap
+          prune; files without stats for a column are kept."""
+        out = files
+        if sources is not None:
+            out = [
+                f
+                for f in out
+                if (
+                    pv in sources
+                    if (pv := self.partition_value(f, "source")) is not None
+                    else any(f.may_contain("source", s) for s in sources)
+                )
+            ]
+        for col, (lo, hi) in (ranges or {}).items():
+            out = [f for f in out if f.overlaps(col, lo, hi)]
+        return out
+
     def partition_value(self, f: DataFile, col: str) -> str | None:
         """``f.partition`` when the file's partition spec column is
         ``col``, else None. Files from manifests predating spec
@@ -944,24 +976,12 @@ class Table:
         schema = self.schema(snap.schema_id if snap else None)
         target_sid = snap.schema_id if snap else self.metadata["current_schema_id"]
         cand = files if files is not None else self.files(snapshot_id)
-        if sources is not None:
-            cand = [
-                f
-                for f in cand
-                # identity-partition prune only when the file's spec col
-                # IS "source" (post-evolution files may partition by a
-                # different column; legacy entries resolve to the FIRST
-                # spec); otherwise min/max stats prune exactly
-                if (
-                    pv in sources
-                    if (pv := self.partition_value(f, "source")) is not None
-                    else any(f.may_contain("source", s) for s in sources)
-                )
-            ]
+        ranges = {}
         if doc_id_range is not None:
-            cand = [f for f in cand if f.overlaps("doc_id", *doc_id_range)]
+            ranges["doc_id"] = doc_id_range
         if n_tok_range is not None:
-            cand = [f for f in cand if f.overlaps("n_tok", *n_tok_range)]
+            ranges["n_tok"] = n_tok_range
+        cand = self.prune_files(cand, sources=sources, ranges=ranges)
         if not cand:
             if with_position:
                 schema = T.StructType(

@@ -554,8 +554,17 @@ def test_compaction_scoped_by_sources_and_range(spark, tmp_path, seq_df):
     t2.append(seq_df.repartition(30))
     t2_before = t2.scan().cache()
     t2_before.count()
-    compact(t2, target_file_bytes=4 << 20, where={"n_tok": (8, 16)})
+    out_of_range = {
+        f.path for f in t2.files() if not f.overlaps("n_tok", 8, 16)
+    }
+    in_range = [f for f in t2.files() if f.overlaps("n_tok", 8, 16)]
+    res2 = compact(t2, target_file_bytes=4 << 20, where={"n_tok": (8, 16)})
     t2.refresh()
+    assert not res2.skipped
+    assert res2.input_files == len(in_range)
+    # files outside the range keep their exact paths — a where filter
+    # that silently matched everything would rewrite them
+    assert out_of_range <= {f.path for f in t2.files()}
     assert _tokens_equal(t2.scan(), t2_before)
     t2_before.unpersist()
     # distributed planning path agrees on the candidate set
@@ -575,3 +584,48 @@ def test_compaction_scoped_by_sources_and_range(spark, tmp_path, seq_df):
         distributed_planning=True, job_id="scoped-dist",
     )
     assert r_dist.input_files == r_local.input_files
+
+
+def test_distributed_compaction_preserves_mor_upserts(spark, tmp_path, seq_df):
+    """Review finding: the distributed planner reconstructed DataFile
+    without sequence_number, so every equality delete applied to every
+    candidate and upserted rows vanished from the committed rewrite."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(seq_df.repartition(10))
+    # MoR upsert: eq-delete kills the old row version at seq N, the new
+    # version lands in a data file at the SAME seq (deletes apply only
+    # to strictly-older files)
+    changes = (
+        t.scan().select(*DATA_COLUMNS).orderBy("doc_id").limit(50)
+        .withColumn("n_tok", F.lit(4))
+        .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    merge_into(t, changes, target_file_bytes=4 << 20, mode="mor")
+    t.refresh()
+    before = t.scan().cache()
+    n = before.count()
+    upserted = before.where("n_tok = 4").count()
+    assert upserted == 50
+    n_files = len(t.files())
+    # min_group_files=1 forces the upsert file (alone in its partition
+    # bucket) into the rewrite — it is the ONLY file whose sequence
+    # number distinguishes applicable deletes, so leaving it out would
+    # make this test pass even with the bug present
+    res = compact(
+        t, target_file_bytes=64 << 20, distributed_planning=True,
+        min_group_files=1,
+    )
+    assert not res.skipped
+    assert res.input_files == n_files
+    t.refresh()
+    assert t.scan().count() == n
+    # the upserted versions must survive the rewrite
+    assert t.scan().where("n_tok = 4").count() == 50
+    assert _tokens_equal(t.scan(), before)
+    before.unpersist()
