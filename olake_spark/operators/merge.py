@@ -558,7 +558,7 @@ def _candidates_from_manifests_distributed(
         )
         rows = cand_df.select(
             "path", "record_count", "file_size_bytes", "partition",
-            "schema_id", "spec_col", "stats",
+            "schema_id", "spec_col", "stats", "sequence_number", "content",
         ).collect()
     finally:
         ent.unpersist()
@@ -572,6 +572,11 @@ def _candidates_from_manifests_distributed(
                 stats=_json.loads(r.stats),
                 schema_id=r.schema_id,
                 spec_col=r.spec_col,
+                # an unset sequence number (0) would spuriously attract
+                # EVERY equality delete when the apply step scans the
+                # candidates — silently dropping previously-upserted rows
+                sequence_number=r.sequence_number or 0,
+                content=r.content or "data",
             )
             for r in rows
         ),

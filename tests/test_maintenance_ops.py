@@ -629,3 +629,44 @@ def test_distributed_compaction_preserves_mor_upserts(spark, tmp_path, seq_df):
     assert t.scan().where("n_tok = 4").count() == 50
     assert _tokens_equal(t.scan(), before)
     before.unpersist()
+
+
+def test_distributed_merge_discovery_preserves_mor_upserts(
+    spark, tmp_path, seq_df
+):
+    """Same bug class as distributed compaction: merge's distributed
+    candidate discovery must carry sequence numbers, or the CoW apply
+    scan over-applies live equality deletes and drops upserted rows."""
+    from pyspark.sql import functions as F
+
+    from olake_spark.operators.merge import merge_into
+    from olake_spark.schema import CDC_DELETED_AT, DATA_COLUMNS
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(seq_df.repartition(8))
+    # round 1: MoR upsert leaves a live eq-delete + an upsert file
+    up1 = (
+        t.scan().select(*DATA_COLUMNS).orderBy("doc_id").limit(40)
+        .withColumn("n_tok", F.lit(4))
+        .withColumn("tokens", F.expr("slice(tokens, 1, 4)"))
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    merge_into(t, up1, target_file_bytes=4 << 20, mode="mor")
+    t.refresh()
+    n = t.scan().count()
+    # round 2: CoW merge with DISTRIBUTED discovery touching the
+    # upserted keys — their file must keep its sequence number or the
+    # apply scan kills the round-1 versions before rewriting
+    up2 = (
+        t.scan().select(*DATA_COLUMNS).orderBy("doc_id").limit(40)
+        .withColumn("n_tok", F.lit(5))
+        .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
+    )
+    res = merge_into(
+        t, up2, target_file_bytes=4 << 20, distributed_planning=True
+    )
+    t.refresh()
+    assert res.updated == 40
+    assert t.scan().count() == n
+    assert t.scan().where("n_tok = 5").count() == 40
+    assert t.scan().where("n_tok = 4").count() == 0
