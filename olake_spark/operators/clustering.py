@@ -230,6 +230,8 @@ def cluster(
     max_group_bytes: int | None = None,
     scope: str = "global",
     since_snapshot_id: int | None = None,
+    sources: list[str] | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> ClusterResult:
     """Rewrite the snapshot clustered by a space-filling curve.
 
@@ -247,6 +249,12 @@ def cluster(
     maintenance from O(table) into O(churn) per cycle. The result is
     per-file locality, not a global re-sort — identical to Iceberg's
     rewrite_data_files with a file filter.
+
+    ``sources`` / ``where`` scope the rewrite exactly like
+    ``compact(sources=, where=)``: candidates are pruned by partition
+    value / min-max stats before grouping (``Table.prune_files``), so
+    the hot partition re-clusters on its own cadence. Composes with
+    ``since_snapshot_id`` (scope the churn, not just the table).
 
     Resumable: the input file set is split into ledger groups by
     cumulative bytes (per-source scope groups by partition first); each
@@ -270,7 +278,13 @@ def cluster(
     jid = job_id or _job_id(
         "cluster",
         snap.snapshot_id,
-        f"{curve}:{spec_sig}:{target_file_bytes}:{scope}:{since_snapshot_id}",
+        f"{curve}:{spec_sig}:{target_file_bytes}:{scope}:{since_snapshot_id}"
+        + (
+            f":{'None' if sources is None else str(sorted(sources))}"
+            f":{sorted((where or {}).items())}"
+            if sources is not None or where
+            else ""
+        ),
     )
     ledger = Ledger.for_job(table.root, jid)
     if ledger.committed_snapshot_id is not None:
@@ -301,6 +315,8 @@ def cluster(
         )
     else:
         files = sorted(table.files(snap.snapshot_id), key=lambda f: f.path)
+    if sources is not None or where:
+        files = table.prune_files(files, sources=sources, ranges=where)
     if not files:
         return ClusterResult(job_id=jid, snapshot_id=None, curve=curve, skipped=True)
 

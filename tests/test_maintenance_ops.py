@@ -670,3 +670,24 @@ def test_distributed_merge_discovery_preserves_mor_upserts(
     assert t.scan().count() == n
     assert t.scan().where("n_tok = 5").count() == 40
     assert t.scan().where("n_tok = 4").count() == 0
+
+
+def test_scoped_clustering(spark, tmp_path, seq_df):
+    """cluster(sources=) rewrites only the scoped partition's files."""
+    from olake_spark.operators.clustering import cluster
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(seq_df.repartition(20), distribute="partition")
+    before = t.scan().cache()
+    before.count()
+    hot = sorted({f.partition for f in t.files() if f.partition})[0]
+    cold = {f.path for f in t.files() if f.partition != hot}
+    res = cluster(
+        t, curve="zorder", target_file_bytes=4 << 20, sources=[hot],
+        scope="per-source",
+    )
+    assert not res.skipped
+    t.refresh()
+    assert cold <= {f.path for f in t.files()}
+    assert _tokens_equal(t.scan(), before)
+    before.unpersist()
