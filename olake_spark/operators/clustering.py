@@ -35,6 +35,7 @@ from olake_spark.operators.compaction import (
     DEFAULT_TARGET_FILE_BYTES,
     _job_id,
     commit_rewrite,
+    scope_key,
 )
 from olake_spark.plans.ledger import Ledger
 from olake_spark.table.format import (
@@ -279,12 +280,7 @@ def cluster(
         "cluster",
         snap.snapshot_id,
         f"{curve}:{spec_sig}:{target_file_bytes}:{scope}:{since_snapshot_id}"
-        + (
-            f":{'None' if sources is None else str(sorted(sources))}"
-            f":{sorted((where or {}).items())}"
-            if sources is not None or where
-            else ""
-        ),
+        + scope_key(sources, where),
     )
     ledger = Ledger.for_job(table.root, jid)
     if ledger.committed_snapshot_id is not None:

@@ -48,6 +48,19 @@ from olake_spark.table.format import DataFile, Table
 DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 _MIXED = "__mixed__"
 
+def scope_key(
+    sources: list[str] | None, where: dict[str, tuple] | None
+) -> str:
+    """Job-id suffix for a (sources, where) rewrite scope, shared by
+    compact() and cluster() so both encode scopes identically in the
+    resume ledger. None vs [] must hash differently: 'no source filter'
+    and 'compact zero sources' are distinct jobs."""
+    if sources is None and not where:
+        return ""
+    src_key = "None" if sources is None else str(sorted(sources))
+    return f":{src_key}:{sorted((where or {}).items())}"
+
+
 def _small_files_distributed(
     table: Table,
     snap,
@@ -330,12 +343,7 @@ def compact(
     if max_group_bytes is None:
         max_group_bytes = 64 * target_file_bytes
 
-    scope = ""
-    if sources is not None or where:
-        # None vs [] must hash differently: 'no source filter' and
-        # 'compact zero sources' are distinct jobs in the resume ledger
-        src_key = "None" if sources is None else str(sorted(sources))
-        scope = f":{src_key}:{sorted((where or {}).items())}"
+    scope = scope_key(sources, where)
     jid = job_id or _job_id(
         "compact",
         snap.snapshot_id,

@@ -681,6 +681,7 @@ def test_scoped_clustering(spark, tmp_path, seq_df):
     before = t.scan().cache()
     before.count()
     hot = sorted({f.partition for f in t.files() if f.partition})[0]
+    hot_paths = {f.path for f in t.files() if f.partition == hot}
     cold = {f.path for f in t.files() if f.partition != hot}
     res = cluster(
         t, curve="zorder", target_file_bytes=4 << 20, sources=[hot],
@@ -688,6 +689,10 @@ def test_scoped_clustering(spark, tmp_path, seq_df):
     )
     assert not res.skipped
     t.refresh()
-    assert cold <= {f.path for f in t.files()}
+    after = {f.path for f in t.files()}
+    assert cold <= after
+    # EVERY hot file was selected and rewritten — a prune regression
+    # that silently drops in-scope files must not pass
+    assert hot_paths.isdisjoint(after)
     assert _tokens_equal(t.scan(), before)
     before.unpersist()
