@@ -114,6 +114,66 @@ def _split_density_chunks(spark, sf_dir):
     )
 
 
+def _split_suite(spark, sf_dir):
+    # S3+S7 as one variant-tagged probe (driver artifact caps at the
+    # first 50 queries() entries; same consolidation pattern as
+    # cursor_suite / join_aggregates — every constituent still verified
+    # by the composed oracle)
+    b = _split_bounds(spark, sf_dir).select(
+        F.lit("bounds").alias("variant"),
+        F.col("bucket").cast("bigint").alias("idx"),
+        F.col("lo").cast("bigint").alias("lo"),
+        F.col("hi").cast("bigint").alias("hi"),
+        F.col("cnt").cast("bigint").alias("n"),
+    )
+    d = _split_density_chunks(spark, sf_dir).select(
+        F.lit("density").alias("variant"),
+        F.col("chunk_idx").cast("bigint").alias("idx"),
+        F.lit(None).cast("bigint").alias("lo"),
+        F.lit(None).cast("bigint").alias("hi"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    return b.unionByName(d)
+
+
+def _ddl_evolution_scan(spark, sf_dir):
+    # Schema DDL end-to-end under the DRIVER gate: build a table from
+    # documents, add a column, append a second batch carrying it, rename
+    # it (field-id resolution reads batch-2 values under the new name
+    # with zero rewrite), then re-add the old name as a FRESH field —
+    # which must read NULL everywhere, never resurrect. The oracle
+    # derives the exact expected end-state from the deterministic
+    # n_chars%2 batch split.
+    import hashlib
+    import shutil
+    import tempfile
+
+    from olake_spark.table import Table
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"olake_ddl_{digest}_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    b1 = d.filter(F.col("n_chars") % 2 == 0)
+    b2 = d.filter(F.col("n_chars") % 2 == 1)
+    t = Table.create(
+        spark, root, schema=b1.schema, partition_col="lang",
+        stats_columns=["doc_id", "lang"],
+    )
+    t.append(b1)
+    t.add_column("quality", "double")
+    t.append(
+        b2.withColumn(
+            "quality", (F.col("n_chars") % 7).cast("double") / F.lit(7.0)
+        )
+    )
+    t.rename_column("quality", "q_score")
+    t.add_column("quality", "double")  # fresh field id: NULL everywhere
+    return t.scan().select("doc_id", "lang", "n_chars", "q_score", "quality")
+
+
 def _planning_stats(spark, sf_dir):
     # S8: planning scalars count/min/max per group
     li = _t(spark, sf_dir, "lineitem")
@@ -1525,8 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_resolution": _near_dup_resolution,
         "q1_pricing_summary": _q1_pricing_summary,
         "range_scan": _range_scan,
-        "split_bounds": _split_bounds,
-        "split_density_chunks": _split_density_chunks,
+        "split_suite": _split_suite,
+        "ddl_evolution_scan": _ddl_evolution_scan,
         "planning_stats": _planning_stats,
         "key_hash": _key_hash,
         "flatten_props": _flatten_props,
@@ -1602,25 +1662,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
             FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
         """,
-        "split_bounds": """
+        "split_suite": """
             WITH b AS (
               SELECT o_orderkey, ntile(8) OVER (ORDER BY o_orderkey) AS bucket
               FROM orders
-            )
-            SELECT bucket, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
-                   count(*) AS cnt
-            FROM b GROUP BY bucket
-        """,
-        "split_density_chunks": """
-            WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
-            b AS (SELECT min(es) AS lo, max(es) AS hi FROM e),
+            ),
+            bounds AS (
+              SELECT 'bounds' AS variant, CAST(bucket AS BIGINT) AS idx,
+                     min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+                     count(*) AS n
+              FROM b GROUP BY bucket
+            ),
+            e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+            mm AS (SELECT min(es) AS lo, max(es) AS hi FROM e),
             w AS (SELECT lo,
                          CAST(greatest(1, floor(((hi - lo) / 3600.0) / 6.0))
                               AS BIGINT) * 10 AS width
-                  FROM b)
-            SELECT CAST(floor((es - lo) / width) AS BIGINT) AS chunk_idx,
-                   count(*) AS n
-            FROM e, w GROUP BY 1
+                  FROM mm),
+            density AS (
+              SELECT 'density' AS variant,
+                     CAST(floor((es - lo) / width) AS BIGINT) AS idx,
+                     CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi,
+                     count(*) AS n
+              FROM e, w GROUP BY 1, 2, 3, 4
+            )
+            SELECT * FROM bounds UNION ALL SELECT * FROM density
+        """,
+        "ddl_evolution_scan": """
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN n_chars % 2 = 1
+                        THEN CAST(n_chars % 7 AS DOUBLE) / 7.0 END AS q_score,
+                   CAST(NULL AS DOUBLE) AS quality
+            FROM documents
         """,
         "planning_stats": """
             SELECT l_returnflag, count(*) AS cnt,
