@@ -348,3 +348,50 @@ def test_update_column_type_refuses_unsafe(table):
         table.update_column_type("views", "bigint")
     with pytest.raises(ValueError, match="pruning"):
         table.update_column_type("n_tok", "bigint")  # stats column
+
+
+def test_datasource_writer_refuses_stale_frame_after_rename(table, spark):
+    """The Arrow writer's column validation keys on the CURRENT table
+    schema, so a frame built before a rename is refused — same contract
+    as Table.append's strict validation."""
+    from olake_spark.sources.datasource import OlakeDataSource
+
+    spark.dataSource.register(OlakeDataSource)
+    table.rename_column("tokens", "toks")
+    stale = generate_sequences(spark, 10, seed=14, max_tok=8).drop(
+        "_olake_id", "_olake_insert_time", "_cdc_deleted_at"
+    )
+    with pytest.raises(Exception, match="missing table columns|unknown"):
+        stale.write.format("olake").mode("append").save(table.root)
+    # renamed frame writes fine and reads back under the new name
+    ok = stale.withColumnRenamed("tokens", "toks").withColumn(
+        "doc_id", F.concat(F.lit("w-"), F.col("doc_id"))
+    )
+    ok.write.format("olake").mode("append").save(table.root)
+    out = table.refresh().scan()
+    assert out.count() == 310
+    assert out.where("doc_id like 'w-%'").selectExpr(
+        "sum(size(toks))"
+    ).first()[0] > 0
+
+
+def test_cli_retype_verb(table, capsys):
+    import json
+
+    from olake_spark.cli import main
+
+    assert main(["maintain", "--dest", table.root, "--op", "add-column",
+                 "--column", "views:int", "--cpus", "4"]) == 0
+    assert main(["maintain", "--dest", table.root, "--op", "retype-column",
+                 "--column", "views:bigint", "--cpus", "4"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+             if x.strip().startswith("{")]
+    ops = [m["op"] for m in lines if m.get("type") == "MAINTENANCE"]
+    assert ops == ["add-column", "retype-column"]
+    table.refresh()
+    assert dict(
+        (f.name, f.dataType.simpleString()) for f in table.schema().fields
+    )["views"] == "bigint"
+    # narrowing refused through the CLI with a clean envelope
+    assert main(["maintain", "--dest", table.root, "--op", "retype-column",
+                 "--column", "views:int", "--cpus", "4"]) == 2
