@@ -564,7 +564,30 @@ def _join_aggregates(spark, sf_dir):
         F.col("n_cust").cast("long").alias("cnt"),
         F.col("acctbal_sum").cast("double").alias("val"),
     )
-    return a.unionByName(b)
+    # third shape: two broadcast dims on the fact scan (part+supplier —
+    # the star-join plan every warehouse query compiles to; also keeps
+    # every driver input table exercised by the registry)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    c = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("val"),
+        )
+        .select(
+            F.lit("star_join").alias("variant"),
+            F.col("p_brand").alias("grp"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("val"), 4).cast("double").alias("val"),
+        )
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def _cursor_suite(spark, sf_dir):
@@ -1997,6 +2020,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+            UNION ALL
+            SELECT 'star_join', p_brand, CAST(count(*) AS BIGINT),
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY p_brand
         """,
         "bucket_colocated_join": """
             SELECT c_mktsegment, o_orderstatus,
