@@ -361,13 +361,32 @@ def _dataset_split(spark, sf_dir):
     # stability: growing the table never moves existing docs). Weights
     # 2/1/1 make the cumulative thresholds exact binary fractions, so
     # the oracle's 0.5/0.75 literals are bit-identical.
-    from olake_spark.operators.sampling import hash_split
+    from olake_spark.operators.dedup import near_dup_clusters
+    from olake_spark.operators.sampling import hash_split, leakage_safe_split
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id")
     )
     out = hash_split(d, {"train": 2, "val": 1, "test": 1}, seed=1)
-    return out.groupBy("split").agg(F.count("*").alias("cnt"))
+    plain = out.groupBy("split").agg(F.count("*").alias("cnt"))
+    # leakage-safe variant: near-duplicate clusters (same verified
+    # minhash pipeline as near_dup_resolution) land whole in one split —
+    # the contamination guard a training/eval split needs
+    docs, pairs = _near_dup_edges(spark, sf_dir)
+    clusters = near_dup_clusters(docs, pairs)
+    ls = leakage_safe_split(
+        docs.select("doc_id"), clusters,
+        {"train": 2, "val": 1, "test": 1}, seed=1,
+    )
+    safe = (
+        ls.groupBy("split")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.concat(F.lit("leak_safe_"), F.col("split")).alias("split"),
+            "cnt",
+        )
+    )
+    return plain.unionByName(safe)
 
 
 def _mixture_sample(spark, sf_dir):
@@ -1937,17 +1956,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT id AS doc_id, source, n_chars FROM d4 WHERE cum <= 2048
         """,
         "dataset_split": """
-            WITH u AS (
+            WITH RECURSIVE u AS (
               SELECT CAST(('0x' || substr(
                        md5('1|' || CAST(doc_id AS VARCHAR)), 1, 8))
                      AS BIGINT) / 4294967296.0 AS u
               FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, len(string_split(text,' '))),
+                       i -> string_split(text,' ')[i] || ' ' ||
+                            string_split(text,' ')[i+1])) AS s
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 2
+            ),
+            p AS (
+              SELECT l.doc_id AS a, r.doc_id AS b
+              FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+              WHERE CAST(len(list_intersect(l.s, r.s)) AS DOUBLE)
+                    / greatest(len(l.s) + len(r.s)
+                               - len(list_intersect(l.s, r.s)), 1) >= 0.7
+            ),
+            e AS (SELECT a AS u, b AS v FROM p
+                  UNION ALL SELECT b, a FROM p),
+            walk(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.u, w.lbl FROM e JOIN walk w ON w.id = e.v
+            ),
+            reps AS (SELECT id, min(lbl) AS rep FROM walk GROUP BY id),
+            su AS (
+              SELECT CAST(('0x' || substr(
+                       md5('1|' || CAST(rep AS VARCHAR)), 1, 8))
+                     AS BIGINT) / 4294967296.0 AS u
+              FROM reps
             )
             SELECT CASE WHEN u < 0.5 THEN 'train'
                         WHEN u < 0.75 THEN 'val'
                         ELSE 'test' END AS split,
                    count(*) AS cnt
             FROM u GROUP BY 1
+            UNION ALL
+            SELECT 'leak_safe_' ||
+                   CASE WHEN u < 0.5 THEN 'train'
+                        WHEN u < 0.75 THEN 'val'
+                        ELSE 'test' END,
+                   count(*)
+            FROM su GROUP BY 1
         """,
         "mixture_sample": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, source

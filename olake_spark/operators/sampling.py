@@ -68,6 +68,43 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    rep_col: str = "cluster_rep",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """``hash_split`` that assigns every NEAR-DUPLICATE CLUSTER to one
+    split: the hash key is the cluster representative (``clusters`` is
+    ``dedup.near_dup_clusters`` output, ``key -> cluster_rep``), so a
+    near-copy of a training document can never land in the test set —
+    the standard leakage guard train/eval splits need on deduplicated
+    web corpora. Documents missing from ``clusters`` hash their own key
+    (a pairs-only cluster frame therefore also works).
+
+    Same holdout stability as ``hash_split``: assignment depends only on
+    (seed, rep), and a cluster's rep is its MIN member id, so growing a
+    cluster by discovering new near-dups never moves it between splits
+    unless the new member becomes the min — the unavoidable case, since
+    the new member must join its cluster's split. Plan shape: one
+    shuffled equi-join on the key (both sides hash-partition on it; at
+    fleet scale AQE sizes the join, no driver state)."""
+    reps = clusters.select(
+        F.col(key_col).alias("_ls_key"), F.col(rep_col).alias("_ls_rep")
+    )
+    out = df.join(reps, F.col(key_col) == F.col("_ls_key"), "left")
+    out = out.withColumn(
+        "_ls_rep", F.coalesce(F.col("_ls_rep"), F.col(key_col))
+    )
+    out = hash_split(
+        out, weights, key_col="_ls_rep", seed=seed, split_col=split_col
+    )
+    return out.drop("_ls_key", "_ls_rep")
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

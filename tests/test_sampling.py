@@ -221,3 +221,50 @@ def test_curate_corpus_materialize_parity_and_speed(spark):
     assert set(mat) == lazy and len(lazy) > 0
     assert "InMemoryTableScan" in mat_df._jdf.queryExecution().executedPlan().toString()
     spark.catalog.clearCache()
+
+
+def test_leakage_safe_split_cluster_cohesion(spark, docs):
+    """Every near-duplicate cluster lands in exactly ONE split, docs
+    outside any cluster split by their own key (identical to
+    hash_split), and assignment is deterministic."""
+    from olake_spark.operators.sampling import leakage_safe_split
+
+    # synthetic cluster graph: doc i joins cluster i//4 for the first
+    # 1000 docs; the rest are singletons absent from the frame entirely
+    from pyspark.sql.window import Window
+
+    ids = docs.select("doc_id").orderBy("doc_id").limit(1000)
+    clustered = ids.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    reps = (
+        clustered.withColumn("_g", ((F.col("_rn") - 1) / 4).cast("int"))
+        .withColumn(
+            "cluster_rep",
+            F.min("doc_id").over(Window.partitionBy("_g")),
+        )
+        .select("doc_id", "cluster_rep")
+        .cache()
+    )
+    reps.count()
+    out = leakage_safe_split(
+        docs, reps, {"train": 2, "val": 1, "test": 1}, seed=5
+    ).cache()
+    # cohesion: every cluster maps to exactly one split
+    per_cluster = (
+        out.join(reps, "doc_id")
+        .groupBy("cluster_rep")
+        .agg(F.countDistinct("split").alias("k"))
+    )
+    assert per_cluster.filter(F.col("k") != 1).count() == 0
+    # unclustered docs behave exactly like plain hash_split
+    plain = hash_split(docs, {"train": 2, "val": 1, "test": 1}, seed=5)
+    unclustered = out.join(reps.select("doc_id"), "doc_id", "left_anti")
+    j = unclustered.select("doc_id", F.col("split").alias("s2")).join(
+        plain.select("doc_id", "split"), "doc_id"
+    )
+    assert j.filter(F.col("split") != F.col("s2")).count() == 0
+    # total conservation
+    assert out.count() == 4000
+    out.unpersist()
+    reps.unpersist()
