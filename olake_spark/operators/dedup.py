@@ -46,8 +46,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 # ----------------------------------------------------------------- shingles
 def word_shingles(text_col: str, k: int = 3) -> F.Column:
     """Distinct k-word shingles of a text column — pure Catalyst:
-    split + sequence + transform + array_distinct, all codegen'd."""
-    w = F.split(F.col(text_col), " ")
+    split + sequence + transform + array_distinct. The split is bound
+    once per row (``bind_once``): HOFs evaluate interpreted with no
+    CSE, so an inline split would re-run k times per shingle."""
+    from olake_spark.operators.text import bind_once, words_col
+
+    return bind_once(words_col(text_col), lambda w: _shingles_of(w, k))
+
+
+def _shingles_of(w: F.Column, k: int) -> F.Column:
     n = F.size(w)
     # sequence(1, 0) would step BACKWARDS ([1,0]) — guard short docs
     idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
@@ -677,9 +684,12 @@ def drop_repeated_spans(
     frequency. At 10^12-doc scale, shuffle xxhash64(gram) instead of
     the gram string to cut shuffle bytes ~3x (collision odds are
     negligible); measured NOT faster at sf0.1 (hash compute exceeds the
-    tiny-shuffle savings), so the oracle-exact string key stays. The span mask itself is pure Catalyst array logic (the
-    arrays are materialized once per row; Spark evaluates higher-order
-    functions interpreted, so each is referenced a single time)."""
+    tiny-shuffle savings), so the oracle-exact string key stays. The
+    span mask itself is pure Catalyst array logic in O(words +
+    starts*n) per doc: covered indices enumerated from the hot starts,
+    removed with one hash-set ``array_except`` (the arrays are
+    materialized once per row; Spark evaluates higher-order functions
+    interpreted, so each is referenced a single time)."""
     from olake_spark.operators.text import ngrams_col, words_col
 
     base = docs.select(F.col(id_col), words_col(text_col).alias("_w"))
@@ -698,16 +708,31 @@ def drop_repeated_spans(
         "_starts",
         F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
     )
-    kept = F.filter(
-        F.col("_w"),
-        lambda w, i: ~F.exists(
-            F.col("_starts"), lambda s: (s <= i) & (i <= s + F.lit(n - 1))
-        ),
+    # covered-position mask in O(words + starts*n): enumerate the covered
+    # index set from the hot starts (each start covers [s, s+n-1]), then
+    # array_except — Spark's implementation builds a hash set over the
+    # right side, so the per-word test is O(1) instead of the previous
+    # O(starts) per word (F.exists over _starts was the suite's slowest
+    # query at 10 s local sf0.1). array_except preserves left-arg order,
+    # so surviving words rejoin in document order.
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_starts"), lambda s: F.sequence(s, s + F.lit(n - 1))
+            )
+        )
     )
-    # stage the filtered array ONCE: it is referenced twice below, and
+    all_idx = F.when(
+        F.size("_w") > 0, F.sequence(F.lit(0), F.size("_w") - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_idx = F.array_except(all_idx, covered)
+    kept = F.transform(
+        kept_idx, lambda i: F.element_at(F.col("_w"), i + F.lit(1))
+    )
+    # stage the kept array ONCE: it is referenced twice below, and
     # higher-order functions evaluate interpreted — an unstaged reference
-    # re-runs the whole O(words x starts) mask per use (CollapseProject
-    # keeps the staging projection because the expression is non-cheap)
+    # re-runs the whole mask per use (CollapseProject keeps the staging
+    # projection because the expression is non-cheap)
     staged = out.withColumn("_kept", kept)
     return staged.select(
         F.col(id_col),

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
 from olake_spark.schema import OLAKE_ID
 from olake_spark.table.format import (
+    CONTENT_DATA,
     CONTENT_EQ_DELETES,
     CONTENT_POS_DELETES,
     CommitConflict,
@@ -296,24 +297,49 @@ def remove_dangling_deletes(table: Table) -> int:
     if not dels:
         return 0
     data = table.files(snap.snapshot_id)
-    live_paths = {f.path for f in data}
     pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
-    pos_refs_live = {
-        p for p in _pos_referenced_paths(table, pos) if p in live_paths
-    }
     dangling: set[str] = set()
+    if pos:
+        # ONE distributed pass over every positional-delete file (this
+        # used to be a per-delete-file job loop — O(delete files)
+        # driver-scheduled jobs, a scale-killer at 10^4 accumulated
+        # files): tag each referenced path with its source delete file
+        # via the _metadata column, semi-join the live file set, and
+        # any delete file with zero surviving references is dangling.
+        # Keys are the (uuid-dir, part-file) tail so the comparison is
+        # scheme/root-agnostic across FileIO backends.
+        tail2 = {"/".join(d.path.split("/")[-2:]): d.path for d in pos}
+        refs = (
+            table.spark.read.schema("file_path string")
+            .parquet(*[table.abs_path(d.path) for d in pos])
+            .select(
+                "file_path",
+                F.concat_ws(
+                    "/",
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                ).alias("_delete_tail"),
+            )
+        )
+        from olake_spark.table.manifest_df import manifest_entries_df
+
+        live_df = (
+            manifest_entries_df(table, snap.snapshot_id)
+            .where(F.col("content") == CONTENT_DATA)
+            .select(F.col("path").alias("file_path"))
+        )
+        applying = {
+            r._delete_tail
+            for r in refs.join(live_df, "file_path", "left_semi")
+            .select("_delete_tail")
+            .distinct()
+            .collect()
+        }
+        dangling.update(
+            rel for tail, rel in tail2.items() if tail not in applying
+        )
     for d in dels:
         if d.content == CONTENT_POS_DELETES:
-            # exact: no referenced file is live
-            refs = {
-                r.file_path
-                for r in table.spark.read.schema("file_path string")
-                .parquet(table.abs_path(d.path))
-                .distinct()
-                .collect()
-            }
-            if not (refs & pos_refs_live):
-                dangling.add(d.path)
             continue
         st = d.stats.get("doc_id")
         applies = False

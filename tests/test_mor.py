@@ -214,6 +214,46 @@ def test_compaction_applies_deletes_then_dangling(spark, ltable):
     assert visible(t) == before
 
 
+def test_remove_dangling_pos_deletes_single_pass(spark, ltable, monkeypatch):
+    """N positional delete files are classified dangling/applying in ONE
+    batched read (was a per-delete-file job loop — O(N) driver-scheduled
+    jobs at 10^4 accumulated delete files)."""
+    t = ltable
+    t.append(batch(spark, 0, 100).repartition(4))
+    for i in range(6):
+        r = delete_where(t, f"doc_id = 'doc-000{i}0'")
+        assert r.deleted_rows == 1
+    # rewrite strands all six (outputs out-sequence the delete files)...
+    c = compact(t, target_file_bytes=1 << 20, min_group_files=2)
+    assert c.snapshot_id is not None
+    # ...then one more delete lands against the NEW files: still applies
+    r = delete_where(t, "doc_id = 'doc-00077'")
+    assert r.deleted_rows == 1
+    assert len(t.delete_files()) == 7
+    before = visible(t)
+    assert len(before) == 93
+
+    import pyspark.sql.readwriter as rw
+
+    calls: list[int] = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        calls.append(len(paths))
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    nd = remove_dangling_deletes(t)
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", orig)
+    assert nd == 6
+    live = t.delete_files()
+    assert len(live) == 1 and live[0].content == CONTENT_POS_DELETES
+    assert visible(t) == before
+    # the one batched read covered all 7 pos-delete files; call count
+    # must not scale with the number of delete files
+    assert calls and max(calls) == 7 and len(calls) <= 2, calls
+
+
 def test_changelog_sees_mor_deletes(spark, ltable):
     t = ltable
     s1 = t.append(batch(spark, 0, 50))
