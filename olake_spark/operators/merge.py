@@ -58,13 +58,14 @@ from olake_spark.table.format import (
 from olake_spark.table.format import DataFile, Table
 
 # Broadcast the change-key side only while its estimated on-heap size
-# stays comfortably inside executor memory: each _olake_id is a 32-char
-# md5 string, ~72 bytes as a JVM String + row overhead. A row-count cap
-# (the old 4M) let ~300 MB broadcasts through — a driver/executor OOM
-# risk. Above the byte cap we drop the hint and let AQE choose the join
-# strategy from runtime stats.
+# stays inside the session's broadcast ceiling: each _olake_id is a
+# 32-char md5 string, ~72 bytes as a JVM String + row overhead. A
+# row-count cap (the old 4M) let ~300 MB broadcasts through — a
+# driver/executor OOM risk. The byte ceiling itself is
+# session.broadcast_cap_bytes (spark.sql.autoBroadcastJoinThreshold),
+# shared with the MoR delete anti-joins in table/format.py; above it we
+# drop the hint and let AQE choose the join strategy from runtime stats.
 BROADCAST_KEY_BYTES = 72
-BROADCAST_MAX_BYTES = 32 << 20  # ~466k keys
 
 def stats_overlap(sorted_keys: list, stats: dict | None) -> bool:
     """May a file whose column stats are ``stats`` ({'min':..,'max':..})
@@ -80,7 +81,9 @@ def stats_overlap(sorted_keys: list, stats: dict | None) -> bool:
 
 
 def _keys_for_join(keys: DataFrame, n_keys: int) -> DataFrame:
-    if n_keys * BROADCAST_KEY_BYTES <= BROADCAST_MAX_BYTES:
+    from olake_spark.session import broadcast_cap_bytes
+
+    if n_keys * BROADCAST_KEY_BYTES <= broadcast_cap_bytes(keys.sparkSession):
         return F.broadcast(keys)
     return keys
 

@@ -13,6 +13,35 @@ import os
 from pyspark.sql import SparkSession
 
 
+def broadcast_cap_bytes(spark: SparkSession) -> int:
+    """Byte ceiling for the engine's EXPLICIT broadcast hints (MoR
+    delete anti-join payloads in table/format.py, merge key joins in
+    operators/merge.py) — one source of truth, keyed off the session's
+    ``spark.sql.autoBroadcastJoinThreshold`` so tuning the standard
+    knob tunes the engine's hint sites too. ``-1`` (broadcast disabled)
+    maps to 0: every hint site takes its shuffle-join fallback.
+    Accepts Spark size strings ('64m', '10MB', '10485760b')."""
+    raw = (
+        str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+        .strip()
+        .lower()
+    )
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        v = int(float(raw)) * mult
+    except ValueError:
+        v = 10 << 20
+    return max(0, v)
+
+
 def get_spark(
     app_name: str = "olake_spark",
     cores: int | str | None = None,

@@ -191,10 +191,16 @@ class _Resolver:
 def discover_json(
     spark: SparkSession, path: str, sample_rows: int = 10_000, seed: int = 42
 ) -> DiscoveredStream:
-    """Head-N + seeded-random-N sampling, lattice fold on the driver."""
+    """Head-N + tail-N + seeded-random-N sampling, lattice fold on the
+    driver. Both-ends sampling mirrors the reference's ``$natural``
+    +1/-1 dual cursor (drivers/mongodb/internal/mon.go:176-179):
+    append-heavy corpora drift at the TAIL, exactly where head-only or
+    sparse random sampling is most likely to miss a new column; the
+    random block still covers mid-file drift."""
     lines = spark.read.text(path)
     head = [r.value for r in lines.limit(sample_rows).collect()]
     rand: list[str] = []
+    tail: list[str] = []
     if len(head) == sample_rows:  # file larger than the head budget
         total = lines.count()
         frac = min(1.0, 2.0 * sample_rows / max(total, 1))
@@ -204,9 +210,11 @@ def discover_json(
             .limit(sample_rows)
             .collect()
         ]
+        # df.tail reads only the trailing partitions — no full scan
+        tail = [r.value for r in lines.tail(sample_rows)]
     res = _Resolver()
     n = 0
-    for ln in head + rand:
+    for ln in head + rand + tail:
         ln = ln.strip()
         if not ln:
             continue

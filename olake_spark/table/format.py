@@ -1035,9 +1035,14 @@ class Table:
             r = self.spark.read.schema("_olake_id string").parquet(
                 *[self.abs_path(d.path) for d in ds]
             )
-            # broadcast unless the delete set outgrew executor memory
-            # (steady-state delete volume is maintenance-bounded)
-            if sum(d.file_size_bytes for d in ds) <= 64 << 20:
+            # broadcast unless the delete set outgrew the session's
+            # broadcast ceiling (steady-state delete volume is
+            # maintenance-bounded; cap shared with merge's key joins)
+            from olake_spark.session import broadcast_cap_bytes
+
+            if sum(d.file_size_bytes for d in ds) <= broadcast_cap_bytes(
+                self.spark
+            ):
                 r = F.broadcast(r)
             return r
 
@@ -1083,7 +1088,11 @@ class Table:
             pos_df = self.spark.read.schema("file_path string, pos long").parquet(
                 *[self.abs_path(d.path) for d in pos_dels]
             ).withColumnsRenamed({"file_path": "_sg_rel", "pos": "_sg_pos"})
-            if sum(d.file_size_bytes for d in pos_dels) <= 64 << 20:
+            from olake_spark.session import broadcast_cap_bytes
+
+            if sum(d.file_size_bytes for d in pos_dels) <= broadcast_cap_bytes(
+                self.spark
+            ):
                 pos_df = F.broadcast(pos_df)
             df = (
                 df.withColumn("_sg_rel", rel_path)

@@ -41,6 +41,20 @@ def test_discover_resolves_drifted_schema(spark, tmp_path):
     assert got["arr"] == T.StringType()         # arrays stringify
 
 
+def test_discover_samples_file_tail(spark, tmp_path):
+    """Drift planted ONLY in the file's final lines (beyond the head
+    budget, vanishingly unlikely for the sparse random block) is still
+    discovered — the tail block mirrors the reference's $natural -1
+    cursor (mon.go:176-179) for append-heavy corpora."""
+    lines = [{"id": i, "k": "v"} for i in range(100_000)]
+    for i in range(10):
+        lines.append({"id": 100_000 + i, "k": "v", "tail_col": "late"})
+    p = _write(tmp_path, lines)
+    disc = discover_json(spark, p, sample_rows=50)
+    got = {f.name: f.dataType for f in disc.schema.fields}
+    assert "tail_col" in got and got["tail_col"] == T.StringType()
+
+
 def test_read_applies_lattice_and_coercion(spark, tmp_path):
     p = _write(tmp_path, LINES)
     disc = discover_json(spark, p)

@@ -461,8 +461,10 @@ def test_merge_broadcast_threshold_is_bytes_based(spark, small_table, seq_df, mo
         return "hints=[" in df._jdf.queryExecution().analyzed().toString() or \
                "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
 
+    from olake_spark.session import broadcast_cap_bytes
+
     keys = spark.range(1_000_000).select(F.md5(F.col("id").cast("string")).alias("_olake_id"))
-    assert 1_000_000 * m.BROADCAST_KEY_BYTES > m.BROADCAST_MAX_BYTES
+    assert 1_000_000 * m.BROADCAST_KEY_BYTES > broadcast_cap_bytes(spark)
     assert not has_hint(m._keys_for_join(keys, 1_000_000))
     assert has_hint(m._keys_for_join(keys.limit(10), 10))
 
@@ -476,8 +478,16 @@ def test_merge_broadcast_threshold_is_bytes_based(spark, small_table, seq_df, mo
         .withColumn("n_tok", F.lit(1))
         .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
     )
-    monkeypatch.setattr(m, "BROADCAST_MAX_BYTES", 0)  # never hint
-    res = m.merge_into(t, batch)
+    # -1 disables broadcasting session-wide; the cap is the ONE source
+    # of truth shared by merge key joins and the MoR delete anti-joins
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert broadcast_cap_bytes(spark) == 0
+        assert not has_hint(m._keys_for_join(keys.limit(10), 10))
+        res = m.merge_into(t, batch)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert (res.inserted, res.updated, res.deleted) == (0, 25, 0)
     cur = t.scan()
     assert cur.count() == N_ROWS

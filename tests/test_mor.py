@@ -214,6 +214,43 @@ def test_compaction_applies_deletes_then_dangling(spark, ltable):
     assert visible(t) == before
 
 
+def test_mor_scan_correct_without_broadcast(spark, ltable):
+    """The delete anti-joins fall back to shuffle joins (identical
+    results) when the session broadcast cap is disabled — the cap is
+    session.broadcast_cap_bytes, shared with merge's key joins."""
+    from olake_spark.session import broadcast_cap_bytes
+
+    t = ltable
+    t.append(batch(spark, 0, 60).repartition(3))
+    merge_into(
+        t,
+        batch(spark, 0, 5, "a", 500).unionByName(
+            batch(spark, 40, 45).withColumn(
+                "_cdc_deleted_at", F.current_timestamp()
+            ),
+            allowMissingColumns=True,
+        ),
+        mode="mor",
+    )
+    delete_where(t, "doc_id = 'doc-00030'")
+    expect = visible(t)
+    assert len(expect) == 54
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert broadcast_cap_bytes(spark) == 0
+        assert visible(t) == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # size-string parsing of the shared cap
+    for raw, want in (("64m", 64 << 20), ("10MB", 10 << 20), ("1048576b", 1 << 20)):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+        try:
+            assert broadcast_cap_bytes(spark) == want, raw
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_remove_dangling_pos_deletes_single_pass(spark, ltable, monkeypatch):
     """N positional delete files are classified dangling/applying in ONE
     batched read (was a per-delete-file job loop — O(N) driver-scheduled
