@@ -448,3 +448,137 @@ def test_100k_file_planning_is_fast_and_exact(spark, tmp_path):
     cached_s = time.time() - t0
     assert got2 == got
     assert cached_s < 15.0, f"cached planning took {cached_s:.1f}s"
+
+
+@pytest.mark.skipif(
+    os.environ.get("OLAKE_SCALE_TESTS") != "1",
+    reason="10^6-entry metadata plane proof (~3 min); OLAKE_SCALE_TESTS=1 runs it",
+)
+def test_million_entry_metadata_plane(spark, tmp_path):
+    """10x the 100k test: ONE MILLION data-file entries, fragmented into
+    1000 manifest shards. Proves the metadata plane at 100 TB geometry
+    (10^6 x 128 MB = 122 TB): load is O(snapshots), planning is one
+    Spark job returning only survivors, rewrite_manifests reshards
+    distributed, and driver RSS stays flat (entries are generated and
+    planned shard-wise — the million never materializes on the driver).
+    Numbers recorded in BENCH/BASELINE.md."""
+    import resource
+
+    from olake_spark.operators.manifests import rewrite_manifests
+    from olake_spark.table.format import _atomic_write_json
+
+    root = str(tmp_path / "huge")
+    t = Table.create(spark, root)
+    n_files = 1_000_000
+    per_shard = 1000  # deliberately fragmented: forces a real reshard
+    manifests = []
+    eid = 0
+    t0 = time.time()
+    for s in range(n_files // per_shard):
+        entries = []
+        for _ in range(per_shard):
+            lo = eid * 1000
+            entries.append(
+                {
+                    "path": f"data/fake/{eid:07d}.parquet",
+                    "record_count": 1000,
+                    "file_size_bytes": 128 << 20,
+                    "partition": f"src{eid % 8}",
+                    "schema_id": 0,
+                    "spec_col": "source",
+                    "stats": {
+                        "doc_id": {
+                            "min": f"doc-{lo:012d}",
+                            "max": f"doc-{lo + 999:012d}",
+                            "null_count": 0,
+                        },
+                        "n_tok": {
+                            "min": eid % 1024,
+                            "max": eid % 1024 + 32,
+                            "null_count": 0,
+                        },
+                        "source": {
+                            "min": f"src{eid % 8}",
+                            "max": f"src{eid % 8}",
+                            "null_count": 0,
+                        },
+                    },
+                }
+            )
+            eid += 1
+        rel = f"manifests/manifest-huge-{s:05d}.json"
+        _atomic_write_json(os.path.join(root, rel), entries)
+        manifests.append(rel)
+    gen_s = time.time() - t0
+    t.metadata["snapshots"].append(
+        {
+            "snapshot_id": 1,
+            "parent_id": None,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": "append",
+            "manifests": manifests,
+            "summary": {"total-data-files": n_files},
+            "schema_id": 0,
+        }
+    )
+    t.metadata["current_snapshot_id"] = 1
+    t.rewrite_metadata()
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on linux
+
+    t0 = time.time()
+    t2 = Table.load(spark, root)
+    load_s = time.time() - t0
+    assert load_s < 2.0, f"Table.load took {load_s:.1f}s"
+
+    # distributed planning: only survivors reach the driver
+    t0 = time.time()
+    surv = prune_files_df(
+        manifest_entries_df(t2), sources=["src3"], ranges={"n_tok": (100, 140)}
+    ).select("path")
+    got = {r.path for r in surv.collect()}
+    plan_s = time.time() - t0
+    # expected set from the generation rule (no driver loop over entries)
+    want = {
+        f"data/fake/{e:07d}.parquet"
+        for e in range(n_files)
+        if e % 8 == 3 and e % 1024 <= 140 and e % 1024 + 32 >= 100
+    }
+    assert got == want and 0 < len(got) < n_files // 50
+    assert plan_s < 120.0, f"distributed planning took {plan_s:.1f}s"
+
+    # cached planning (parquet manifest cache)
+    write_manifest_cache(t2)
+    t0 = time.time()
+    got2 = {
+        r.path
+        for r in prune_files_df(
+            manifest_entries_df(t2),
+            sources=["src3"],
+            ranges={"n_tok": (100, 140)},
+        )
+        .select("path")
+        .collect()
+    }
+    cached_s = time.time() - t0
+    assert got2 == got
+    assert cached_s < 30.0, f"cached planning took {cached_s:.1f}s"
+
+    # distributed reshard: 1000 fragments -> ceil(1e6/5000) = 200 shards
+    t0 = time.time()
+    rres = rewrite_manifests(t2)
+    reshard_s = time.time() - t0
+    assert not rres.skipped
+    assert len(t2.refresh().snapshot().manifests) == 200
+    assert reshard_s < 300.0, f"rewrite_manifests took {reshard_s:.1f}s"
+
+    # driver RSS flat: the million entries never materialized driver-side
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rss_mb = (rss1 - rss0) / 1024
+    assert rss_mb < 600, f"driver peak RSS grew {rss_mb:.0f} MB"
+
+    print(
+        f"MILLION-ENTRY: gen={gen_s:.1f}s load={load_s:.2f}s "
+        f"plan={plan_s:.1f}s (survivors={len(got)}) cached={cached_s:.1f}s "
+        f"reshard={reshard_s:.1f}s rss_delta={rss_mb:.0f}MB"
+    )
