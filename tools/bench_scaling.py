@@ -33,6 +33,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANUAL_MARKER = "<!-- manual sections below: preserved by tools/bench_scaling.py -->"
 SHM = "/dev/shm/olake_scaling"
 
 RUNNER = r"""
@@ -296,8 +297,18 @@ its own JVM and this ceiling does not apply.
 Generated by tools/bench_scaling.py (UTC {time.strftime('%Y-%m-%d %H:%M:%S', time.gmtime())}).
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve hand-written sections (scale proofs, attributions) that
+    # live below the marker — only the generated study is replaced
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if MANUAL_MARKER in prev:
+            extra = prev.split(MANUAL_MARKER, 1)[1]
+    with open(out_path, "w") as f:
         f.write(md)
+        f.write("\n" + MANUAL_MARKER + "\n")
+        f.write(extra)
     print(md)
     print(json.dumps({"best": {str(k): v for k, v in best.items()},
                       "eff_2_8": round(eff_2_8, 4), "eff_8_32": round(eff_8_32, 4),
