@@ -1003,6 +1003,14 @@ def _ann_suite(spark, sf_dir):
         kind="ivf", n_cells=16, seed=7,
     )
     idx_out, _info = ann_index_topk(idx, qvec, k=10, n_probe=6)
+    # ivfpq: same cells/probes as ivf, but the index stores only PQ
+    # codes + exact norms (no vectors) and scores via Catalyst ADC —
+    # the generated oracle replays encode+score arithmetic bit-for-bit
+    pq_idx = build_ann_index(
+        spark, corpus, tempfile.mkdtemp(prefix="olake_annpq_") + "/ivfpq",
+        kind="ivfpq", n_cells=16, seed=7,
+    )
+    pq_out, _pqinfo = ann_index_topk(pq_idx, qvec, k=10, n_probe=6)
     parts = [
         brute_force_topk(corpus, qvec, k=10)
         .withColumn("variant", F.lit("brute")),
@@ -1011,6 +1019,7 @@ def _ann_suite(spark, sf_dir):
         ivf_topk(corpus, qvec, k=10, n_cells=16, n_probe=6)
         .withColumn("variant", F.lit("ivf")),
         idx_out.withColumn("variant", F.lit("ivf_index")),
+        pq_out.withColumn("variant", F.lit("ivfpq")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1286,6 +1295,26 @@ def _ann_oracle_candidates() -> dict:
         cand = ids[bmask][np.isin(assign_b, order[qi])]
         pairs.extend((int(qid), int(v)) for v in cand)
     out["batch"] = sorted(pairs)
+
+    # --- ivfpq (n_cells=16, seed=7, pq_m=8, pq_ks=16), corpus vec_id != 0:
+    # candidates == out["ivf"] (same cell codebook + probes); the PQ
+    # codebooks train on the RAW (unnormalized) sample in scan order and
+    # the per-query ADC lookup table + query norm use the sequential-sum
+    # kernels, so the generated SQL replays the encode+score arithmetic
+    # bit-for-bit (operators/similarity.py float discipline note)
+    from olake_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_codebooks,
+        seq_norm_kernel,
+    )
+
+    books = pq_codebooks(Mc[:2048].copy(), m=8, ks=16, seed=7)
+    out["pq_books"] = books
+    out["pq_lut"] = pq_adc_lut(books, q.tolist())
+    out["pq_qnorm"] = float(
+        seq_norm_kernel(q.reshape(1, -1))[0]
+    )
+    out["dim"] = dim
     _ANN_CAND_CACHE[(sf_dir,)] = out
     return out
 
@@ -1330,20 +1359,70 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
-def _ann_suite_sql(cand: dict) -> str:
-    """Four per-variant exact-cosine reranks over the replicated
-    candidate sets, UNION ALL'd with the variant tag — the composed
-    oracle of the consolidated ann_suite query ('brute' reranks the
-    whole corpus; 'ivf' and 'ivf_index' share one candidate set by
-    construction — same codebook, same probes)."""
+def _pq_scored_sql(cand: dict) -> str:
+    """Generated SQL replaying the ENTIRE IVF-PQ pipeline over the
+    candidate rows: per-subspace encode (argmin of sequentially-summed
+    squared distances to the literal codebooks — first-min CASE matches
+    numpy argmin), ADC scoring via the literal per-query lookup table,
+    and division by qnorm * the sequentially-summed exact vector norm.
+    Every accumulation is left-associated to match the float64 kernels
+    in operators/similarity.py term for term (DuckDB lateral column
+    aliases keep each distance expression written once)."""
+    books = cand["pq_books"]
+    lut = cand["pq_lut"]
+    qnorm = cand["pq_qnorm"]
+    dim = cand["dim"]
+    m, ks, dsub = books.shape
+    cols = [
+        f"CAST(embedding[{j + 1}] AS DOUBLE) AS e{j}" for j in range(dim)
+    ]
+    dists, adcs = [], []
+    for s in range(m):
+        for k in range(ks):
+            terms = " + ".join(
+                f"(e{s * dsub + j} - {float(books[s, k, j])!r})"
+                f" * (e{s * dsub + j} - {float(books[s, k, j])!r})"
+                for j in range(dsub)
+            )
+            dists.append(f"{terms} AS d_{s}_{k}")
+        dists.append(
+            "least(" + ", ".join(f"d_{s}_{k}" for k in range(ks)) + f") AS md_{s}"
+        )
+        cases = " ".join(
+            f"WHEN d_{s}_{k} = md_{s} THEN {float(lut[s][k])!r}"
+            for k in range(ks)
+        )
+        adcs.append(f"CASE {cases} END AS adc_{s}")
+    vnorm = "sqrt(" + " + ".join(f"e{j} * e{j}" for j in range(dim)) + ")"
+    adc_sum = " + ".join(f"adc_{s}" for s in range(m))
+    return f"""
+        pqscored AS (
+          SELECT vec_id,
+                 round(({adc_sum}) / ({qnorm!r} * {vnorm}), 6) AS cosine
+          FROM (
+            SELECT vec_id, {', '.join(cols)},
+                   {', '.join(dists)},
+                   {', '.join(adcs)}
+            FROM embeddings WHERE vec_id != 0
+          )
+        )"""
 
-    def arm(variant: str, where: str) -> str:
+
+def _ann_suite_sql(cand: dict) -> str:
+    """Five per-variant reranks over the replicated candidate sets,
+    UNION ALL'd with the variant tag — the composed oracle of the
+    consolidated ann_suite query ('brute' reranks the whole corpus;
+    'ivf', 'ivf_index', and 'ivfpq' share one candidate set by
+    construction — same cell codebook, same probes; 'ivfpq' scores via
+    the generated full-pipeline ADC SQL instead of exact cosine)."""
+
+    def arm(variant: str, where: str, src: str = "scored") -> str:
         return f"""
           SELECT vec_id, cosine, variant FROM (
             SELECT s.vec_id, s.cosine, '{variant}' AS variant,
                    row_number() OVER (ORDER BY s.cosine DESC, s.vec_id ASC)
                      AS rk
-            FROM scored s {where}
+            FROM {src} s {where}
           ) WHERE rk <= 10"""
 
     lsh_ids = ", ".join(str(i) for i in cand["lsh"])
@@ -1357,11 +1436,13 @@ def _ann_suite_sql(cand: dict) -> str:
                    list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv), 6)
                    AS cosine
           FROM embeddings, q WHERE vec_id != 0
-        )
+        ),
+        {_pq_scored_sql(cand)}
         {arm('brute', '')}
         UNION ALL {arm('lsh', f'WHERE s.vec_id IN ({lsh_ids})')}
         UNION ALL {arm('ivf', f'WHERE s.vec_id IN ({ivf_ids})')}
         UNION ALL {arm('ivf_index', f'WHERE s.vec_id IN ({ivf_ids})')}
+        UNION ALL {arm('ivfpq', f'WHERE s.vec_id IN ({ivf_ids})', 'pqscored')}
     """
 
 

@@ -50,14 +50,15 @@ ASSIGN = "_cell"  # the materialized assignment column
 @dataclass
 class AnnIndex:
     table: Table
-    kind: str  # 'ivf' | 'lsh'
+    kind: str  # 'ivf' | 'lsh' | 'ivfpq'
     dim: int
     id_col: str
     vec_col: str
-    n_cells: int  # ivf: cells; lsh: 2**n_planes buckets
+    n_cells: int  # ivf/ivfpq: cells; lsh: 2**n_planes buckets
     n_planes: int
     seed: int
-    centroids: np.ndarray | None  # ivf only
+    centroids: np.ndarray | None  # ivf/ivfpq
+    pq_books: np.ndarray | None = None  # ivfpq: [m, ks, dsub]
 
     @property
     def root(self) -> str:
@@ -69,6 +70,20 @@ def _index_schema(id_type: T.DataType, vec_col: str, id_col: str) -> T.StructTyp
         [
             T.StructField(id_col, id_type, True),
             T.StructField(vec_col, T.ArrayType(T.FloatType(), True), True),
+            T.StructField(ASSIGN, T.IntegerType(), True),
+        ]
+    )
+
+
+def _pq_index_schema(id_type: T.DataType, id_col: str) -> T.StructType:
+    # NO vector column — m int codes + one double norm per row is the
+    # whole payload (32x smaller than 64-dim float32), the layout that
+    # holds 10^9+ embeddings where raw vectors would not
+    return T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField("codes", T.ArrayType(T.IntegerType(), True), True),
+            T.StructField("vnorm", T.DoubleType(), True),
             T.StructField(ASSIGN, T.IntegerType(), True),
         ]
     )
@@ -86,6 +101,8 @@ def build_ann_index(
     seed: int = 7,
     sample_rows: int = 2048,
     max_records_per_file: int | None = None,
+    pq_m: int = 8,
+    pq_ks: int = 16,
 ) -> AnnIndex:
     """One assignment pass + one exact-routed write; returns the index.
 
@@ -93,10 +110,13 @@ def build_ann_index(
     map), so manifest min==max and a probe prunes to exactly its cells.
     LSH: buckets (2**n_planes) are grouped into ``n_cells`` contiguous
     ranges so stats stay tight; probes prune to overlapping ranges.
+    IVFPQ: cell routing as IVF, but rows store only (id, m PQ codes,
+    exact norm) — the vector is dropped; probe-time scoring is ADC via
+    pure Catalyst lookups (operators/similarity.py PQ kernels).
     At scale, pass max_records_per_file to split hot cells into multiple
     (still pure) files.
     """
-    if kind not in ("ivf", "lsh"):
+    if kind not in ("ivf", "lsh", "ivfpq"):
         raise ValueError(f"unknown index kind: {kind}")
     if not 1 <= n_planes <= 30:
         # bucket ids live in the int32 ASSIGN column; 2**n_planes must fit
@@ -107,7 +127,8 @@ def build_ann_index(
     dim = len(first[0])
 
     centroids = None
-    if kind == "ivf":
+    pq_books = None
+    if kind in ("ivf", "ivfpq"):
         from olake_spark.operators.similarity import sample_codebook
 
         centroids = sample_codebook(
@@ -116,6 +137,14 @@ def build_ann_index(
         assign_udf = ivf_bucket_udf(centroids)
         n_routes = n_cells
         route = F.col(ASSIGN)
+        if kind == "ivfpq":
+            from olake_spark.operators.similarity import (
+                pq_codebooks,
+                sample_vectors,
+            )
+
+            raw = sample_vectors(emb, vec_col, sample_rows)
+            pq_books = pq_codebooks(raw, m=pq_m, ks=pq_ks, seed=seed)
     else:
         assign_udf = lsh_bucket_udf(dim, n_planes, seed)
         n_routes = min(n_cells, 1 << n_planes)
@@ -127,18 +156,34 @@ def build_ann_index(
         ).cast("int")
 
     id_type = emb.schema[id_col].dataType
+    schema = (
+        _pq_index_schema(id_type, id_col)
+        if kind == "ivfpq"
+        else _index_schema(id_type, vec_col, id_col)
+    )
     table = Table.create(
         spark,
         root,
-        schema=_index_schema(id_type, vec_col, id_col),
+        schema=schema,
         partition_col=ASSIGN,
         stats_columns=[ASSIGN, id_col],
     )
     salts = salts_for_bins(n_routes)
+    assigned = emb.select(
+        id_col, F.col(vec_col).cast("array<float>").alias(vec_col)
+    ).withColumn(ASSIGN, assign_udf(F.col(vec_col)))
+    if kind == "ivfpq":
+        from olake_spark.operators.similarity import pq_encode_udf
+
+        enc = pq_encode_udf(pq_books)
+        assigned = assigned.withColumn("_pq", enc(F.col(vec_col))).select(
+            id_col,
+            F.col("_pq.codes").alias("codes"),
+            F.col("_pq.vnorm").alias("vnorm"),
+            ASSIGN,
+        )
     assigned = (
-        emb.select(id_col, F.col(vec_col).cast("array<float>").alias(vec_col))
-        .withColumn(ASSIGN, assign_udf(F.col(vec_col)))
-        .withColumn("_salt", F.element_at(F.lit(salts), route + 1))
+        assigned.withColumn("_salt", F.element_at(F.lit(salts), route + 1))
         .repartition(n_routes, F.col("_salt"))
         .sortWithinPartitions(ASSIGN)
         .drop("_salt")
@@ -154,6 +199,7 @@ def build_ann_index(
         "n_planes": n_planes,
         "seed": seed,
         "centroids": centroids.tolist() if centroids is not None else None,
+        "pq_books": pq_books.tolist() if pq_books is not None else None,
     }
     # atomic: a crash mid-write must not leave a torn codebook that makes
     # an otherwise-consistent index unloadable
@@ -168,6 +214,7 @@ def build_ann_index(
         n_planes=n_planes,
         seed=seed,
         centroids=centroids,
+        pq_books=pq_books,
     )
 
 
@@ -188,6 +235,11 @@ def load_ann_index(spark: SparkSession, root: str) -> AnnIndex:
             if meta["centroids"] is not None
             else None
         ),
+        pq_books=(
+            np.asarray(meta["pq_books"], dtype=np.float32)
+            if meta.get("pq_books") is not None
+            else None
+        ),
     )
 
 
@@ -195,7 +247,7 @@ def _probe_ids(index: AnnIndex, query_vec: list[float], n_probe: int, probe_hamm
     """Driver-side probe planning from the persisted codebook — metadata
     only, no scan."""
     q = np.asarray(query_vec, dtype=np.float32)
-    if index.kind == "ivf":
+    if index.kind in ("ivf", "ivfpq"):
         qn = q / (np.linalg.norm(q) + 1e-9)
         return sorted(np.argsort(-(index.centroids @ qn))[:n_probe].tolist())
     H = _hyperplanes(index.dim, index.n_planes, index.seed)
@@ -235,6 +287,12 @@ def ann_index_topk_batch(
     """
     from pyspark.sql.window import Window
 
+    if index.kind == "ivfpq":
+        raise ValueError(
+            "batch top-k needs exact vectors for the per-query rerank; "
+            "an ivfpq index stores only codes — build kind='ivf' for "
+            "batch workloads, or loop ann_index_topk per query"
+        )
     if index.kind == "ivf":
         C = index.centroids
 
@@ -359,5 +417,37 @@ def ann_index_topk(
         "probes": len(probes),
     }
     cand = index.table.scan(files=cand_files).filter(F.col(ASSIGN).isin(probes))
-    out = brute_force_topk(cand, query_vec, k, index.id_col, index.vec_col)
+    if index.kind == "ivfpq":
+        out = _pq_adc_topk(index, cand, query_vec, k)
+    else:
+        out = brute_force_topk(cand, query_vec, k, index.id_col, index.vec_col)
     return out, info
+
+
+def _pq_adc_topk(
+    index: AnnIndex, cand: DataFrame, query_vec: list[float], k: int
+) -> DataFrame:
+    """ADC scoring over PQ codes — pure Catalyst, NO UDF at probe time:
+    the per-query lookup table (m x ks doubles, driver-computed) becomes
+    literal arrays, each subspace contributes one element_at, and the
+    approximate cosine is their sum over (|q| * stored exact |v|). Ranks
+    like brute_force_topk (rounded score desc, id asc). Scores are PQ
+    approximations by design; a rerank pass joins the top-R ids back to
+    the source vectors when exactness matters."""
+    from olake_spark.operators.similarity import pq_adc_lut, seq_norm_kernel
+
+    lut = pq_adc_lut(index.pq_books, query_vec)
+    qnorm = float(
+        seq_norm_kernel(
+            np.asarray(query_vec, dtype=np.float32).reshape(1, -1)
+        )[0]
+    )
+    adc = F.element_at(F.lit(lut[0]), F.col("codes").getItem(0) + 1)
+    for s in range(1, len(lut)):
+        adc = adc + F.element_at(F.lit(lut[s]), F.col("codes").getItem(s) + 1)
+    cos = adc / (F.lit(qnorm) * F.col("vnorm"))
+    return (
+        cand.select(index.id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(index.id_col).asc())
+        .limit(k)
+    )

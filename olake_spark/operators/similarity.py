@@ -204,3 +204,137 @@ def lsh_topk(
         F.col("_bkt").isin(list(probes))
     )
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+# -------------------------------------------------- product quantization
+# IVF-PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"): split the vector into m subspaces, k-means each subspace to
+# ks codewords, store only the m code bytes + the exact vector norm.
+# At 64-dim float32 with m=8/ks=16 that is 8 ints + 1 double per vector
+# instead of 256 bytes — the layout that fits 10^9+ embeddings where the
+# raw vectors would not. Query-time scoring is ADC (asymmetric distance
+# computation): a per-query lookup table of dot(q_sub, codeword), summed
+# over subspaces via pure Catalyst element_at on literal arrays — NO UDF
+# at probe time.
+#
+# Float discipline for the DuckDB oracle: every accumulation (encode
+# distances, LUT dots, vector norms) runs SEQUENTIALLY over dimensions
+# in float64, matching the generated SQL's left-associated sums term for
+# term, so codes, scores, and ranks are bit-identical cross-engine.
+
+
+def sample_vectors(
+    emb: DataFrame, vec_col: str = "embedding", sample_rows: int = 2048
+) -> np.ndarray | None:
+    """Raw (UNnormalized) float32 sample in scan order — the PQ
+    trainer's input; same bounded-collect recipe as sample_codebook."""
+    rows = emb.select(vec_col).limit(sample_rows).collect()
+    if not rows:
+        return None
+    return np.stack([r[0] for r in rows]).astype(np.float32)
+
+
+def pq_codebooks(
+    sample: np.ndarray, m: int = 8, ks: int = 16, seed: int = 7
+) -> np.ndarray:
+    """[m, ks, dsub] float32 PQ codebooks: per-subspace Lloyd k-means on
+    the driver-side sample (the trainer's internals need no cross-engine
+    discipline — only its OUTPUT is embedded as oracle literals)."""
+    n, dim = sample.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub), dtype=np.float32)
+    for s in range(m):
+        sub = sample[:, s * dsub:(s + 1) * dsub].astype(np.float32)
+        if n < ks:
+            books[s] = rng.standard_normal((ks, dsub)).astype(np.float32)
+            continue
+        idx = rng.choice(n, ks, replace=False)
+        C = sub[idx].copy()
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(ks):
+                msk = assign == j
+                if msk.any():
+                    C[j] = sub[msk].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode_kernel(M: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """[n, m] int32 codes. Distances accumulate sequentially over the
+    subspace dims in float64 — the exact arithmetic the generated SQL
+    oracle replays — and argmin takes the FIRST minimum (numpy argmin ==
+    SQL CASE first-match)."""
+    B = books.astype(np.float64)
+    m, ks, dsub = B.shape
+    M64 = M.astype(np.float64)
+    n = len(M64)
+    codes = np.empty((n, m), dtype=np.int32)
+    for s in range(m):
+        sub = M64[:, s * dsub:(s + 1) * dsub]
+        dists = np.empty((n, ks), dtype=np.float64)
+        for k in range(ks):
+            d = np.zeros(n, dtype=np.float64)
+            for j in range(dsub):
+                t = sub[:, j] - B[s, k, j]
+                d = d + t * t
+            dists[:, k] = d
+        codes[:, s] = np.argmin(dists, axis=1)
+    return codes
+
+
+def seq_norm_kernel(M: np.ndarray) -> np.ndarray:
+    """Exact L2 norms with sequential float64 accumulation (matches the
+    SQL left-associated sum-of-squares)."""
+    M64 = M.astype(np.float64)
+    d = np.zeros(len(M64), dtype=np.float64)
+    for j in range(M64.shape[1]):
+        d = d + M64[:, j] * M64[:, j]
+    return np.sqrt(d)
+
+
+def pq_encode_udf(books: np.ndarray):
+    """Pandas UDF: embedding -> struct(codes array<int>, vnorm double).
+    One Arrow batch per call; the vector itself is DROPPED downstream —
+    that is the compression."""
+    B = books.copy()
+    out_t = T.StructType(
+        [
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+            T.StructField("vnorm", T.DoubleType(), False),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def encode(v: pd.Series) -> pd.DataFrame:
+        M = np.stack(v.to_numpy())
+        codes = pq_encode_kernel(M, B)
+        norms = seq_norm_kernel(M)
+        return pd.DataFrame(
+            {"codes": [row.tolist() for row in codes], "vnorm": norms}
+        )
+
+    return encode
+
+
+def pq_adc_lut(books: np.ndarray, query_vec: list[float]) -> list[list[float]]:
+    """Per-query ADC lookup table: lut[s][k] = dot(q_sub, codeword) with
+    sequential float64 accumulation. m*ks doubles — driver-side, tiny."""
+    B = books.astype(np.float64)
+    m, ks, dsub = B.shape
+    q = np.asarray(query_vec, dtype=np.float32).astype(np.float64)
+    lut = []
+    for s in range(m):
+        qs = q[s * dsub:(s + 1) * dsub]
+        row = []
+        for k in range(ks):
+            acc = 0.0
+            for j in range(dsub):
+                acc = acc + qs[j] * B[s, k, j]
+            row.append(acc)
+        lut.append(row)
+    return lut

@@ -170,3 +170,72 @@ def test_batch_topk_probe_udf_runs_once(spark, ivf_setup):
     assert "EvalPython" not in plan  # covers ArrowEvalPython + BatchEvalPython
     assert info["probes"] >= 1
     assert out.count() == 5 * 3
+
+
+def test_ivfpq_index_stores_codes_not_vectors(spark, tmp_path):
+    from olake_spark.operators.similarity import (
+        pq_adc_lut,
+        pq_encode_kernel,
+        seq_norm_kernel,
+    )
+
+    emb, M = _mk_embeddings(spark, n=300, dim=16)
+    root = str(tmp_path / "pq")
+    idx = build_ann_index(
+        spark, emb, root, kind="ivfpq", n_cells=8, seed=7, pq_m=4, pq_ks=8
+    )
+    # no vector column; m codes + one norm per row — the compression
+    cols = idx.table.scan().columns
+    assert "embedding" not in cols and {"codes", "vnorm"} <= set(cols)
+    rows = {r.vec_id: (list(r.codes), r.vnorm) for r in idx.table.scan().collect()}
+    assert all(len(c) == 4 for c, _ in rows.values())
+
+    # distributed encode == the sequential-float64 numpy kernel, exactly
+    codes = pq_encode_kernel(M, idx.pq_books)
+    norms = seq_norm_kernel(M)
+    for i in range(len(M)):
+        assert rows[i][0] == codes[i].tolist(), i
+        assert rows[i][1] == norms[i], i
+
+    # probe: Catalyst ADC scores == numpy ADC over the same candidates
+    qvec = [float(x) for x in M[0]]
+    out, info = ann_index_topk(idx, qvec, k=10, n_probe=3)
+    got = [(r.vec_id, r.cosine) for r in out.collect()]
+    assert 0 < info["files_scanned"] < info["files_total"]
+    lut = pq_adc_lut(idx.pq_books, qvec)
+    qn = seq_norm_kernel(np.asarray(qvec, dtype=np.float32).reshape(1, -1))[0]
+    adc = np.zeros(len(M))
+    for s in range(len(lut)):
+        adc = adc + np.asarray(lut[s])[codes[:, s]]
+    score = np.round(adc / (qn * norms), 6)
+    probes = set(_probe_ids(idx, qvec, 3, 1))
+    cand = [i for i in range(len(M)) if rows[i] and i in rows]
+    # restrict to rows whose cell was probed (read back from the table)
+    cells = {r.vec_id: r[ASSIGN] for r in idx.table.scan().collect()}
+    cand = [i for i in cand if cells[i] in probes]
+    want = sorted(
+        ((i, float(score[i])) for i in cand), key=lambda t: (-t[1], t[0])
+    )[:10]
+    assert got == want
+
+    # the query vector itself (in-corpus, id 0) must rank first
+    assert got[0][0] == 0
+
+    # rebuild is deterministic: identical codes, identical codebooks
+    idx2 = build_ann_index(
+        spark, emb, str(tmp_path / "pq2"), kind="ivfpq", n_cells=8, seed=7,
+        pq_m=4, pq_ks=8,
+    )
+    assert np.array_equal(idx.pq_books, idx2.pq_books)
+    rows2 = {r.vec_id: list(r.codes) for r in idx2.table.scan().collect()}
+    assert all(rows2[i] == rows[i][0] for i in rows)
+
+    # roundtrip through load preserves the codebooks
+    idx3 = load_ann_index(spark, root)
+    assert idx3.kind == "ivfpq" and np.array_equal(idx3.pq_books, idx.pq_books)
+
+    # batch path needs exact vectors: clean refusal
+    from olake_spark.operators.ann_index import ann_index_topk_batch
+
+    with pytest.raises(ValueError, match="ivfpq"):
+        ann_index_topk_batch(idx, emb.limit(2), k=3)
