@@ -288,11 +288,7 @@ def ann_index_topk_batch(
     from pyspark.sql.window import Window
 
     if index.kind == "ivfpq":
-        raise ValueError(
-            "batch top-k needs exact vectors for the per-query rerank; "
-            "an ivfpq index stores only codes — build kind='ivf' for "
-            "batch workloads, or loop ann_index_topk per query"
-        )
+        return _pq_batch_topk(index, queries, k, n_probe, qid_col, qvec_col)
     if index.kind == "ivf":
         C = index.centroids
 
@@ -421,6 +417,87 @@ def ann_index_topk(
         out = _pq_adc_topk(index, cand, query_vec, k)
     else:
         out = brute_force_topk(cand, query_vec, k, index.id_col, index.vec_col)
+    return out, info
+
+
+def _pq_batch_topk(
+    index: AnnIndex,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    qid_col: str,
+    qvec_col: str,
+) -> tuple[DataFrame, dict]:
+    """Batch ADC over the code-only index, ONE plan, no probe-time UDF:
+    the query batch (tiny next to the corpus, as in the ivf batch path)
+    is collected once; each query contributes (qid, probe cell, ADC
+    lookup table, qnorm) rows that rejoin the corpus codes on the cell
+    id — the LUT rides the join as an array<array<double>> column and
+    scoring is two nested element_at lookups per subspace. Per-query
+    rank mirrors _pq_adc_topk (rounded score desc, id asc)."""
+    from pyspark.sql.window import Window
+
+    from olake_spark.operators.similarity import pq_adc_lut, seq_norm_kernel
+
+    qrows = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<float>").alias("qvec"),
+    ).collect()
+    C = index.centroids
+    cells_rows = []
+    for r in qrows:
+        qv = np.asarray(r.qvec, dtype=np.float32)
+        qn = qv / (np.linalg.norm(qv) + 1e-9)
+        probes = np.argsort(-(C @ qn))[:n_probe].tolist()
+        lut = pq_adc_lut(index.pq_books, list(qv))
+        qnorm = float(seq_norm_kernel(qv.reshape(1, -1))[0])
+        for p in probes:
+            cells_rows.append((r.qid, int(p), lut, qnorm))
+    qid_type = queries.schema[qid_col].dataType
+    cells_df = index.table.spark.createDataFrame(
+        cells_rows,
+        T.StructType(
+            [
+                T.StructField("qid", qid_type),
+                T.StructField(ASSIGN, T.IntegerType()),
+                T.StructField(
+                    "_lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+                T.StructField("_qnorm", T.DoubleType()),
+            ]
+        ),
+    )
+    probed = sorted({c for _, c, _, _ in cells_rows})
+    files = index.table.files()
+    cand_files = [
+        f for f in files if any(f.overlaps(ASSIGN, p, p) for p in probed)
+    ]
+    info = {
+        "files_total": len(files),
+        "files_scanned": len(cand_files),
+        "prune_fraction": round(1 - len(cand_files) / max(len(files), 1), 4),
+        "probes": len(probed),
+    }
+    base = index.table.scan(files=cand_files).filter(F.col(ASSIGN).isin(probed))
+    joined = base.join(cells_df, ASSIGN)
+    m = index.pq_books.shape[0]
+    adc = F.element_at(
+        F.element_at(F.col("_lut"), 1), F.col("codes").getItem(0) + 1
+    )
+    for s in range(1, m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("_lut"), s + 1), F.col("codes").getItem(s) + 1
+        )
+    cos = adc / (F.col("_qnorm") * F.col("vnorm"))
+    scored = joined.select(
+        "qid", F.col(index.id_col), F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.col(index.id_col).asc()
+    )
+    out = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
     return out, info
 
 

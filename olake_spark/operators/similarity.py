@@ -335,6 +335,6 @@ def pq_adc_lut(books: np.ndarray, query_vec: list[float]) -> list[list[float]]:
             acc = 0.0
             for j in range(dsub):
                 acc = acc + qs[j] * B[s, k, j]
-            row.append(acc)
+            row.append(float(acc))
         lut.append(row)
     return lut

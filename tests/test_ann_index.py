@@ -234,8 +234,20 @@ def test_ivfpq_index_stores_codes_not_vectors(spark, tmp_path):
     idx3 = load_ann_index(spark, root)
     assert idx3.kind == "ivfpq" and np.array_equal(idx3.pq_books, idx.pq_books)
 
-    # batch path needs exact vectors: clean refusal
+    # batch path: ONE plan, LUTs ride the cell join — per-query parity
+    # with the single-query ADC path
     from olake_spark.operators.ann_index import ann_index_topk_batch
 
-    with pytest.raises(ValueError, match="ivfpq"):
-        ann_index_topk_batch(idx, emb.limit(2), k=3)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    bout, binfo = ann_index_topk_batch(idx, queries, k=5, n_probe=3)
+    got_b = {
+        (r.qid, r.rank): (r.vec_id, r.cosine) for r in bout.collect()
+    }
+    assert 0 < binfo["files_scanned"] < binfo["files_total"]
+    for qid in range(3):
+        qv = [float(x) for x in M[qid]]
+        single, _ = ann_index_topk(idx, qv, k=5, n_probe=3)
+        for rank, r in enumerate(single.collect(), start=1):
+            assert got_b[(qid, rank)] == (r.vec_id, r.cosine), (qid, rank)
