@@ -368,3 +368,95 @@ def remove_dangling_deletes(table: Table) -> int:
         attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
     )
     return len(dangling)
+
+
+@dataclass
+class RewriteDeletesResult:
+    snapshot_id: int | None
+    input_delete_files: int = 0
+    output_delete_files: int = 0
+    dropped_dangling_refs: int = 0
+
+
+def rewrite_position_deletes(
+    table: Table,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    min_input_files: int = 2,
+) -> RewriteDeletesResult:
+    """Compact accumulated positional-delete files WITHOUT giving up
+    merge-on-read (Iceberg's rewrite_position_delete_files): union every
+    live (file_path, pos) row in one distributed pass, de-duplicate
+    rows deleted by more than one delete file, drop references to data
+    files no longer live (a rewrite stranded them), and write the
+    survivors back as few size-bounded delete files in ONE commit.
+
+    materialize_deletes folds deletes into data files (back to CoW);
+    this op keeps the cheap MoR apply path while bounding what every
+    scan must anti-join: after heavy CDC, a table can carry thousands
+    of tiny delete files, and scan cost grows with their count, not
+    their row volume. Runs on the compaction cadence.
+
+    Commit validation mirrors materialize_deletes: the consumed delete
+    files must still be live; delete files landed since planning are
+    left untouched (they simply stay live)."""
+    from olake_spark.plans.retry import retry_on_backoff
+    from olake_spark.table.manifest_df import manifest_entries_df
+
+    table.refresh()
+    snap = table.snapshot()
+    if snap is None:
+        return RewriteDeletesResult(snapshot_id=None)
+    dels = table.delete_files(snap.snapshot_id)
+    pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
+    if len(pos) < min_input_files:
+        return RewriteDeletesResult(snapshot_id=None, input_delete_files=len(pos))
+
+    live_df = (
+        manifest_entries_df(table, snap.snapshot_id)
+        .where(F.col("content") == CONTENT_DATA)
+        .select(F.col("path").alias("file_path"))
+    )
+    rows = (
+        table.spark.read.schema("file_path string, pos long")
+        .parquet(*[table.abs_path(d.path) for d in pos])
+        .distinct()
+    )
+    n_in = rows.count()
+    survivors = rows.join(live_df, "file_path", "left_semi")
+    bytes_est = sum(d.file_size_bytes for d in pos) or 1
+    n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
+    out_df = survivors.repartitionByRange(
+        n_bins, F.col("file_path"), F.col("pos")
+    ).sortWithinPartitions("file_path", "pos")
+    outputs = table.write_delete_files(out_df, CONTENT_POS_DELETES)
+    n_out_rows = sum(o.record_count for o in outputs)
+
+    pos_paths = {d.path for d in pos}
+
+    def attempt() -> int:
+        table.refresh()
+        live_del = {d.path for d in table.delete_files()}
+        if pos_paths - live_del:
+            raise RuntimeError(
+                "input delete files were removed concurrently; rerun"
+            )
+        return table.commit(
+            "replace",
+            added_deletes=outputs,
+            removed_delete_paths=pos_paths,
+            summary_extra={
+                "kind": "rewrite-position-deletes",
+                "input-delete-files": len(pos),
+                "output-delete-files": len(outputs),
+            },
+        )
+
+    sid = retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    return RewriteDeletesResult(
+        snapshot_id=sid,
+        input_delete_files=len(pos),
+        output_delete_files=len(outputs),
+        dropped_dangling_refs=n_in - n_out_rows,
+    )

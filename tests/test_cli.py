@@ -422,3 +422,43 @@ def test_sync_drift_safe_widening_and_refusals(tmp_path, capsys, spark):
     assert main(["sync", "--source", path, "--dest", dest, "--cpus", "8"]) == 2
     msgs = [m for m in _lines(capsys) if m["type"] == "ERROR"]
     assert msgs and "safe widenings" in msgs[0]["message"]
+
+
+def test_maintain_delete_file_ops(tmp_path, capsys, spark):
+    from olake_spark.operators.deletes import delete_where
+    from olake_spark.table import Table
+
+    dest = str(tmp_path / "mdel")
+    t = Table.create(spark, dest)
+    t.append(
+        spark.range(0, 100).selectExpr(
+            "format_string('doc-%05d', id) as doc_id",
+            "array(cast(id as int)) as tokens",
+            "cast(1 as int) as n_tok",
+            "'a' as source",
+        ).repartition(4)
+    )
+    for i in (3, 13, 23):
+        assert delete_where(t, f"doc_id = 'doc-000{i:02d}'").deleted_rows == 1
+    n_before = t.scan().count()
+
+    assert main(["maintain", "--dest", dest, "--op", "rewrite-pos-deletes",
+                 "--cpus", "8", "--target-bytes", str(1 << 20)]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "rewrite-pos-deletes"
+    assert msgs[0]["input_delete_files"] == 3
+    assert msgs[0]["output_delete_files"] == 1
+
+    assert main(["maintain", "--dest", dest, "--op",
+                 "remove-dangling-deletes", "--cpus", "8"]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["removed_delete_files"] == 0  # still applying
+
+    assert main(["maintain", "--dest", dest, "--op", "materialize-deletes",
+                 "--cpus", "8", "--target-bytes", str(1 << 20)]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "materialize-deletes"
+    assert msgs[0]["removed_delete_files"] == 1
+    t.refresh()
+    assert not t.delete_files()
+    assert t.scan().count() == n_before == 97

@@ -456,3 +456,39 @@ def test_pos_delete_conflicts_with_concurrent_rewrite(spark, tmp_path):
     t.write_delete_files = orig
     delete_where(t, "doc_id = 'doc-00002'")
     assert "doc-00002" not in visible(t)
+
+
+def test_rewrite_position_deletes_compacts_and_drops_dangling(spark, ltable):
+    """Many small positional-delete files -> few, with refs to rewritten
+    (no-longer-live) data files dropped, rows visible unchanged, and no
+    spurious changelog rows across the metadata-only rewrite."""
+    from olake_spark.operators.deletes import rewrite_position_deletes
+
+    t = ltable
+    t.append(batch(spark, 0, 60, "a").repartition(2))
+    t.append(batch(spark, 100, 160, "b").repartition(2))
+    for lo in (5, 15):
+        assert delete_where(t, f"doc_id = 'doc-{lo:05d}'").deleted_rows == 1
+    for lo in (105, 115):
+        assert delete_where(t, f"doc_id = 'doc-{lo:05d}'").deleted_rows == 1
+    assert len(t.delete_files()) == 4
+    before = visible(t)
+    assert len(before) == 116
+
+    # compacting partition 'a' APPLIES its deletes and strands the refs
+    c = compact(t, target_file_bytes=1 << 20, min_group_files=2, sources=["a"])
+    assert c.snapshot_id is not None
+    pre = t.refresh().current_snapshot_id
+
+    r = rewrite_position_deletes(t, target_file_bytes=1 << 20)
+    assert r.snapshot_id is not None
+    assert r.input_delete_files == 4 and r.output_delete_files == 1
+    assert r.dropped_dangling_refs == 2  # the two 'a' refs died in compact
+    live = t.delete_files()
+    assert len(live) == 1 and live[0].content == CONTENT_POS_DELETES
+    assert visible(t) == before
+    # pure delete-file reshuffle: the changelog across it is empty
+    assert snapshot_changes(t, pre).count() == 0
+    # idempotent below the input threshold
+    r2 = rewrite_position_deletes(t)
+    assert r2.snapshot_id is None and r2.input_delete_files == 1
