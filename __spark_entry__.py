@@ -977,18 +977,46 @@ def _simhash_near_dup(spark, sf_dir):
     )
 
 
-def _ann_suite(spark, sf_dir):
-    # the four single-query ANN strategies answered side by side over
-    # the same corpus/query, tagged by variant: exact brute-force
-    # (TakeOrderedAndProject baseline), multi-probe LSH, IVF cells, and
-    # the persisted IVF index (cell-pure files + manifest pruning — NO
-    # assignment UDF at probe time). (Registry consolidation r4:
-    # formerly embedding_topk / ann_lsh_topk / ann_ivf_topk /
-    # ann_ivf_index_topk — the driver's correctness artifact caps at 50
-    # entries; each variant keeps its own rerank oracle, UNION ALL'd.)
+_ANN_INDEX_CACHE: dict[tuple, object] = {}
+
+
+def _ann_index_cached(spark, sf_dir, kind, corpus_tag, corpus_df):
+    """Build-once-per-process persisted ANN index for the registered
+    queries: the build is deterministic (fixed seed + scan-order
+    sample), so repeated invocations (driver correctness pass, bench
+    reps) reuse one index instead of leaking a corpus-sized temp table
+    per call. atexit removes the directory."""
+    import atexit
+    import shutil
     import tempfile
 
-    from olake_spark.operators.ann_index import ann_index_topk, build_ann_index
+    from olake_spark.operators.ann_index import build_ann_index
+
+    key = (spark.sparkContext.applicationId, sf_dir, kind, corpus_tag)
+    idx = _ANN_INDEX_CACHE.get(key)
+    if idx is not None and os.path.isdir(idx.root):
+        return idx
+    root = tempfile.mkdtemp(prefix=f"olake_ann_{kind}_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = build_ann_index(
+        spark, corpus_df, os.path.join(root, kind), kind=kind,
+        n_cells=16, seed=7,
+    )
+    _ANN_INDEX_CACHE[key] = idx
+    return idx
+
+
+def _ann_suite(spark, sf_dir):
+    # the five single-query ANN strategies answered side by side over
+    # the same corpus/query, tagged by variant: exact brute-force
+    # (TakeOrderedAndProject baseline), multi-probe LSH, IVF cells, the
+    # persisted IVF index (cell-pure files + manifest pruning — NO
+    # assignment UDF at probe time), and the PQ-compressed index.
+    # (Registry consolidation r4: formerly embedding_topk /
+    # ann_lsh_topk / ann_ivf_topk / ann_ivf_index_topk — the driver's
+    # correctness artifact caps at 50 entries; each variant keeps its
+    # own rerank oracle, UNION ALL'd.)
+    from olake_spark.operators.ann_index import ann_index_topk
     from olake_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
@@ -998,18 +1026,12 @@ def _ann_suite(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = list(e.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     corpus = e.filter(F.col("vec_id") != 0)
-    idx = build_ann_index(
-        spark, corpus, tempfile.mkdtemp(prefix="olake_annidx_") + "/ivf",
-        kind="ivf", n_cells=16, seed=7,
-    )
+    idx = _ann_index_cached(spark, sf_dir, "ivf", "corpus", corpus)
     idx_out, _info = ann_index_topk(idx, qvec, k=10, n_probe=6)
     # ivfpq: same cells/probes as ivf, but the index stores only PQ
     # codes + exact norms (no vectors) and scores via Catalyst ADC —
     # the generated oracle replays encode+score arithmetic bit-for-bit
-    pq_idx = build_ann_index(
-        spark, corpus, tempfile.mkdtemp(prefix="olake_annpq_") + "/ivfpq",
-        kind="ivfpq", n_cells=16, seed=7,
-    )
+    pq_idx = _ann_index_cached(spark, sf_dir, "ivfpq", "corpus", corpus)
     pq_out, _pqinfo = ann_index_topk(pq_idx, qvec, k=10, n_probe=6)
     parts = [
         brute_force_topk(corpus, qvec, k=10)
@@ -1038,15 +1060,11 @@ def _ann_batch_topk(spark, sf_dir):
     # batch ANN: N query vectors answered in ONE plan — probe cells per
     # query (vectorized UDF), file pruning over the probed-cell union,
     # single equi-join on the cell id + windowed per-query rerank
-    import tempfile
-
-    from olake_spark.operators.ann_index import ann_index_topk_batch, build_ann_index
+    from olake_spark.operators.ann_index import ann_index_topk_batch
 
     e = _t(spark, sf_dir, "embeddings")
-    idx = build_ann_index(
-        spark, e.filter(F.col("vec_id") >= 10),
-        tempfile.mkdtemp(prefix="olake_annb_") + "/ivf", kind="ivf",
-        n_cells=16, seed=7,
+    idx = _ann_index_cached(
+        spark, sf_dir, "ivf", "batch10", e.filter(F.col("vec_id") >= 10)
     )
     queries = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -296,8 +296,13 @@ def remove_dangling_deletes(table: Table) -> int:
     dels = table.delete_files(snap.snapshot_id)
     if not dels:
         return 0
-    data = table.files(snap.snapshot_id)
     pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
+    eq = [d for d in dels if d.content == CONTENT_EQ_DELETES]
+    # the eq loop needs driver-side entries (seq + stats bisection); skip
+    # the O(table) parse entirely for the common all-positional case —
+    # the pos branch gets its live set from the executor-parsed entries
+    # frame instead
+    data = table.files(snap.snapshot_id) if eq else []
     dangling: set[str] = set()
     if pos:
         # ONE distributed pass over every positional-delete file (this
@@ -338,9 +343,7 @@ def remove_dangling_deletes(table: Table) -> int:
         dangling.update(
             rel for tail, rel in tail2.items() if tail not in applying
         )
-    for d in dels:
-        if d.content == CONTENT_POS_DELETES:
-            continue
+    for d in eq:
         st = d.stats.get("doc_id")
         applies = False
         for f in data:
@@ -416,19 +419,26 @@ def rewrite_position_deletes(
         .where(F.col("content") == CONTENT_DATA)
         .select(F.col("path").alias("file_path"))
     )
+    # persist the distinct row set: the count (for the dropped-refs
+    # metric) and the rewrite itself would otherwise each re-run the
+    # full read + distinct shuffle — the op's dominant cost, doubled
     rows = (
         table.spark.read.schema("file_path string, pos long")
         .parquet(*[table.abs_path(d.path) for d in pos])
         .distinct()
+        .persist()
     )
-    n_in = rows.count()
-    survivors = rows.join(live_df, "file_path", "left_semi")
-    bytes_est = sum(d.file_size_bytes for d in pos) or 1
-    n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
-    out_df = survivors.repartitionByRange(
-        n_bins, F.col("file_path"), F.col("pos")
-    ).sortWithinPartitions("file_path", "pos")
-    outputs = table.write_delete_files(out_df, CONTENT_POS_DELETES)
+    try:
+        n_in = rows.count()
+        survivors = rows.join(live_df, "file_path", "left_semi")
+        bytes_est = sum(d.file_size_bytes for d in pos) or 1
+        n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
+        out_df = survivors.repartitionByRange(
+            n_bins, F.col("file_path"), F.col("pos")
+        ).sortWithinPartitions("file_path", "pos")
+        outputs = table.write_delete_files(out_df, CONTENT_POS_DELETES)
+    finally:
+        rows.unpersist()
     n_out_rows = sum(o.record_count for o in outputs)
 
     pos_paths = {d.path for d in pos}

@@ -26,18 +26,21 @@ def broadcast_cap_bytes(spark: SparkSession) -> int:
         .strip()
         .lower()
     )
+    # full Spark byte-string grammar: optional 'b' after an optional
+    # k/m/g/t/p scale ('1t', '64mb', '10485760b', plain digits)
+    if raw.endswith("b"):
+        raw = raw[:-1]
     mult = 1
-    for suf, m in (
-        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
-    ):
-        if raw.endswith(suf):
-            raw = raw[: -len(suf)]
-            mult = m
-            break
+    scales = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+              "t": 1 << 40, "p": 1 << 50}
+    if raw and raw[-1] in scales:
+        mult = scales[raw[-1]]
+        raw = raw[:-1]
     try:
         v = int(float(raw)) * mult
     except ValueError:
+        # unreachable for values Spark itself accepted; stay safe on
+        # garbage rather than crashing a maintenance job
         v = 10 << 20
     return max(0, v)
 

@@ -243,7 +243,10 @@ def test_mor_scan_correct_without_broadcast(spark, ltable):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     # size-string parsing of the shared cap
-    for raw, want in (("64m", 64 << 20), ("10MB", 10 << 20), ("1048576b", 1 << 20)):
+    for raw, want in (
+        ("64m", 64 << 20), ("10MB", 10 << 20), ("1048576b", 1 << 20),
+        ("1t", 1 << 40), ("2g", 2 << 30), ("512", 512),
+    ):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
         try:
             assert broadcast_cap_bytes(spark) == want, raw

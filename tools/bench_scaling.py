@@ -304,7 +304,9 @@ Generated by tools/bench_scaling.py (UTC {time.strftime('%Y-%m-%d %H:%M:%S', tim
     if os.path.exists(out_path):
         prev = open(out_path).read()
         if MANUAL_MARKER in prev:
-            extra = prev.split(MANUAL_MARKER, 1)[1]
+            # strip the newline the writer itself emits after the marker,
+            # else each rerun accumulates one extra blank line
+            extra = prev.split(MANUAL_MARKER, 1)[1].lstrip("\n")
     with open(out_path, "w") as f:
         f.write(md)
         f.write("\n" + MANUAL_MARKER + "\n")
