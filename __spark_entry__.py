@@ -1632,12 +1632,21 @@ def _mor_merge_scan(spark, sf_dir):
 
 
 def _manifest_prune(spark, sf_dir):
-    # distributed manifest planning parity probe: every 100-doc block of
-    # `documents` plays one data file (min/max stats from the block),
-    # and prune_files_df — the Catalyst predicate used by scan_planned
-    # for million-file tables (table/manifest_df.py) — keeps the blocks
-    # a (n_chars range x doc_id range) scan may touch. The oracle is the
-    # same overlap algebra in SQL.
+    # distributed manifest planning parity probe, two variant arms:
+    # 'range' — every 100-doc block of `documents` plays one data file
+    # (min/max stats from the block), and prune_files_df — the Catalyst
+    # predicate used by scan_planned for million-file tables
+    # (table/manifest_df.py) — keeps the blocks a (n_chars range x
+    # doc_id range) scan may touch; the oracle is the same overlap
+    # algebra in SQL. 'bloom' — per-block bloom bitsets (table/blooms.py
+    # Puffin analog: pack_words builds the m=4096/k=5 bitset from md5
+    # lanes, keep_pred tests the probe literal's positions in Catalyst)
+    # keep the blocks that MAY contain doc_id = 250; the oracle replays
+    # the identical double-hash position algebra over md5 hex lanes, so
+    # any packing or probe-math defect breaks the value hash.
+    import pandas as pd
+
+    from olake_spark.table.blooms import keep_pred, lane_sql, pack_words, probe_lanes
     from olake_spark.table.manifest_df import prune_files_df
 
     d = _t(spark, sf_dir, "documents")
@@ -1672,9 +1681,42 @@ def _manifest_prune(spark, sf_dir):
     surv = prune_files_df(
         entries, ranges={"n_chars": (200, 400), "doc_id": ("100", "499")}
     )
-    return surv.select(
-        F.col("path").cast("long").alias("file_id"), "record_count"
+    range_arm = surv.select(
+        F.lit("range").alias("variant"),
+        F.col("path").cast("long").alias("file_id"),
+        "record_count",
     )
+
+    # bloom arm: FIXED geometry (m=4096, k=5) so the SQL oracle needs no
+    # float filter-sizing math — production sizing (bloom_params) is
+    # pytest-covered; this verifies lanes + packing + probe end-to-end
+    h1_sql, h2_sql = lane_sql("CAST(doc_id AS STRING)", "md5")
+    lanes = d.select(
+        F.floor(F.col("doc_id") / 100).cast("long").alias("file_id"),
+        F.expr(h1_sql).alias("h1"),
+        F.expr(h2_sql).alias("h2"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf["file_id"].iloc[0])],
+                "m": [4096],
+                "k": [5],
+                "words": [pack_words(pdf["h1"], pdf["h2"], 4096, 5)],
+            }
+        )
+
+    blob = lanes.groupBy("file_id").applyInPandas(
+        _pack, "file_id long, m long, k int, words array<long>"
+    )
+    ph1, ph2 = probe_lanes(spark, "250", "md5")  # hashlib twin, no job
+    bloom_arm = (
+        blob.where(keep_pred(ph1, ph2))
+        .join(blocks.select("file_id", "record_count"), "file_id")
+        .select(F.lit("bloom").alias("variant"), "file_id", "record_count")
+    )
+    return range_arm.unionByName(bloom_arm)
 
 
 def _drop_repeated_spans(spark, sf_dir):
@@ -1772,6 +1814,52 @@ _EN = "['the','a','and','of','to','in','is','that','it','for']"
 _DE = "['der','die','das','und','ist','nicht','ein','zu','mit','von']"
 _FR = "['le','la','les','et','est','un','une','dans','pour','que']"
 _ES = "['el','la','los','y','es','un','una','en','por','que']"
+
+
+def _manifest_prune_sql() -> str:
+    """Generated oracle for the two-arm manifest_prune probe. The bloom
+    arm's probe positions are computed HERE with hashlib (bit-identical
+    to table/blooms.probe_lanes' md5 twin) and embedded as literals —
+    DuckDB then replays the per-row double-hash position algebra and
+    keeps blocks whose position set covers every probe position, the
+    exact set semantics of the packed-bitset keep_pred on the Spark
+    side."""
+    import hashlib
+
+    m, k = 4096, 5
+    hx = hashlib.md5(b"250").hexdigest()
+    h1, h2 = int(hx[:12], 16), int(hx[12:24], 16)
+    probes = sorted({(h1 + i * h2) % m for i in range(k)})
+    covers = " AND ".join(f"bool_or(pos = {p})" for p in probes)
+    return f"""
+        WITH b AS (
+          SELECT CAST(floor(doc_id / 100) AS BIGINT) AS file_id,
+                 CAST(count(*) AS BIGINT) AS record_count,
+                 min(n_chars) AS cmin, max(n_chars) AS cmax,
+                 min(CAST(doc_id AS VARCHAR)) AS dmin,
+                 max(CAST(doc_id AS VARCHAR)) AS dmax
+          FROM documents GROUP BY 1
+        ),
+        lanes AS (
+          SELECT CAST(floor(doc_id / 100) AS BIGINT) AS file_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h1,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12))::BIGINT AS h2
+          FROM documents
+        ),
+        pos AS (
+          SELECT file_id, (h1 + i * h2) % {m} AS pos
+          FROM lanes CROSS JOIN (SELECT unnest(range(0, {k})) AS i) it
+        ),
+        surv AS (
+          SELECT file_id FROM pos GROUP BY file_id HAVING {covers}
+        )
+        SELECT 'range' AS variant, file_id, record_count FROM b
+        WHERE NOT (cmax < 200 OR cmin > 400)
+          AND NOT (dmax < '100' OR dmin > '499')
+        UNION ALL
+        SELECT 'bloom' AS variant, b.file_id, b.record_count
+        FROM surv JOIN b USING (file_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2574,19 +2662,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY w ORDER BY value DESC, grp ASC LIMIT 50
             )
         """,
-        "manifest_prune": """
-            WITH b AS (
-              SELECT CAST(floor(doc_id / 100) AS BIGINT) AS file_id,
-                     CAST(count(*) AS BIGINT) AS record_count,
-                     min(n_chars) AS cmin, max(n_chars) AS cmax,
-                     min(CAST(doc_id AS VARCHAR)) AS dmin,
-                     max(CAST(doc_id AS VARCHAR)) AS dmax
-              FROM documents GROUP BY 1
-            )
-            SELECT file_id, record_count FROM b
-            WHERE NOT (cmax < 200 OR cmin > 400)
-              AND NOT (dmax < '100' OR dmin > '499')
-        """,
+        "manifest_prune": _manifest_prune_sql(),
         "drop_repeated_spans": """
             WITH s AS (
               SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -1,0 +1,346 @@
+"""Per-file bloom-filter blobs — point-lookup file pruning (Puffin analog).
+
+Min/max manifest stats cannot prune an equality predicate on a
+high-cardinality column the table is NOT clustered on: every file's
+[min, max] spans the whole key space, so `doc_id = X` scans all of a
+100 TB table. Iceberg answers with bloom filters (Puffin blobs /
+parquet-mr column blooms); the reference engine has no stats subsystem
+at all — its lookups always go back to the source server (reference
+pkg/jdbc/jdbc.go:18-28). This module is the lakehouse analog over our
+snapshots:
+
+- **Build** (`build_bloom_blobs`): one distributed pass computes a
+  per-(file, column) bloom bitset. Hashing happens JVM-side
+  (`xxhash64` / `md5` built-ins emit two 48-bit lanes per value); the
+  Arrow-batched pandas UDF only scatters precomputed lanes into a
+  numpy bitset — no Python hashing, no per-row Python. Blobs are
+  written as ONE parquet dataset (`path, column, n, m, k, words
+  array<long>`) under ``stats/`` and registered in table metadata —
+  the Puffin-file pointer shape, same as ANALYZE sketches.
+- **Probe**: the k probe positions derive from two hash lanes of the
+  *literal* (Kirsch–Mitzenmacher: ``pos_i = (h1 + i*h2) % m``), so the
+  file-survives test is a pure Catalyst expression over the blob rows
+  (`element_at` + `shiftleft` + `&`), usable both driver-side
+  (`bloom_prune`, bounded collect of FAILING paths only) and inside
+  distributed planning (`bloom_prune_df`, a join against the entries
+  frame — the million-file path never materializes blobs driver-side).
+- **Immutability makes staleness a non-issue.** Data files never
+  change, so a blob row for path P is valid at every snapshot that
+  contains P. Files appended after the blob was built simply have no
+  row and are conservatively kept (prune drops only files that
+  POSITIVELY fail the bit test). Compaction rewrites paths, so its
+  outputs are unpruned until the next build — correct, just slower.
+
+Design for 100 TB: m is sized per file from its row count at the
+requested false-positive rate (~1.2 KB per 1k rows at 1%), capped at
+``_M_CAP_BITS`` so a pathological file cannot produce a GB bitset. At
+10^6 files x 100k rows the blob dataset is ~120 GB of parquet that
+only ever flows executor-to-executor; a probe reads just the
+``(path, column, n, m, k)`` columns plus the words of candidate rows.
+
+Hash variants mirror operators/analyze.py: ``xxhash64`` (JVM codegen,
+production default) and ``md5`` (hex-substring lanes, bit-identical in
+DuckDB — the correctness oracle replays build AND probe in SQL).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+BLOOM_KEY = "bloom_statistics"
+
+_M_CAP_BITS = 1 << 27  # 16 MiB of bitset per (file, column), hard cap
+_K_CAP = 16
+
+_BLOB_SCHEMA = (
+    "path string, column string, n long, m long, k int, words array<long>"
+)
+
+
+def bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k) for an n-value bloom at false-positive rate fpp.
+    m is rounded up to a whole number of 64-bit words; k capped so the
+    probe loop stays O(1)."""
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    n = max(1, n)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max(64, (m + 63) // 64 * 64), _M_CAP_BITS)
+    k = max(1, min(_K_CAP, round(m / n * math.log(2))))
+    return m, k
+
+
+def lane_sql(col_sql: str, word_hash: str) -> tuple[str, str]:
+    """Two independent non-negative 48-bit hash lanes of ``col_sql``
+    (already a STRING expression), Spark dialect. 48 bits keeps
+    ``h1 + k*h2`` < 2^53 — overflow-free in every engine's BIGINT and
+    exactly representable even through a double, so the DuckDB oracle
+    replays the arithmetic bit-for-bit."""
+    if word_hash == "xxhash64":
+        return (
+            f"shiftrightunsigned(xxhash64({col_sql}), 16)",
+            f"shiftrightunsigned(xxhash64({col_sql}, 'olake-bloom-2'), 16)",
+        )
+    if word_hash == "md5":
+        return (
+            f"CAST(conv(substring(md5({col_sql}), 1, 12), 16, 10) AS BIGINT)",
+            f"CAST(conv(substring(md5({col_sql}), 13, 12), 16, 10) AS BIGINT)",
+        )
+    raise ValueError(f"word_hash must be 'xxhash64' or 'md5', got {word_hash!r}")
+
+
+def pack_words(h1, h2, m: int, k: int) -> list[int]:
+    """Scatter Kirsch–Mitzenmacher positions ``(h1 + i*h2) % m`` into an
+    m-bit bitset; returns m/64 int64 words (the signed view of the
+    uint64 bitset). Vectorized: k bitwise-or passes, never per-row
+    Python. OR is commutative, so the result is independent of row
+    order — a requirement for the bit-exact SQL oracle replay."""
+    h1 = np.asarray(h1, dtype=np.int64).astype(np.uint64)
+    h2 = np.asarray(h2, dtype=np.int64).astype(np.uint64)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(
+            words,
+            (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+    return words.view(np.int64).tolist()
+
+
+def _rel_path(fp: str, root: str) -> str:
+    """table-relative path from a ``_metadata.file_path`` value."""
+    p = re.sub(r"^file:/*", "/", fp)
+    return p[len(root) + 1 :] if p.startswith(root) else p
+
+
+def build_bloom_blobs(
+    table,
+    columns: list[str] | None = None,
+    fpp: float = 0.01,
+    word_hash: str = "xxhash64",
+) -> dict:
+    """Build per-file blooms for the CURRENT snapshot's data files and
+    persist them (parquet blob dataset + metadata pointer). Returns the
+    registered entry. One live entry per (word_hash, columns) family —
+    a rebuild supersedes and deletes the old dataset."""
+    spark = table.spark
+    snap = table.snapshot()
+    if snap is None:
+        raise ValueError("cannot build blooms on an empty table")
+    schema = table.schema()
+    known = {f.name for f in schema.fields}
+    columns = sorted(columns or ["doc_id"])
+    unknown = [c for c in columns if c not in known]
+    if unknown:
+        raise KeyError(f"columns {unknown} not in the table schema {sorted(known)}")
+    files = table.files()
+    if not files:
+        raise ValueError("snapshot tracks no data files")
+
+    # hash JVM-side: (file, column, h1, h2) — one row per non-null value
+    # per requested column. Reading with an explicit single-column
+    # schema means files written under older schemas yield NULLs for
+    # later-added columns (those values simply don't enter the bloom,
+    # matching "absent value can never probe-hit").
+    read_schema = "".join(
+        f"{'' if i == 0 else ', '}`{c}` {schema[c].dataType.simpleString()}"
+        for i, c in enumerate(columns)
+    )
+    raw = spark.read.schema(read_schema).parquet(
+        *[table.abs_path(f.path) for f in files]
+    )
+    lanes = []
+    for c in columns:
+        h1, h2 = lane_sql(f"CAST(`{c}` AS STRING)", word_hash)
+        lanes.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(F.col(c).isNull(), F.lit(None).cast("long"))
+                .otherwise(F.expr(h1))
+                .alias("h1"),
+                F.expr(h2).cast("long").alias("h2"),
+            )
+        )
+    hashed = (
+        raw.select(
+            F.col("_metadata.file_path").alias("_fp"),
+            F.inline(F.array(*lanes)),
+        )
+        .where(F.col("h1").isNotNull())
+    )
+
+    root = table.root
+    fpp_val = float(fpp)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        m, k = bloom_params(n, fpp_val)
+        words = pack_words(
+            pdf["h1"].to_numpy(dtype=np.int64),
+            pdf["h2"].to_numpy(dtype=np.int64),
+            m,
+            k,
+        )
+        return pd.DataFrame(
+            {
+                "path": [_rel_path(str(pdf["_fp"].iloc[0]), root)],
+                "column": [str(pdf["column"].iloc[0])],
+                "n": [n],
+                "m": [m],
+                "k": [k],
+                "words": [words],
+            }
+        )
+
+    blob_df = hashed.groupBy("_fp", "column").applyInPandas(_pack, _BLOB_SCHEMA)
+
+    rel = f"stats/blooms-{snap.snapshot_id}-{uuid.uuid4().hex[:12]}"
+    table.io.ensure_prefix(table.abs_path("stats"))
+    blob_df.write.mode("errorifexists").parquet(table.abs_path(rel))
+
+    entry = {
+        "snapshot_id": snap.snapshot_id,
+        "path": rel,
+        "columns": columns,
+        "fpp": fpp_val,
+        "word_hash": word_hash,
+    }
+    old_paths = [
+        e["path"]
+        for e in table.metadata.get(BLOOM_KEY, [])
+        if e["word_hash"] == word_hash and e["columns"] == columns
+    ]
+
+    def _mut():
+        blooms = table.metadata.setdefault(BLOOM_KEY, [])
+        for e in [
+            e
+            for e in blooms
+            if e["word_hash"] == word_hash and e["columns"] == columns
+        ]:
+            blooms.remove(e)
+        blooms.append(entry)
+
+    try:
+        table._persist_mutation(_mut)
+    except Exception:
+        table.io.delete_prefix(table.abs_path(rel))  # never orphan the blob
+        raise
+    for rel_old in old_paths:
+        table.io.delete_prefix(table.abs_path(rel_old))
+    return entry
+
+
+def bloom_ref(table, column: str, word_hash: str | None = None) -> dict | None:
+    """Latest registered blob entry covering ``column`` (any snapshot —
+    data files are immutable, so every blob row stays valid for the
+    paths it describes)."""
+    entries = [
+        e
+        for e in table.metadata.get(BLOOM_KEY, [])
+        if column in e["columns"]
+        and (word_hash is None or e["word_hash"] == word_hash)
+    ]
+    if not entries:
+        return None
+    return max(entries, key=lambda e: e["snapshot_id"])
+
+
+def probe_lanes(spark, value, word_hash: str) -> tuple[int, int]:
+    """(h1, h2) of the probe literal. The md5 variant has an exact
+    driver-side twin (hashlib, no job); xxhash64 has no stable Python
+    reimplementation, so it hashes through the SAME JVM expression the
+    build used (one 1-row job — symmetry beats reimplementation)."""
+    if word_hash == "md5":
+        import hashlib
+
+        hx = hashlib.md5(str(value).encode("utf-8")).hexdigest()
+        return int(hx[:12], 16), int(hx[12:24], 16)
+    h1, h2 = lane_sql("CAST(v AS STRING)", word_hash)
+    row = (
+        spark.createDataFrame([(str(value),)], "v string")
+        .selectExpr(f"{h1} AS h1", f"{h2} AS h2")
+        .first()
+    )
+    return int(row.h1), int(row.h2)
+
+
+def keep_pred(h1: int, h2: int) -> Column:
+    """Catalyst may-contain test of one blob row against literal lanes:
+    every probe position's bit is set. NULL-safe: rows only exist for
+    built files, callers keep files with no blob row."""
+    return F.expr(
+        f"forall(sequence(0, k - 1), i -> ("
+        f"  element_at(words, CAST((({h1} + i * {h2}) % m) div 64 AS INT) + 1)"
+        f"  & shiftleft(CAST(1 AS BIGINT),"
+        f"              CAST((({h1} + i * {h2}) % m) % 64 AS INT))) != 0)"
+    )
+
+
+def _fail_paths_df(table, eq: dict, word_hash: str | None) -> DataFrame | None:
+    """Single-column frame of file paths a registered bloom POSITIVELY
+    rules out for ``eq``, or None when no column has a blob. Columns
+    without coverage contribute nothing (conservative)."""
+    arms = []
+    for c, v in eq.items():
+        ref = bloom_ref(table, c, word_hash)
+        if ref is None:
+            continue
+        h1, h2 = probe_lanes(table.spark, v, ref["word_hash"])
+        arms.append((c, ref["path"], h1, h2))
+    if not arms:
+        return None
+    fails = None
+    by_blob: dict[str, list] = {}
+    for c, rel, h1, h2 in arms:
+        by_blob.setdefault(rel, []).append((c, h1, h2))
+    for rel, probes in by_blob.items():
+        rows = table.spark.read.schema(_BLOB_SCHEMA).parquet(table.abs_path(rel))
+        pred = F.lit(False)
+        for c, h1, h2 in probes:
+            pred = pred | ((F.col("column") == c) & ~keep_pred(h1, h2))
+        part = rows.where(pred).select("path")
+        fails = part if fails is None else fails.unionByName(part)
+    return fails.distinct()
+
+
+def bloom_prune(
+    table, files: list, eq: dict, word_hash: str | None = None
+) -> list:
+    """Driver-path prune: drop candidate DataFiles a bloom rules out for
+    the equality probe ``eq`` ({column: value}). Files without a blob
+    row (post-build appends, uncovered columns) are kept. One Spark job
+    collecting only the FAILING paths — bounded by the candidate count."""
+    if not files or not eq:
+        return files
+    fails = _fail_paths_df(table, eq, word_hash)
+    if fails is None:
+        return files
+    cand = table.spark.createDataFrame(
+        [(f.path,) for f in files], "path string"
+    )
+    failed = {
+        r.path for r in fails.join(F.broadcast(cand), "path", "left_semi").collect()
+    }
+    return [f for f in files if f.path not in failed]
+
+
+def bloom_prune_df(
+    table, entries: DataFrame, eq: dict, word_hash: str | None = None
+) -> DataFrame:
+    """Distributed prune: anti-join a manifest-entries frame against the
+    bloom-failing paths — stays a Spark plan end-to-end (the
+    million-file planner composes this after min/max pruning)."""
+    if not eq:
+        return entries
+    fails = _fail_paths_df(table, eq, word_hash)
+    if fails is None:
+        return entries
+    return entries.join(fails, "path", "left_anti")

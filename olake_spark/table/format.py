@@ -915,6 +915,7 @@ class Table:
         sources: list[str] | None = None,
         doc_id_range: tuple[str, str] | None = None,
         n_tok_range: tuple[int, int] | None = None,
+        eq: dict[str, Any] | None = None,
         files: list[DataFile] | None = None,
         ref: str | None = None,
         distributed_planning: bool | None = None,
@@ -948,6 +949,14 @@ class Table:
         path) and ``_pos`` (row ordinal within that file, parquet
         ``_metadata.row_index``) columns — the coordinates a positional
         delete file records (operators/deletes.delete_where).
+
+        ``eq``: {column: value} point-lookup predicate. Prunes files by
+        min/max stats AND — when ``build_bloom_blobs`` registered blobs
+        covering the column (table/blooms.py) — by per-file blooms, the
+        pruning min/max cannot do on columns the table is not clustered
+        on. Applied only during planning (``files is None``: an explicit
+        file list was already planned); re-applied as an exact row
+        filter either way.
         """
         if ref is not None:
             if snapshot_id is not None:
@@ -970,6 +979,7 @@ class Table:
                     sources=sources,
                     doc_id_range=doc_id_range,
                     n_tok_range=n_tok_range,
+                    eq=eq,
                     apply_deletes=apply_deletes,
                     with_position=with_position,
                 )
@@ -981,7 +991,13 @@ class Table:
             ranges["doc_id"] = doc_id_range
         if n_tok_range is not None:
             ranges["n_tok"] = n_tok_range
+        for c, v in (eq or {}).items():
+            ranges.setdefault(c, (v, v))  # point probe = degenerate range
         cand = self.prune_files(cand, sources=sources, ranges=ranges)
+        if eq and files is None and cand and self.metadata.get("bloom_statistics"):
+            from olake_spark.table.blooms import bloom_prune
+
+            cand = bloom_prune(self, cand, eq)
         if not cand:
             if with_position:
                 schema = T.StructType(
@@ -1114,6 +1130,8 @@ class Table:
             df = df.filter(F.col("doc_id").between(*doc_id_range))
         if n_tok_range is not None:
             df = df.filter(F.col("n_tok").between(*n_tok_range))
+        for c, v in (eq or {}).items():
+            df = df.filter(F.col(c) == F.lit(v))
         return df
 
     # ----------------------------------------------------------------- write

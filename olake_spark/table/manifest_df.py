@@ -240,13 +240,16 @@ def scan_planned(
     sources: list[str] | None = None,
     doc_id_range: tuple[str, str] | None = None,
     n_tok_range: tuple[int, int] | None = None,
+    eq: dict | None = None,
     apply_deletes: bool = True,
     with_position: bool = False,
 ) -> DataFrame:
     """``Table.scan`` with DISTRIBUTED file planning: manifest parsing
     and pruning run as a Spark job and only the surviving entries reach
     the driver. Row-level re-filters are applied by the delegated
-    ``scan`` exactly as on the driver path."""
+    ``scan`` exactly as on the driver path. ``eq`` point probes compose
+    min/max pruning with the bloom-blob anti-join (table/blooms.py) —
+    still one Spark plan, nothing blob-sized reaches the driver."""
     snap = table.snapshot(snapshot_id)
     if snap is None:
         return table.scan(snapshot_id=snapshot_id)
@@ -256,12 +259,18 @@ def scan_planned(
         ranges["doc_id"] = doc_id_range
     if n_tok_range is not None:
         ranges["n_tok"] = n_tok_range
+    for c, v in (eq or {}).items():
+        ranges.setdefault(c, (v, v))
     first_spec = table.metadata.get(
         "partition_spec_log", [table.partition_col]
     )[0]
     surv = prune_files_df(
         entries, sources=sources, ranges=ranges, first_spec_col=first_spec
     )
+    if eq and table.metadata.get("bloom_statistics"):
+        from olake_spark.table.blooms import bloom_prune_df
+
+        surv = bloom_prune_df(table, surv, eq)
     rows = surv.select(
         "path", "record_count", "file_size_bytes", "schema_id",
         "sequence_number",
@@ -287,6 +296,7 @@ def scan_planned(
         sources=sources,
         doc_id_range=doc_id_range,
         n_tok_range=n_tok_range,
+        eq=eq,
         files=files,
         apply_deletes=apply_deletes,
         with_position=with_position,
