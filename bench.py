@@ -304,7 +304,7 @@ def main() -> None:
             for k in (
                 "bytes", "rows", "reps", "compact_gb_per_s",
                 "zorder_gb_per_s", "seq_per_s", "ntok_prune_fraction",
-                "ann_prune_fraction", "ndv_doc_id",
+                "ann_prune_fraction", "bloom_prune_fraction", "ndv_doc_id",
             )
             if k in maintenance
         },
@@ -792,6 +792,24 @@ def _run_maintenance_rep(
                 table.refresh(), columns=["doc_id", "source", "n_tok"]
             )
         maintenance["ndv_doc_id"] = round(adoc["columns"]["doc_id"]["ndv"], 1)
+
+        # bloom blobs: one distributed build pass over every data file,
+        # then a point lookup no min/max can prune (doc_id is NOT the
+        # cluster key after the hilbert pass) — bloom_prune_fraction is
+        # the files-skipped evidence for scan(eq=)
+        from olake_spark.table.blooms import build_bloom_blobs
+
+        with timed("bloom_build"):
+            build_bloom_blobs(table.refresh(), ["doc_id"], fpp=0.01)
+        probe_key = table.scan().select("doc_id").first().doc_id
+        n_data_files = len(table.files())
+        with timed("bloom_lookup"):
+            hit = table.scan(eq={"doc_id": probe_key})
+            hit.write.format("noop").mode("overwrite").save()
+        read_files = len(hit.inputFiles())
+        maintenance["bloom_prune_fraction"] = round(
+            1 - read_files / max(n_data_files, 1), 4
+        )
 
         # bucket-transform write + co-located join: the left side is
         # never hash-exchanged; the right side moves as packed chunk

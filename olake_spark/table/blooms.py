@@ -13,10 +13,12 @@ snapshots:
   per-(file, column) bloom bitset. Hashing happens JVM-side
   (`xxhash64` / `md5` built-ins emit two 48-bit lanes per value); the
   Arrow-batched pandas UDF only scatters precomputed lanes into a
-  numpy bitset — no Python hashing, no per-row Python. Blobs are
-  written as ONE parquet dataset (`path, column, n, m, k, words
-  array<long>`) under ``stats/`` and registered in table metadata —
-  the Puffin-file pointer shape, same as ANALYZE sketches.
+  numpy bitset — no Python hashing, no per-row Python. Blobs land as
+  parquet datasets (`path, column, n, m, k, words array<long>`) under
+  ``stats/`` and are registered in table metadata — the Puffin-file
+  pointer shape, same as ANALYZE sketches. Incremental builds (the
+  default) cover only blob-less files and stack a new dataset next to
+  the prior ones: O(churn) data read per refresh.
 - **Probe**: the k probe positions derive from two hash lanes of the
   *literal* (Kirsch–Mitzenmacher: ``pos_i = (h1 + i*h2) % m``), so the
   file-survives test is a pure Catalyst expression over the blob rows
@@ -125,11 +127,22 @@ def build_bloom_blobs(
     columns: list[str] | None = None,
     fpp: float = 0.01,
     word_hash: str = "xxhash64",
+    incremental: bool = True,
 ) -> dict:
     """Build per-file blooms for the CURRENT snapshot's data files and
     persist them (parquet blob dataset + metadata pointer). Returns the
-    registered entry. One live entry per (word_hash, columns) family —
-    a rebuild supersedes and deletes the old dataset."""
+    registered entry. One live entry per (word_hash, columns, fpp)
+    family — a build supersedes the family's previous entry.
+
+    ``incremental=True`` (default) builds blobs ONLY for files that have
+    none yet and stacks a new dataset next to the prior ones (the entry
+    carries the dataset list) — O(churn) data read per refresh, the CDC
+    steady state; at 100 TB a full rebuild re-reads the whole table.
+    Sound by immutability: an existing blob row can never go stale.
+    Rows for files that were since compacted away are dead weight that
+    never matches a candidate path; a full rebuild (incremental=False)
+    clears them — run one when maintenance has rewritten a large
+    fraction of the table."""
     spark = table.spark
     snap = table.snapshot()
     if snap is None:
@@ -143,6 +156,30 @@ def build_bloom_blobs(
     files = table.files()
     if not files:
         raise ValueError("snapshot tracks no data files")
+
+    def _family(e: dict) -> bool:
+        return (
+            e["word_hash"] == word_hash
+            and e["columns"] == columns
+            and e.get("fpp") == float(fpp)
+        )
+
+    prior = [e for e in table.metadata.get(BLOOM_KEY, []) if _family(e)]
+    base: dict | None = max(prior, key=lambda e: e["snapshot_id"]) if prior else None
+    if incremental and base is not None:
+        covered = spark.read.schema(_BLOB_SCHEMA).parquet(
+            *[table.abs_path(p) for p in base["paths"]]
+        ).select("path").distinct()
+        cand = spark.createDataFrame(
+            [(f.path,) for f in files], "path string"
+        )
+        # O(churn) driver list: only paths with no blob row come back
+        missing = {
+            r.path for r in cand.join(covered, "path", "left_anti").collect()
+        }
+        files = [f for f in files if f.path in missing]
+        if not files:
+            return base
 
     # hash JVM-side: (file, column, h1, h2) — one row per non-null value
     # per requested column. Reading with an explicit single-column
@@ -205,26 +242,25 @@ def build_bloom_blobs(
     table.io.ensure_prefix(table.abs_path("stats"))
     blob_df.write.mode("errorifexists").parquet(table.abs_path(rel))
 
+    carried = base["paths"] if (incremental and base is not None) else []
     entry = {
         "snapshot_id": snap.snapshot_id,
-        "path": rel,
+        "paths": [*carried, rel],
         "columns": columns,
         "fpp": fpp_val,
         "word_hash": word_hash,
     }
-    old_paths = [
-        e["path"]
+    superseded = [
+        p
         for e in table.metadata.get(BLOOM_KEY, [])
-        if e["word_hash"] == word_hash and e["columns"] == columns
+        if _family(e)
+        for p in e["paths"]
+        if p not in carried
     ]
 
     def _mut():
         blooms = table.metadata.setdefault(BLOOM_KEY, [])
-        for e in [
-            e
-            for e in blooms
-            if e["word_hash"] == word_hash and e["columns"] == columns
-        ]:
+        for e in [e for e in blooms if _family(e)]:
             blooms.remove(e)
         blooms.append(entry)
 
@@ -233,7 +269,7 @@ def build_bloom_blobs(
     except Exception:
         table.io.delete_prefix(table.abs_path(rel))  # never orphan the blob
         raise
-    for rel_old in old_paths:
+    for rel_old in superseded:
         table.io.delete_prefix(table.abs_path(rel_old))
     return entry
 
@@ -294,15 +330,17 @@ def _fail_paths_df(table, eq: dict, word_hash: str | None) -> DataFrame | None:
         if ref is None:
             continue
         h1, h2 = probe_lanes(table.spark, v, ref["word_hash"])
-        arms.append((c, ref["path"], h1, h2))
+        arms.append((c, tuple(ref["paths"]), h1, h2))
     if not arms:
         return None
     fails = None
-    by_blob: dict[str, list] = {}
-    for c, rel, h1, h2 in arms:
-        by_blob.setdefault(rel, []).append((c, h1, h2))
-    for rel, probes in by_blob.items():
-        rows = table.spark.read.schema(_BLOB_SCHEMA).parquet(table.abs_path(rel))
+    by_blob: dict[tuple, list] = {}
+    for c, rels, h1, h2 in arms:
+        by_blob.setdefault(rels, []).append((c, h1, h2))
+    for rels, probes in by_blob.items():
+        rows = table.spark.read.schema(_BLOB_SCHEMA).parquet(
+            *[table.abs_path(r) for r in rels]
+        )
         pred = F.lit(False)
         for c, h1, h2 in probes:
             pred = pred | ((F.col("column") == c) & ~keep_pred(h1, h2))

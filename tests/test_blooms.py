@@ -130,17 +130,50 @@ def test_distributed_prune_matches_driver(spark, tmp_path):
     assert dist == driver
 
 
-def test_rebuild_supersedes_and_deletes_old_blob(spark, tmp_path):
+def test_full_rebuild_supersedes_and_deletes_old_blob(spark, tmp_path):
     t = _mk_table(spark, tmp_path, rows=300)
     e1 = build_bloom_blobs(t, ["doc_id"])
     t.append(generate_sequences(spark, 200, seed=3).repartition(2))
-    e2 = build_bloom_blobs(t, ["doc_id"])
+    e2 = build_bloom_blobs(t, ["doc_id"], incremental=False)
     live = t.metadata[BLOOM_KEY]
-    assert [e["path"] for e in live] == [e2["path"]]
-    assert not t.io.exists(t.abs_path(e1["path"]))
+    assert [e["paths"] for e in live] == [e2["paths"]]
+    for p in e1["paths"]:
+        assert not t.io.exists(t.abs_path(p))
     # fresh load sees the pointer
     t2 = Table.load(spark, t.root)
-    assert bloom_ref(t2, "doc_id")["path"] == e2["path"]
+    assert bloom_ref(t2, "doc_id")["paths"] == e2["paths"]
+
+
+def test_incremental_build_stacks_and_covers_new_files(spark, tmp_path):
+    t = _mk_table(spark, tmp_path, rows=300)
+    e1 = build_bloom_blobs(t, ["doc_id"], fpp=0.001)
+    t.append(generate_sequences(spark, 200, seed=3).repartition(2))
+    e2 = build_bloom_blobs(t, ["doc_id"], fpp=0.001)  # incremental default
+    assert e2["paths"][: len(e1["paths"])] == e1["paths"]
+    assert len(e2["paths"]) == len(e1["paths"]) + 1
+    assert t.io.exists(t.abs_path(e1["paths"][0]))
+    # the stacked blob now covers every file: probing a key that exists
+    # only in the new files prunes down to (at least) its file — and an
+    # absent key prunes everything despite two generations of blobs
+    new_key = (
+        t.scan()
+        .select("doc_id")
+        .exceptAll(
+            t.scan(snapshot_id=t.snapshots()[0].snapshot_id).select("doc_id")
+        )
+        .first()
+        .doc_id
+    )
+    covered = spark.read.parquet(
+        *[t.abs_path(p) for p in e2["paths"]]
+    ).select("path").distinct().count()
+    assert covered == len(t.files())
+    surv = bloom_prune(t, t.files(), {"doc_id": new_key})
+    assert 1 <= len(surv) < len(t.files())
+    assert bloom_prune(t, t.files(), {"doc_id": "nope"}) == []
+    # no new files since -> build is a no-op returning the live entry
+    e3 = build_bloom_blobs(t, ["doc_id"], fpp=0.001)
+    assert e3["paths"] == e2["paths"]
 
 
 def test_cli_bloom_verb(spark, tmp_path, capsys):
@@ -160,7 +193,7 @@ def test_cli_bloom_verb(spark, tmp_path, capsys):
     msg = next(m for m in lines if m.get("type") == "MAINTENANCE")
     assert msg["op"] == "bloom" and msg["columns"] == ["doc_id"]
     t2 = Table.load(spark, dest)
-    assert bloom_ref(t2, "doc_id")["path"] == msg["path"]
+    assert bloom_ref(t2, "doc_id")["paths"] == msg["paths"]
     # unknown column is a clean error exit
     assert main(["maintain", "--dest", dest, "--op", "bloom",
                  "--columns", "nope"]) == 2
