@@ -1518,10 +1518,17 @@ def _corpus_token_stats(spark, sf_dir):
     #     total_tokens, oversize_blocks — FFD never splits or drops a
     #     sequence, so these must equal the source corpus exactly)
     #   - vocabulary top-50          (grp=word:   vocab_cnt)
+    #   - CCNet-style bigram-LM perplexity scores (grp='ppl:'||doc_id:
+    #     n_bigrams / nll_q4 / ppl_keep) — operators/lm.py; per-token
+    #     log-probs are quantized to 1e-4 nats BEFORE the per-doc sum so
+    #     every value crossing the engine boundary is bigint (hash-exact
+    #     by construction); threshold 33870 is the sf0.01 median so both
+    #     keep branches are exercised
     # (Registry consolidation r4: formerly seq_table_stats /
     # seq_packing_audit / token_vocab_topk — the driver's correctness
     # artifact caps at 50 entries; the union keeps each op's exact
     # output under its own metric tag.)
+    from olake_spark.operators.lm import perplexity_scores
     from olake_spark.operators.packing import pack_sequences, packing_stats
     from olake_spark.sources.tokenizer import sequences_from_documents
 
@@ -1563,7 +1570,21 @@ def _corpus_token_stats(spark, sf_dir):
             F.col("cnt").cast("bigint").alias("value"),
         )
     )
-    return src_tall.unionByName(pack_tall).unionByName(vocab_tall)
+    ppl_tall = perplexity_scores(d, max_nll_q4_per_token=33870).select(
+        F.concat(F.lit("ppl:"), F.col("doc_id").cast("string")).alias("grp"),
+        F.explode(
+            F.create_map(
+                F.lit("n_bigrams"), F.col("n_bigrams"),
+                F.lit("nll_q4"), F.col("nll_q4"),
+                F.lit("ppl_keep"), F.col("keep").cast("bigint"),
+            )
+        ).alias("metric", "value"),
+    )
+    return (
+        src_tall.unionByName(pack_tall)
+        .unionByName(vocab_tall)
+        .unionByName(ppl_tall)
+    )
 
 
 def _mor_merge_scan(spark, sf_dir):
@@ -2635,6 +2656,41 @@ def oracle_sql() -> dict[str, str]:
                     list_transform(r.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.2
         """,
         "corpus_token_stats": """
+            WITH lm_s AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            lm_g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1])) AS gram
+              FROM lm_s WHERE len(w) >= 2
+            ),
+            lm_cb AS (SELECT gram, count(*) AS c_b FROM lm_g GROUP BY gram),
+            lm_ch AS (SELECT split_part(gram, ' ', 1) AS hist,
+                             sum(c_b) AS c_h
+                      FROM lm_cb GROUP BY 1),
+            lm_v AS (SELECT count(DISTINCT word) AS vv
+                     FROM (SELECT unnest(w) AS word FROM lm_s)),
+            lm_q AS (
+              SELECT g.doc_id,
+                     CAST(round((ln(cb.c_b + 1) - ln(ch.c_h + v.vv)) * 10000)
+                          AS BIGINT) AS qq
+              FROM lm_g g JOIN lm_cb cb USING (gram)
+                   JOIN lm_ch ch ON split_part(g.gram, ' ', 1) = ch.hist
+                   CROSS JOIN lm_v v
+            ),
+            lm_p AS (SELECT doc_id, count(*) AS n_bigrams, -sum(qq) AS nll_q4
+                     FROM lm_q GROUP BY doc_id),
+            lm_ppl AS (
+              SELECT d.doc_id,
+                     coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+                     coalesce(p.nll_q4, 0)::BIGINT AS nll_q4,
+                     CAST(coalesce(p.n_bigrams, 0) = 0
+                          OR coalesce(p.nll_q4, 0) <= 33870 * p.n_bigrams
+                          AS BIGINT) AS ppl_keep
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN lm_p p USING (doc_id)
+            )
             SELECT source AS grp, 'n_docs' AS metric,
                    CAST(count(*) AS BIGINT) AS value
             FROM documents GROUP BY source
@@ -2661,6 +2717,15 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
               GROUP BY w ORDER BY value DESC, grp ASC LIMIT 50
             )
+            UNION ALL
+            SELECT 'ppl:' || CAST(doc_id AS VARCHAR), 'n_bigrams', n_bigrams
+            FROM lm_ppl
+            UNION ALL
+            SELECT 'ppl:' || CAST(doc_id AS VARCHAR), 'nll_q4', nll_q4
+            FROM lm_ppl
+            UNION ALL
+            SELECT 'ppl:' || CAST(doc_id AS VARCHAR), 'ppl_keep', ppl_keep
+            FROM lm_ppl
         """,
         "manifest_prune": _manifest_prune_sql(),
         "drop_repeated_spans": """

@@ -5,6 +5,10 @@ Bridges the driver testdata to the engine's primary input shape
 Tokenization is entirely JVM-side Catalyst expressions (split +
 higher-order transform + xxhash64) — zero Python in the hot path, which
 is what a 100 TB tokenize pass requires.
+
+For a real learned subword vocabulary (trained merges + alphabet, UNK
+handling, round-trippable decode) use ``olake_spark.operators.bpe``:
+``train_bpe`` + ``bpe_encode`` produce the same (tokens, n_tok) shape.
 """
 
 from __future__ import annotations
