@@ -180,6 +180,7 @@ def main() -> None:
     qs["minhash_lsh"] = _bench_minhash_lsh
     qs["embedding_topk"] = _bench_embedding_topk
     qs["seq_table_stats"] = _bench_seq_table_stats
+    qs["ccnet_ppl"] = _bench_ccnet_ppl
     # keep the xxhash64 production hash for the bench timing (the
     # registry entry switched to the DuckDB-expressible md5_60 variant)
     qs["simhash_near_dup"] = _bench_simhash
@@ -203,6 +204,7 @@ def main() -> None:
             "drop_repeated_spans",
             "pii_scrub",
             "c4_filter",
+            "ccnet_ppl",
         ]:
             with timed(name):
                 # noop sink: forces full computation of every output
@@ -380,6 +382,14 @@ def _spawn_maintenance_jvm() -> dict | None:
     except Exception:
         pass
     return None
+
+
+def _bench_ccnet_ppl(spark, sf_dir):
+    # CCNet bigram-LM perplexity filter: train + score in one plan
+    from olake_spark.operators.lm import perplexity_scores
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return perplexity_scores(d, max_nll_q4_per_token=33870)
 
 
 def _bench_doc_token_count(spark, sf_dir):

@@ -66,6 +66,20 @@ def _shingles_of(w: F.Column, k: int) -> F.Column:
     return F.array_distinct(sh)
 
 
+def token_shingles(tokens_col: str | F.Column, k: int = 5) -> F.Column:
+    """Distinct k-token shingles of a pre-tokenized ``array<int>`` column
+    (the engine's primary input shape: doc_id, tokens, n_tok, source) —
+    the token-level twin of ``word_shingles``, so every MinHash/LSH
+    near-dup path runs on corpora that ship without raw text.  Token ids
+    are stringified inside one bound transform; everything downstream is
+    the identical banded pipeline."""
+    from olake_spark.operators.text import bind_once
+
+    c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    stringified = F.transform(c, lambda t: t.cast("string"))
+    return bind_once(stringified, lambda w: _shingles_of(w, k))
+
+
 # ------------------------------------------------------- decontamination
 def decontaminate(
     docs: DataFrame,
@@ -109,15 +123,21 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 32,
     shingle_k: int = 3,
+    shingles: F.Column | None = None,
 ) -> DataFrame:
     """MinHash signature per document: explode distinct shingles, then
     one hash-aggregation computing min(xxhash64(shingle, seed)) for all
     permutations simultaneously — a single shuffle keyed on the doc id,
     map-side partial aggregation included, all JVM-side.
+
+    ``shingles`` overrides the shingle source (default: word shingles of
+    ``text_col``) — pass ``token_shingles('tokens', k)`` to fingerprint
+    pre-tokenized sequences instead of text.
     """
-    exploded = docs.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    sh_expr = (
+        shingles if shingles is not None else word_shingles(text_col, shingle_k)
     )
+    exploded = docs.select(F.col(id_col), F.explode(sh_expr).alias("sh"))
     aggs = [
         F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh{seed}")
         for seed in range(num_perm)
@@ -218,8 +238,13 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     verify: bool = False,
     max_bucket: int = 10_000,
+    shingles: F.Column | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH.
+
+    ``shingles`` overrides the shingle source for BOTH the signature
+    pass and the exact-Jaccard verify join (default: word shingles of
+    ``text_col``; pass ``token_shingles(...)`` for tokenized corpora).
 
     1. signatures (one shuffle);
     2. band keys: hash of each band's slice of the signature; explode
@@ -240,7 +265,9 @@ def minhash_lsh_pairs(
     per-bucket quantity capped by ``max_bucket``.
     """
     r = num_perm // bands
-    sigs = minhash_signatures(docs, id_col, text_col, num_perm, shingle_k)
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_perm, shingle_k, shingles=shingles
+    )
     band_arr = F.array(
         *[
             F.xxhash64(
@@ -276,9 +303,12 @@ def minhash_lsh_pairs(
         F.col("pay_a").alias("sig_a"), F.col("pay_b").alias("sig_b"),
     )
     if verify:
-        sh = docs.select(
-            F.col(id_col), word_shingles(text_col, shingle_k).alias("sh")
+        sh_expr = (
+            shingles
+            if shingles is not None
+            else word_shingles(text_col, shingle_k)
         )
+        sh = docs.select(F.col(id_col), sh_expr.alias("sh"))
         pairs = (
             cand.select("id_a", "id_b")
             .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -735,3 +735,53 @@ def test_c4_page_filter_rules(spark):
     assert out["c"].n_kept == 2 and not out["c"].keep  # lorem ipsum page
     assert not out["d"].keep  # brace page
     assert out["e"].n_kept == 1 and out["e"].keep
+
+
+def test_minhash_over_token_arrays(spark):
+    """token_shingles plugs pre-tokenized sequences (the input_hint
+    shape) into the SAME banded pipeline: verify=True pairs must equal
+    the brute-force token-shingle Jaccard oracle exactly."""
+    import numpy as np
+    from olake_spark.operators.dedup import minhash_lsh_pairs, token_shingles
+
+    rng = np.random.default_rng(31)
+    base = [rng.integers(0, 40, size=30).tolist() for _ in range(8)]
+    rows = []
+    for i, toks in enumerate(base):
+        rows.append((3 * i, toks))
+        near = list(toks)
+        near[5] = int(near[5]) + 1000  # one substitution: high overlap
+        rows.append((3 * i + 1, [int(t) for t in near]))
+        rows.append((3 * i + 2, rng.integers(2000, 4000, size=30).tolist()))
+    seq = spark.createDataFrame(
+        [(i, [int(t) for t in ts]) for i, ts in rows],
+        "doc_id int, tokens array<int>",
+    )
+    k = 4
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            seq,
+            num_perm=32,
+            bands=16,
+            jaccard_threshold=0.4,
+            verify=True,
+            shingles=token_shingles("tokens", k),
+        ).collect()
+    }
+
+    def sh(ts):
+        return {
+            " ".join(str(t) for t in ts[i : i + k])
+            for i in range(len(ts) - k + 1)
+        }
+
+    toks = dict(rows)
+    want = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        sa, sb = sh(toks[a]), sh(toks[b])
+        j = len(sa & sb) / max(len(sa | sb), 1)
+        if j >= 0.4:
+            want[(a, b)] = round(j, 6)
+    assert want, "fixture must contain token-level near-dups"
+    assert got == want
