@@ -2,11 +2,15 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side schema, partition behavior, UDF
-signatures, and Arrow batch shapes are real and tested; the actual
-codec work is stubbed (image/audio libraries are not in this
-container) behind ``decode_stub``: deterministic fake features when
-``fake=True``, ``NotImplementedError`` otherwise, exactly where a
-Pillow/ffmpeg call would slot in.
+signatures, and Arrow batch shapes are real and tested.  Decode is REAL
+for PNG / BMP / WAV via the dependency-free codecs in
+``operators/codecs.py`` (stdlib zlib/wave + numpy — all five PNG
+scanline filters, 24-bit BMP, PCM-16 WAV), used when ``fake=False``;
+image resize re-encodes real PNG bytes.  JPEG and video stay honestly
+out of reach without Pillow/ffmpeg and raise ``NotImplementedError``
+exactly where those calls slot in; ``fake=True`` keeps the
+deterministic byte-stats features used by the SQL-oracled
+``media_profile`` query.
 
 Scale design: payload bytes never pass through Python except inside
 the Arrow batches of ``mapInPandas`` (zero-copy into pandas); metadata
@@ -64,12 +68,39 @@ def media_metadata(df: DataFrame) -> DataFrame:
 
 
 def decode_stub(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
-    """Where a real decoder (PIL.Image.open / libsndfile / ffmpeg)
-    would run. Deterministic fake: dimensions and a 4-dim feature
-    derived from byte stats."""
+    """The decode stage.  ``fake=True``: deterministic byte-stats
+    features (the SQL-oracle-able path).  ``fake=False``: REAL decode —
+    PNG/BMP -> (width, height, [channels, pixel mean, pixel std, pixel
+    max]); WAV -> (n_samples, n_channels, [rate, mean |x|, rms, peak]);
+    JPEG/video raise NotImplementedError (need Pillow/ffmpeg)."""
     if not fake:
+        from olake_spark.operators import codecs
+
+        kind = codecs.sniff(payload)
+        if kind in ("png", "bmp"):
+            arr = (
+                codecs.decode_png(payload)
+                if kind == "png"
+                else codecs.decode_bmp(payload)
+            )
+            h, w = arr.shape[:2]
+            ch = arr.shape[2] if arr.ndim == 3 else 1
+            px = arr.astype(np.float64)
+            feat = np.array(
+                [ch, px.mean(), px.std(), px.max()], dtype=np.float32
+            )
+            return w, h, feat
+        if kind == "wav":
+            rate, s = codecs.decode_wav(payload)
+            x = s.astype(np.float64)
+            feat = np.array(
+                [rate, np.abs(x).mean(), np.sqrt((x * x).mean()), np.abs(x).max()],
+                dtype=np.float32,
+            )
+            return int(s.shape[0]), int(s.shape[1]), feat
         raise NotImplementedError(
-            "real media decoding requires Pillow/ffmpeg — not in this container"
+            f"cannot decode {kind!r}: PNG/BMP/WAV decode natively "
+            "(operators/codecs.py); JPEG/video require Pillow/ffmpeg"
         )
     a = np.frombuffer(payload, dtype=np.uint8)
     h = int(a[:4].sum()) % 480 + 16 if len(a) else 16
@@ -110,18 +141,41 @@ def resize_images(
     df: DataFrame, width: int, height: int, fake: bool = True
 ) -> DataFrame:
     """Resize stage: one output row per input, payload replaced by the
-    re-encoded image. Stub resize = deterministic byte subsample of the
-    payload to width*height bytes (a PIL thumbnail+save call slots in
-    where the fake runs); schema/batching are the real contract."""
+    re-encoded image.  ``fake=False``: REAL nearest-neighbor resize of
+    PNG/BMP payloads, re-encoded as PNG (operators/codecs.py); other
+    formats raise NotImplementedError.  ``fake=True``: deterministic
+    byte subsample to width*height bytes (the oracle-able path)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from olake_spark.operators import codecs
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if not fake:
-                    raise NotImplementedError(
-                        "real resize requires Pillow — not in this container"
+                    b = bytes(payload)
+                    kind = codecs.sniff(b)
+                    if kind not in ("png", "bmp"):
+                        raise NotImplementedError(
+                            f"cannot resize {kind!r}: PNG/BMP resize "
+                            "natively; JPEG requires Pillow"
+                        )
+                    arr = (
+                        codecs.decode_png(b)
+                        if kind == "png"
+                        else codecs.decode_bmp(b)
                     )
+                    yi = np.arange(height) * arr.shape[0] // height
+                    xi = np.arange(width) * arr.shape[1] // width
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "width": width,
+                            "height": height,
+                            "payload": codecs.encode_png(arr[yi][:, xi]),
+                        }
+                    )
+                    continue
                 a = np.frombuffer(bytes(payload), dtype=np.uint8)
                 n = max(width * height, 1)
                 idx = (np.arange(n) * max(len(a), 1) // n) % max(len(a), 1)
