@@ -93,6 +93,7 @@ def snapshot_changes(
     # old side; added-file rows already scan with the TO snapshot's
     # deletes applied — only carried files need this extra component.
     from olake_spark.table.format import (
+        CONTENT_DV,
         CONTENT_EQ_DELETES,
         CONTENT_POS_DELETES,
         new_delete_entries_since,
@@ -103,12 +104,18 @@ def snapshot_changes(
     if new_dels:
         eq_new = [d for d in new_dels if d.content == CONTENT_EQ_DELETES]
         pos_new = [d for d in new_dels if d.content == CONTENT_POS_DELETES]
+        # a deletion-vector landed in the window counts as positional
+        # deletes too: a repack that consumed pos files ADDED within the
+        # same window leaves the DV as the only surviving record of
+        # those row kills (the consumed pos files appear on neither
+        # shard-diff side), so its positions must join the kill set
+        dv_new = [d for d in new_dels if d.content == CONTENT_DV]
         pos_refs = set()
-        if pos_new:
+        if pos_new or dv_new:
             pos_refs = {
                 r.file_path
                 for r in table.spark.read.schema("file_path string")
-                .parquet(*[table.abs_path(d.path) for d in pos_new])
+                .parquet(*[table.abs_path(d.path) for d in pos_new + dv_new])
                 .distinct()
                 .collect()
             }
@@ -140,14 +147,23 @@ def snapshot_changes(
                 if sum(d.file_size_bytes for d in eq_new) <= 64 << 20:
                     keys = F.broadcast(keys)
                 parts.append(vis.join(keys, OLAKE_ID, "semi"))
-            if pos_new:
-                pd_df = table.spark.read.schema(
-                    "file_path string, pos long"
-                ).parquet(*[table.abs_path(d.path) for d in pos_new])
+            if pos_new or dv_new:
+                pd_df = None
+                if pos_new:
+                    pd_df = table.spark.read.schema(
+                        "file_path string, pos long"
+                    ).parquet(*[table.abs_path(d.path) for d in pos_new])
+                if dv_new:
+                    from olake_spark.operators.deletes import dv_positions_df
+
+                    dv_pos = dv_positions_df(table, dv_new)
+                    pd_df = (
+                        pd_df.unionByName(dv_pos) if pd_df is not None else dv_pos
+                    )
                 pd_df = pd_df.withColumnsRenamed(
                     {"file_path": "_file", "pos": "_pos"}
                 )
-                if sum(d.file_size_bytes for d in pos_new) <= 64 << 20:
+                if sum(d.file_size_bytes for d in pos_new + dv_new) <= 64 << 20:
                     pd_df = F.broadcast(pd_df)
                 parts.append(vis.join(pd_df, ["_file", "_pos"], "semi"))
             killed = parts[0]

@@ -19,6 +19,13 @@ v2 half of that contract over the engine's own table layer:
   positional deletes whose referenced files are gone). Rewrites
   (compaction/clustering/CoW merge) naturally strand delete files
   because their outputs carry a higher sequence number.
+- :func:`write_deletion_vectors` — convert accumulated positional
+  delete rows into ONE packed position bitmap per covered data file
+  (the Iceberg v3 deletion-vector shape): 64 deleted positions per
+  bigint word, applied at scan time as an O(files) join + bit test
+  instead of an O(deleted-rows) anti-join. Consumes existing DVs too,
+  so repeated runs keep the invariant of at most one live DV row per
+  data file.
 
 Scale shape: ``delete_where`` reads only stats-surviving files and
 writes O(matched rows) delete bytes; ``materialize_deletes`` rewrites
@@ -39,6 +46,7 @@ from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
 from olake_spark.schema import OLAKE_ID
 from olake_spark.table.format import (
     CONTENT_DATA,
+    CONTENT_DV,
     CONTENT_EQ_DELETES,
     CONTENT_POS_DELETES,
     CommitConflict,
@@ -191,7 +199,9 @@ def _affected_data_files(
     if not dels:
         return [], []
     eq = [d for d in dels if d.content == CONTENT_EQ_DELETES]
-    pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
+    # deletion-vector files carry the same file_path column, so the
+    # one distinct-paths read covers both positional kinds
+    pos = [d for d in dels if d.content in (CONTENT_POS_DELETES, CONTENT_DV)]
     pos_refs = _pos_referenced_paths(table, pos)
     affected = []
     for f in table.files(snap_id):
@@ -296,7 +306,9 @@ def remove_dangling_deletes(table: Table) -> int:
     dels = table.delete_files(snap.snapshot_id)
     if not dels:
         return 0
-    pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
+    # DV files expose the same file_path column — the batched
+    # liveness pass treats both positional kinds identically
+    pos = [d for d in dels if d.content in (CONTENT_POS_DELETES, CONTENT_DV)]
     eq = [d for d in dels if d.content == CONTENT_EQ_DELETES]
     # the eq loop needs driver-side entries (seq + stats bisection); skip
     # the O(table) parse entirely for the common all-positional case —
@@ -379,6 +391,174 @@ class RewriteDeletesResult:
     input_delete_files: int = 0
     output_delete_files: int = 0
     dropped_dangling_refs: int = 0
+
+
+def _dv_word_cols(pos: Column) -> tuple[Column, Column]:
+    """(word index, bit value) of one deleted position under the packed
+    64-bit layout. The SAME expressions the scan-time bit test uses
+    (table/format.py scan, dv_dels branch) — the two sides must never
+    disagree on where a position lands."""
+    widx = F.shiftright(pos, 6).cast("int")
+    # call_function: the PySpark shiftleft wrapper wants a literal bit
+    # count; the SQL function takes any expression
+    bit = F.call_function("shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int"))
+    return widx, bit
+
+
+def dv_words_df(table: Table, dv_dels: list[DataFile]) -> DataFrame:
+    """Unpack deletion-vector files to sparse (file_path, widx, word)
+    rows — the exchange format both the DV builder (re-packing existing
+    DVs) and changelog (position expansion) start from."""
+    return (
+        table.spark.read.schema("file_path string, dv array<bigint>, n_pos long")
+        .parquet(*[table.abs_path(d.path) for d in dv_dels])
+        .select("file_path", F.posexplode("dv").alias("_i", "word"))
+        .where(F.col("word") != 0)
+        .select("file_path", F.col("_i").cast("int").alias("widx"), "word")
+    )
+
+
+def dv_positions_df(table: Table, dv_dels: list[DataFile]) -> DataFrame:
+    """Expand deletion-vector files back to (file_path, pos) rows —
+    O(deleted positions), the exact row set the DVs were packed from.
+    Used by changelog (which needs per-position visibility) and the
+    Arrow DataSource reader's oracle tests."""
+    words = dv_words_df(table, dv_dels)
+    bits = F.filter(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: (
+            F.col("word").bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            )
+            != 0
+        ),
+    )
+    return words.select(
+        "file_path",
+        F.explode(bits).alias("_b"),
+        (F.col("widx").cast("long") * 64).alias("_base"),
+    ).select("file_path", (F.col("_base") + F.col("_b")).alias("pos"))
+
+
+def write_deletion_vectors(
+    table: Table,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> RewriteDeletesResult:
+    """Repack every live positional delete into ONE bitmap row per
+    covered data file (the Iceberg v3 deletion-vector shape; Iceberg
+    spec #11122 / Delta Lake deletion vectors are the public models):
+    64 positions per bigint word, so 10^9 accumulated deleted positions
+    become ~16 MB of words instead of 10^9 anti-join rows, and every
+    scan applies them as an O(files) broadcast join + constant-time bit
+    test per row.
+
+    Consumes BOTH plain positional-delete files and existing DV files,
+    so repeated runs keep the invariant the scan join depends on: at
+    most one live DV row per data file (two rows for one file would
+    duplicate its rows through the left join). References to data files
+    no longer live are dropped on the way (same as
+    rewrite_position_deletes). Equality deletes are untouched — they
+    carry no positions to pack.
+
+    The whole build is one Spark plan with no Python in the row path:
+    positions fold to sparse (file, word-index, word) rows via bit_or
+    — duplicate positions merge for free, no distinct shuffle — and the
+    dense bitmap is assembled from the sorted sparse pairs with an
+    indexed transform + flatten (each gap filled once: O(bitmap length)
+    per file, never O(words^2) map probing).
+
+    Commit validation mirrors rewrite_position_deletes: consumed delete
+    files must still be live; new deletes landed since planning simply
+    stay live (scan applies plain positional deletes independently of
+    DVs, so a position recorded in both is just deleted)."""
+    from olake_spark.plans.retry import retry_on_backoff
+    from olake_spark.table.manifest_df import manifest_entries_df
+
+    table.refresh()
+    snap = table.snapshot()
+    if snap is None:
+        return RewriteDeletesResult(snapshot_id=None)
+    dels = table.delete_files(snap.snapshot_id)
+    pos = [d for d in dels if d.content == CONTENT_POS_DELETES]
+    dvs = [d for d in dels if d.content == CONTENT_DV]
+    if not pos:
+        # nothing to repack; existing DVs already hold the invariant
+        return RewriteDeletesResult(snapshot_id=None, input_delete_files=0)
+
+    widx, bit = _dv_word_cols(F.col("pos"))
+    words = (
+        table.spark.read.schema("file_path string, pos long")
+        .parquet(*[table.abs_path(d.path) for d in pos])
+        .select("file_path", widx.alias("widx"), bit.alias("word"))
+    )
+    if dvs:
+        words = words.unionByName(dv_words_df(table, dvs))
+    live_df = (
+        manifest_entries_df(table, snap.snapshot_id)
+        .where(F.col("content") == CONTENT_DATA)
+        .select(F.col("path").alias("file_path"))
+    )
+    packed = (
+        words.join(live_df, "file_path", "left_semi")
+        .groupBy("file_path", "widx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("widx", "word")))
+    per_file = packed.groupBy("file_path").agg(
+        pairs.alias("pairs"), F.sum(F.bit_count("word")).alias("n_pos")
+    )
+    # dense bitmap from sorted sparse pairs: entry i contributes
+    # (zero-fill since the previous word) + its own word; element_at is
+    # O(1) on arrays, so the whole assembly is O(bitmap length)
+    prev_end = lambda i: F.when(i == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.element_at(F.col("pairs"), i)["widx"] + 1
+    )
+    dv_col = F.flatten(
+        F.transform(
+            "pairs",
+            lambda e, i: F.concat(
+                F.array_repeat(F.lit(0).cast("long"), e["widx"] - prev_end(i)),
+                F.array(e["word"]),
+            ),
+        )
+    )
+    bytes_est = sum(d.file_size_bytes for d in pos + dvs) or 1
+    n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
+    out_df = (
+        per_file.select("file_path", dv_col.alias("dv"), "n_pos")
+        .repartitionByRange(n_bins, F.col("file_path"))
+        .sortWithinPartitions("file_path")
+    )
+    outputs = table.write_delete_files(out_df, CONTENT_DV)
+
+    consumed = {d.path for d in pos} | {d.path for d in dvs}
+
+    def attempt() -> int:
+        table.refresh()
+        live_del = {d.path for d in table.delete_files()}
+        if consumed - live_del:
+            raise RuntimeError(
+                "input delete files were removed concurrently; rerun"
+            )
+        return table.commit(
+            "replace",
+            added_deletes=outputs,
+            removed_delete_paths=consumed,
+            summary_extra={
+                "kind": "write-deletion-vectors",
+                "input-delete-files": len(consumed),
+                "output-delete-files": len(outputs),
+            },
+        )
+
+    sid = retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    return RewriteDeletesResult(
+        snapshot_id=sid,
+        input_delete_files=len(consumed),
+        output_delete_files=len(outputs),
+    )
 
 
 def rewrite_position_deletes(

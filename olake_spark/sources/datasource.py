@@ -79,6 +79,7 @@ from olake_spark.schema import (
 )
 from olake_spark.table.format import (
     CONTENT_DATA,
+    CONTENT_DV,
     CONTENT_EQ_DELETES,
     CONTENT_POS_DELETES,
     SCAN_DISTRIBUTED_MIN_SHARDS,
@@ -392,6 +393,7 @@ def _read_data_files(
     pos_dels = [
         d for d in delete_entries if d.get("content") == CONTENT_POS_DELETES
     ]
+    dv_dels = [d for d in delete_entries if d.get("content") == CONTENT_DV]
     # task-local delete caches: loaded at most once per task
     eq_keys_cache: dict[str, list] = {}
     pos_map: dict[str, list] | None = None
@@ -414,6 +416,8 @@ def _read_data_files(
     def _positions_for(rel_path: str):
         nonlocal pos_map
         if pos_map is None:
+            import numpy as np
+
             pos_map = {}
             for d in pos_dels:
                 t = pq.read_table(
@@ -425,6 +429,25 @@ def _read_data_files(
                     t.column("pos").to_pylist(),
                 ):
                     pos_map.setdefault(fp, []).append(pos)
+            for d in dv_dels:
+                # unpack each bitmap row: positions are the set bits of
+                # the word array viewed as one little-endian bitfield —
+                # the same layout scan's shiftleft(1, pos % 64) bit test
+                # and write_deletion_vectors' packer use
+                t = pq.read_table(
+                    os.path.join(root, d["path"]), columns=["file_path", "dv"]
+                )
+                for fp, words in zip(
+                    t.column("file_path").to_pylist(),
+                    t.column("dv").to_pylist(),
+                ):
+                    arr = np.asarray(words, dtype=np.int64)
+                    bits = np.unpackbits(
+                        arr.view(np.uint8), bitorder="little"
+                    )
+                    pos_map.setdefault(fp, []).extend(
+                        np.flatnonzero(bits).tolist()
+                    )
         return pos_map.get(rel_path)
 
     for e in entries:

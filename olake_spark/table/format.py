@@ -70,6 +70,12 @@ def _atomic_write_text(path: str, text: str) -> None:
 CONTENT_DATA = "data"
 CONTENT_EQ_DELETES = "eq-deletes"  # rows = equality keys to delete
 CONTENT_POS_DELETES = "pos-deletes"  # rows = (file_path, pos) to delete
+# rows = (file_path, dv: array<bigint>, n_pos) — one packed position
+# bitmap per data file (Iceberg v3 deletion-vector analog): 64 deleted
+# positions per word instead of one row each, and scan applies them via
+# an O(files) equi-join + bit test instead of an O(deleted-rows)
+# anti-join. Produced by operators/deletes.write_deletion_vectors.
+CONTENT_DV = "deletion-vectors"
 
 #: system column holding the bucket-transform value (Iceberg bucket(N, col)
 #: partitioning). Unlike Iceberg we materialize it as a real int column so
@@ -1030,8 +1036,9 @@ class Table:
             ]
         eq_dels = [d for d in dels if d.content == CONTENT_EQ_DELETES]
         pos_dels = [d for d in dels if d.content == CONTENT_POS_DELETES]
+        dv_dels = [d for d in dels if d.content == CONTENT_DV]
         eq_seqs = sorted({d.sequence_number for d in eq_dels})
-        need_meta = bool(pos_dels) or with_position
+        need_meta = bool(pos_dels) or bool(dv_dels) or with_position
 
         # group files by (schema written under, equality-delete bucket):
         # files in bucket b share the exact applicable delete-file
@@ -1114,6 +1121,42 @@ class Table:
                 df.withColumn("_sg_rel", rel_path)
                 .join(pos_df, ["_sg_rel", "_sg_pos"], "left_anti")
                 .drop("_sg_rel")
+            )
+        if dv_dels:
+            # deletion vectors: ONE row per covered data file (a packed
+            # position bitmap), applied as an O(files) left join + a
+            # constant-time bit test per row — the scale path for heavy
+            # delete volume (10^9 deleted positions are ~16 MB of words,
+            # not 10^9 anti-join rows)
+            dv_df = self.spark.read.schema(
+                "file_path string, dv array<bigint>, n_pos long"
+            ).parquet(*[self.abs_path(d.path) for d in dv_dels]).select(
+                F.col("file_path").alias("_sg_rel"), "dv"
+            )
+            from olake_spark.session import broadcast_cap_bytes
+
+            if sum(d.file_size_bytes for d in dv_dels) <= broadcast_cap_bytes(
+                self.spark
+            ):
+                dv_df = F.broadcast(dv_df)
+            widx = F.shiftright(F.col("_sg_pos"), 6).cast("int") + 1
+            # CaseWhen guards element_at past the bitmap tail (positions
+            # appended after the DV build have no word — kept, and ANSI
+            # mode would otherwise raise)
+            word = F.when(
+                widx <= F.size("dv"), F.element_at(F.col("dv"), widx)
+            ).otherwise(F.lit(0).cast("long"))
+            # call_function: the PySpark shiftleft wrapper wants a
+            # literal bit count; the SQL function takes any expression
+            bit = F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_sg_pos") % 64).cast("int")
+            )
+            deleted = F.col("dv").isNotNull() & (word.bitwiseAND(bit) != 0)
+            df = (
+                df.withColumn("_sg_rel", rel_path)
+                .join(dv_df, "_sg_rel", "left")
+                .filter(~deleted)
+                .drop("_sg_rel", "dv")
             )
         if with_position:
             df = (
@@ -1206,7 +1249,7 @@ class Table:
         data/ — orphan GC's parquet sweep then covers uncommitted delete
         files for free. Returns entries marked with ``content``; does
         NOT commit (pass as ``commit(added_deletes=...)``)."""
-        if content not in (CONTENT_EQ_DELETES, CONTENT_POS_DELETES):
+        if content not in (CONTENT_EQ_DELETES, CONTENT_POS_DELETES, CONTENT_DV):
             raise ValueError(f"unknown delete content kind {content!r}")
         if stats_cols is None:
             stats_cols = (

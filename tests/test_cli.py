@@ -454,6 +454,15 @@ def test_maintain_delete_file_ops(tmp_path, capsys, spark):
     msgs = _lines(capsys)
     assert msgs[0]["removed_delete_files"] == 0  # still applying
 
+    assert main(["maintain", "--dest", dest, "--op", "write-deletion-vectors",
+                 "--cpus", "8", "--target-bytes", str(1 << 20)]) == 0
+    msgs = _lines(capsys)
+    assert msgs[0]["op"] == "write-deletion-vectors"
+    assert msgs[0]["input_delete_files"] == 1  # the rewritten pos file
+    assert msgs[0]["output_delete_files"] == 1
+    t.refresh()
+    assert t.scan().count() == n_before
+
     assert main(["maintain", "--dest", dest, "--op", "materialize-deletes",
                  "--cpus", "8", "--target-bytes", str(1 << 20)]) == 0
     msgs = _lines(capsys)
