@@ -853,6 +853,27 @@ def _run_maintenance_rep(
                 right_cols=["grade"],
             ).write.format("noop").mode("overwrite").save()
 
+        # deletion vectors: a row-level DELETE writes positional delete
+        # files (delete_where = predicate scan + O(matched) delete
+        # bytes), dv_build repacks them into one bitmap per data file,
+        # mor_scan_dv is the post-repack read tax — compare with
+        # mor_scan (anti-join against row-level delete files). Last in
+        # the rep so earlier legs keep their r3/r4-comparable workloads.
+        from olake_spark.operators.deletes import (
+            delete_where,
+            write_deletion_vectors,
+        )
+
+        with timed("delete_where"):
+            dres = delete_where(table.refresh(), "n_tok % 8 = 3")
+        maintenance["dv_deleted_rows"] = dres.deleted_rows
+        with timed("dv_build"):
+            write_deletion_vectors(table.refresh())
+        with timed("mor_scan_dv"):
+            table.refresh().scan().write.format("noop").mode(
+                "overwrite"
+            ).save()
+
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
