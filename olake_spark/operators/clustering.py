@@ -370,7 +370,12 @@ def cluster(
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(mpb))
         spark.conf.set("spark.sql.files.openCostInBytes", str(min(131072, mpb)))
         try:
-            df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+            # lineage tables materialize resolved row ids through the
+            # rewrite (positions change; synthesis would re-number)
+            df = table.scan(
+                snapshot_id=snap.snapshot_id, files=gfiles,
+                with_lineage=table.row_lineage,
+            )
             keyed = df.withColumn(CKEY, key_udf(*[F.col(c) for c in in_cols]))
             clustered = exact_range_partition(
                 keyed, F.col(CKEY), boundaries, [CKEY]

@@ -104,6 +104,8 @@ def _small_files_distributed(
                 # drop upserted rows from the committed output
                 sequence_number=r.sequence_number or 0,
                 content=r.content or "data",
+                first_row_id=r.first_row_id,
+                lineage_cols=bool(r.lineage_cols),
             )
             for r in rows
         ),
@@ -412,7 +414,14 @@ def compact(
                 # files out). Compaction wants ~target-size outputs;
                 # parallelism comes from many concurrent groups.
                 spark.conf.set("spark.sql.files.minPartitionNum", "1")
-                out = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+                # lineage tables carry resolved _row_id /
+                # _last_updated_sequence_number through the rewrite as
+                # materialized columns — row positions change, so the
+                # synthesized form would silently re-number every row
+                out = table.scan(
+                    snapshot_id=snap.snapshot_id, files=gfiles,
+                    with_lineage=table.row_lineage,
+                )
                 outputs = table.write_data_files(out)
             finally:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
@@ -423,7 +432,10 @@ def compact(
                     spark.conf.set("spark.sql.files.minPartitionNum", old_minp)
         else:
             n_bins = max(1, math.ceil(gbytes / target_file_bytes))
-            df = table.scan(snapshot_id=snap.snapshot_id, files=gfiles)
+            df = table.scan(
+                snapshot_id=snap.snapshot_id, files=gfiles,
+                with_lineage=table.row_lineage,
+            )
             # boundaries from a driver-side pyarrow key sample so the
             # range exchange never pays repartitionByRange's sampling
             # pass — which would SCAN THE GROUP TWICE (2x read I/O on a

@@ -246,7 +246,13 @@ def materialize_deletes(
 
     outputs: list[DataFile] = []
     if affected:
-        src = table.scan(snapshot_id=snap.snapshot_id, files=affected)
+        # lineage tables materialize resolved row ids through the
+        # rewrite — surviving rows keep their identity across the
+        # delete fold-back (positions change, synthesis would re-number)
+        src = table.scan(
+            snapshot_id=snap.snapshot_id, files=affected,
+            with_lineage=table.row_lineage,
+        )
         bytes_est = sum(f.file_size_bytes for f in affected) or 1
         n_bins = max(1, math.ceil(bytes_est / target_file_bytes))
         out_df = src.repartitionByRange(

@@ -55,7 +55,12 @@ from olake_spark.schema import (
 from olake_spark.table.format import (
     SCAN_DISTRIBUTED_MIN_SHARDS as _DISTRIBUTED_PLANNING_MIN_SHARDS,
 )
-from olake_spark.table.format import DataFile, Table
+from olake_spark.table.format import (
+    LAST_UPDATED_SEQ,
+    ROW_ID,
+    DataFile,
+    Table,
+)
 
 # Broadcast the change-key side only while its estimated on-heap size
 # stays inside the session's broadcast ceiling: each _olake_id is a
@@ -562,6 +567,7 @@ def _candidates_from_manifests_distributed(
         rows = cand_df.select(
             "path", "record_count", "file_size_bytes", "partition",
             "schema_id", "spec_col", "stats", "sequence_number", "content",
+            "first_row_id", "lineage_cols",
         ).collect()
     finally:
         ent.unpersist()
@@ -580,6 +586,8 @@ def _candidates_from_manifests_distributed(
                 # candidates — silently dropping previously-upserted rows
                 sequence_number=r.sequence_number or 0,
                 content=r.content or "data",
+                first_row_id=r.first_row_id,
+                lineage_cols=bool(r.lineage_cols),
             )
             for r in rows
         ),
@@ -699,8 +707,11 @@ def _merge_apply(
     # on the exact-partition path the rewrite's anti-join is the single
     # consumer — stream from parquet, no persist (the fallback branch
     # below persists, because repartitionByRange evaluates twice)
+    lineage = table.row_lineage
     touched_scan = (
-        table.scan(snapshot_id=snap.snapshot_id, files=touched)
+        table.scan(
+            snapshot_id=snap.snapshot_id, files=touched, with_lineage=lineage
+        )
         if touched
         else None
     )
@@ -718,8 +729,40 @@ def _merge_apply(
         .withColumn(OLAKE_INSERT_TIME, now_ms.cast("long"))
         .select(*out_cols)
     )
+    if lineage:
+        # row lineage through CoW merge (Iceberg v3 semantics): an
+        # UPDATE keeps the target row's _row_id and nulls
+        # _last_updated_sequence_number (a materialized NULL resolves to
+        # the new file's sequence number — the merge commit); an INSERT
+        # writes NULL for both, claiming a fresh id from the file's
+        # first_row_id block at read. The update-id carry is one
+        # broadcast-key join against the touched scan.
+        upserts = upserts.withColumn(
+            LAST_UPDATED_SEQ, F.lit(None).cast("long")
+        )
+        if touched:
+            # min() collapses duplicate target keys (possible via raw
+            # append) so the carry join can never fan out an upsert row
+            old_ids = (
+                touched_scan.select(OLAKE_ID, ROW_ID)
+                .join(keys_b, OLAKE_ID)
+                .groupBy(OLAKE_ID)
+                .agg(F.min(ROW_ID).alias(ROW_ID))
+            )
+            upserts = upserts.join(old_ids, OLAKE_ID, "left").select(
+                *out_cols, ROW_ID, LAST_UPDATED_SEQ
+            )
+        else:
+            upserts = upserts.withColumn(
+                ROW_ID, F.lit(None).cast("long")
+            ).select(*out_cols, ROW_ID, LAST_UPDATED_SEQ)
     if touched:
-        kept = touched_scan.join(keys_b, OLAKE_ID, "left_anti").select(*out_cols)
+        keep_cols = (
+            [*out_cols, ROW_ID, LAST_UPDATED_SEQ] if lineage else out_cols
+        )
+        kept = touched_scan.join(keys_b, OLAKE_ID, "left_anti").select(
+            *keep_cols
+        )
         result = kept.unionByName(upserts)
     else:
         result = upserts

@@ -84,6 +84,22 @@ CONTENT_DV = "deletion-vectors"
 #: unchanged — the Hive-bucketing tradeoff, one int per row of storage.
 BUCKET_COL = "_olake_bucket"
 
+#: Row-lineage metadata columns (Iceberg v3 row lineage). ``_row_id`` is
+#: a table-unique, stable identifier assigned when a row FIRST enters the
+#: table and preserved across rewrites (compaction / clustering / CoW
+#: MERGE updates); ``_last_updated_sequence_number`` is the sequence
+#: number of the commit that last modified the row. Neither is usually
+#: materialized: a freshly appended file stores nothing, and readers
+#: synthesize ``first_row_id + row_position`` / the file's own sequence
+#: number. Rewrites materialize RESOLVED values as real parquet columns
+#: (row positions change, so synthesis would re-number); a materialized
+#: NULL still means "synthesize from this file" — exactly the v3 rule,
+#: which lets a CoW merge write preserved rows with ids and fresh
+#: inserts with NULLs into the same file.
+ROW_ID = "_row_id"
+LAST_UPDATED_SEQ = "_last_updated_sequence_number"
+LINEAGE_COLUMNS = (ROW_ID, LAST_UPDATED_SEQ)
+
 _BUCKET_SPEC_RE = re.compile(r"^bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)$")
 
 
@@ -171,7 +187,13 @@ class DataFile:
     commit (= the committing snapshot id, which is monotone in commit
     order here): an equality delete applies to data files with a STRICTLY
     SMALLER sequence number — data written in the same or a later commit
-    survives its own batch's delete keys."""
+    survives its own batch's delete keys.
+
+    ``first_row_id`` (row lineage, Iceberg v3): base of the row-id block
+    assigned to this file at commit — row N of the file has
+    ``_row_id = first_row_id + N`` unless the file materializes a
+    non-null ``_row_id`` for it. ``lineage_cols`` marks files that
+    physically contain the two lineage columns (rewrite outputs)."""
 
     path: str  # relative to table root
     record_count: int
@@ -182,9 +204,11 @@ class DataFile:
     spec_col: str | None = None  # column `partition` is a value of (spec evolution)
     content: str = CONTENT_DATA
     sequence_number: int = 0
+    first_row_id: int | None = None
+    lineage_cols: bool = False
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "record_count": self.record_count,
             "file_size_bytes": self.file_size_bytes,
@@ -195,6 +219,13 @@ class DataFile:
             "content": self.content,
             "sequence_number": self.sequence_number,
         }
+        # lineage fields only when set — keeps non-lineage tables'
+        # manifests byte-identical to the pre-lineage format
+        if self.first_row_id is not None:
+            d["first_row_id"] = self.first_row_id
+        if self.lineage_cols:
+            d["lineage_cols"] = True
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> DataFile:
@@ -208,6 +239,8 @@ class DataFile:
             spec_col=d.get("spec_col"),
             content=d.get("content", CONTENT_DATA),
             sequence_number=d.get("sequence_number", 0),
+            first_row_id=d.get("first_row_id"),
+            lineage_cols=bool(d.get("lineage_cols", False)),
         )
 
     def may_contain(self, col: str, value) -> bool:
@@ -333,6 +366,7 @@ class Table:
         partition_col: str = "source",
         stats_columns: list[str] | None = None,
         io: FileIO | None = None,
+        row_lineage: bool = False,
     ) -> Table:
         io = io or LocalFileIO()
         root = os.path.abspath(root)
@@ -370,6 +404,9 @@ class Table:
         }
         if transform is not None:
             metadata["partition_transform"] = transform
+        if row_lineage:
+            metadata["row_lineage"] = True
+            metadata["next_row_id"] = 0
         io.put_json(os.path.join(root, "metadata", "v1.json"), metadata)
         io.put_text(os.path.join(root, "VERSION"), "1")
         return cls(spark, root, metadata, 1, io=io)
@@ -469,6 +506,48 @@ class Table:
     def refs(self) -> dict[str, dict]:
         """Named refs (Iceberg tags/branches): name -> {snapshot_id, type}."""
         return dict(self.metadata.get("refs", {}))
+
+    @property
+    def row_lineage(self) -> bool:
+        """True when the table tracks Iceberg-v3-style row lineage
+        (``Table.create(row_lineage=True)`` or `enable_row_lineage`)."""
+        return bool(self.metadata.get("row_lineage"))
+
+    def enable_row_lineage(self) -> int | None:
+        """Turn row-lineage tracking on for an existing table.
+
+        Backfills ``first_row_id`` over every live data file in
+        (sequence_number, path) order — deterministic, so two racers
+        assign identical ids — via one metadata-only manifest rewrite
+        (O(live files) driver work, no data touched; the one-time cost
+        of the v3 upgrade, as in Iceberg). Returns the new snapshot id,
+        or None for an empty table (flag-only). Idempotent."""
+        if self.row_lineage:
+            return None
+        snap = self.snapshot()
+        if snap is None:
+            self._persist_mutation(
+                lambda: self.metadata.update(row_lineage=True, next_row_id=0)
+            )
+            return None
+        entries = sorted(
+            self.files(snap.snapshot_id),
+            key=lambda f: (f.sequence_number, f.path),
+        )
+        rid = 0
+        for e in entries:
+            e.first_row_id = rid
+            rid += e.record_count
+        new_manifests = [
+            self._write_manifest(entries[i : i + MANIFEST_MAX_ENTRIES])
+            for i in range(0, len(entries), MANIFEST_MAX_ENTRIES)
+        ]
+        return self.replace_manifests(
+            new_manifests,
+            operation="enable-row-lineage",
+            summary_extra={"backfilled-files": len(entries)},
+            metadata_extra={"row_lineage": True, "next_row_id": rid},
+        )
 
     def set_ref(
         self, name: str, snapshot_id: int | None = None, ref_type: str = "tag"
@@ -927,6 +1006,7 @@ class Table:
         distributed_planning: bool | None = None,
         apply_deletes: bool = True,
         with_position: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Snapshot-pinned read with manifest-level file pruning.
 
@@ -956,6 +1036,14 @@ class Table:
         ``_metadata.row_index``) columns — the coordinates a positional
         delete file records (operators/deletes.delete_where).
 
+        ``with_lineage``: append the row-lineage columns ``_row_id`` and
+        ``_last_updated_sequence_number`` (Iceberg v3). Values come from
+        the file's materialized lineage columns where present (rewrite
+        outputs), else are synthesized as ``first_row_id + row_position``
+        / the file's sequence number — one broadcast O(files) map join,
+        no extra data read. Requires a lineage-enabled table
+        (``row_lineage=True`` at create, or ``enable_row_lineage()``).
+
         ``eq``: {column: value} point-lookup predicate. Prunes files by
         min/max stats AND — when ``build_bloom_blobs`` registered blobs
         covering the column (table/blooms.py) — by per-file blooms, the
@@ -964,6 +1052,11 @@ class Table:
         file list was already planned); re-applied as an exact row
         filter either way.
         """
+        if with_lineage and not self.row_lineage:
+            raise ValueError(
+                "with_lineage=True on a table without row lineage; create "
+                "with row_lineage=True or call enable_row_lineage() first"
+            )
         if ref is not None:
             if snapshot_id is not None:
                 raise ValueError("pass either snapshot_id or ref, not both")
@@ -988,6 +1081,7 @@ class Table:
                     eq=eq,
                     apply_deletes=apply_deletes,
                     with_position=with_position,
+                    with_lineage=with_lineage,
                 )
         schema = self.schema(snap.schema_id if snap else None)
         target_sid = snap.schema_id if snap else self.metadata["current_schema_id"]
@@ -1005,14 +1099,19 @@ class Table:
 
             cand = bloom_prune(self, cand, eq)
         if not cand:
+            extra_fields = []
+            if with_lineage:
+                extra_fields += [
+                    T.StructField(ROW_ID, T.LongType()),
+                    T.StructField(LAST_UPDATED_SEQ, T.LongType()),
+                ]
             if with_position:
-                schema = T.StructType(
-                    list(schema.fields)
-                    + [
-                        T.StructField("_file", T.StringType()),
-                        T.StructField("_pos", T.LongType()),
-                    ]
-                )
+                extra_fields += [
+                    T.StructField("_file", T.StringType()),
+                    T.StructField("_pos", T.LongType()),
+                ]
+            if extra_fields:
+                schema = T.StructType(list(schema.fields) + extra_fields)
             return self.spark.createDataFrame([], schema)
 
         # merge-on-read deletes pinned to the SAME snapshot (old readers
@@ -1038,7 +1137,9 @@ class Table:
         pos_dels = [d for d in dels if d.content == CONTENT_POS_DELETES]
         dv_dels = [d for d in dels if d.content == CONTENT_DV]
         eq_seqs = sorted({d.sequence_number for d in eq_dels})
-        need_meta = bool(pos_dels) or bool(dv_dels) or with_position
+        need_meta = (
+            bool(pos_dels) or bool(dv_dels) or with_position or with_lineage
+        )
 
         # group files by (schema written under, equality-delete bucket):
         # files in bucket b share the exact applicable delete-file
@@ -1049,10 +1150,14 @@ class Table:
         # materialize_deletes, not by table size.
         import bisect
 
-        by_group: dict[tuple[int, int], list[DataFile]] = {}
+        by_group: dict[tuple[int, int, bool], list[DataFile]] = {}
         for f in cand:
             b = bisect.bisect_right(eq_seqs, f.sequence_number)
-            by_group.setdefault((f.schema_id, b), []).append(f)
+            # lineage-materialized files read two extra physical columns,
+            # so they need their own scan branch (ignored entirely when
+            # the caller didn't ask for lineage)
+            lin = bool(with_lineage and f.lineage_cols)
+            by_group.setdefault((f.schema_id, b, lin), []).append(f)
 
         def _eq_keys_df(ds: list[DataFile]) -> DataFrame:
             r = self.spark.read.schema("_olake_id string").parquet(
@@ -1070,8 +1175,17 @@ class Table:
             return r
 
         parts = []
-        for (sid, b), fs in sorted(by_group.items()):
-            part = self.spark.read.schema(self.schema(sid)).parquet(
+        for (sid, b, lin), fs in sorted(by_group.items()):
+            read_schema = self.schema(sid)
+            if lin:
+                read_schema = T.StructType(
+                    list(read_schema.fields)
+                    + [
+                        T.StructField(ROW_ID, T.LongType()),
+                        T.StructField(LAST_UPDATED_SEQ, T.LongType()),
+                    ]
+                )
+            part = self.spark.read.schema(read_schema).parquet(
                 *[self.abs_path(f.path) for f in fs]
             )
             if need_meta:
@@ -1083,7 +1197,10 @@ class Table:
             if sid != target_sid:
                 from olake_spark.functions.reformat import coerce_to_schema
 
-                extras = ["_sg_fp", "_sg_pos"] if need_meta else None
+                extras = ["_sg_fp", "_sg_pos"] if need_meta else []
+                if lin:
+                    extras = extras + [ROW_ID, LAST_UPDATED_SEQ]
+                extras = extras or None
                 mapping = self.evolution_projection(sid, target_sid)
                 if mapping is not None:
                     # field-id resolution (schema DDL): renamed columns
@@ -1091,6 +1208,12 @@ class Table:
                     # names do NOT resurrect old values
                     part = project_by_field_id(part, mapping, extras)
                 part = coerce_to_schema(part, schema, extra_cols=extras)
+            if with_lineage and not lin:
+                # uniform shape across branches: unmaterialized files
+                # contribute NULLs, resolved below from first_row_id
+                part = part.withColumn(
+                    ROW_ID, F.lit(None).cast("long")
+                ).withColumn(LAST_UPDATED_SEQ, F.lit(None).cast("long"))
             app = (
                 [d for d in eq_dels if d.sequence_number >= eq_seqs[b]]
                 if b < len(eq_seqs)
@@ -1158,6 +1281,36 @@ class Table:
                 .filter(~deleted)
                 .drop("_sg_rel", "dv")
             )
+        if with_lineage:
+            # resolve synthesized lineage: one tiny broadcast map of
+            # (file -> first_row_id, sequence_number) — O(candidate
+            # files), the same cardinality the planner already holds.
+            # NULL materialized values fall back to synthesis per the v3
+            # rule; files predating lineage enablement (first_row_id
+            # None) resolve to NULL ids, surfacing the missing backfill
+            # instead of inventing ids.
+            lmap = self.spark.createDataFrame(
+                [
+                    (f.path, f.first_row_id, f.sequence_number)
+                    for f in cand
+                ],
+                "_sg_rel string, _sg_frid long, _sg_seq long",
+            )
+            df = (
+                df.withColumn("_sg_rel", rel_path)
+                .join(F.broadcast(lmap), "_sg_rel", "left")
+                .withColumn(
+                    ROW_ID,
+                    F.coalesce(
+                        F.col(ROW_ID), F.col("_sg_frid") + F.col("_sg_pos")
+                    ),
+                )
+                .withColumn(
+                    LAST_UPDATED_SEQ,
+                    F.coalesce(F.col(LAST_UPDATED_SEQ), F.col("_sg_seq")),
+                )
+                .drop("_sg_rel", "_sg_frid", "_sg_seq")
+            )
         if with_position:
             df = (
                 df.withColumn("_file", rel_path)
@@ -1185,7 +1338,23 @@ class Table:
     ) -> list[DataFile]:
         """Write ``df`` (already partitioned/sorted as the caller wants —
         one task produces one file) into an immutable commit directory and
-        return stats-annotated DataFile entries. Does NOT commit."""
+        return stats-annotated DataFile entries. Does NOT commit.
+
+        A frame carrying the row-lineage columns (a rewrite of a
+        ``scan(with_lineage=True)`` read) materializes them into the
+        files and the returned entries are flagged ``lineage_cols`` so
+        later scans read them back."""
+        lineage = ROW_ID in df.columns
+        if lineage and LAST_UPDATED_SEQ not in df.columns:
+            raise ValueError(
+                f"frame has {ROW_ID} but not {LAST_UPDATED_SEQ}; "
+                "materialize both lineage columns or neither"
+            )
+        if lineage and not self.row_lineage:
+            raise ValueError(
+                "frame carries row-lineage columns but the table does not "
+                "track row lineage"
+            )
         commit_dir = f"data/{uuid.uuid4().hex[:16]}"
         out_dir = self.abs_path(commit_dir)
         writer = df.write.mode("errorifexists")
@@ -1205,9 +1374,11 @@ class Table:
         for s in stats:
             if s["record_count"] == 0:
                 self.io.delete(s["path"])
-        return self._entries_from_stats(stats)
+        return self._entries_from_stats(stats, lineage_cols=lineage)
 
-    def _entries_from_stats(self, stats: list[dict]) -> list[DataFile]:
+    def _entries_from_stats(
+        self, stats: list[dict], lineage_cols: bool = False
+    ) -> list[DataFile]:
         """Stats dicts (collect_file_stats) -> manifest entries under the
         CURRENT spec/schema: identity-partition purity from the spec
         column's min/max, non-string values rendered as strings
@@ -1234,6 +1405,7 @@ class Table:
                     stats=st,
                     schema_id=self.metadata["current_schema_id"],
                     spec_col=pc,
+                    lineage_cols=lineage_cols,
                 )
             )
         return out
@@ -1348,6 +1520,21 @@ class Table:
             e.sequence_number = snap_id
         for e in added_deletes:
             e.sequence_number = snap_id
+        # row lineage (Iceberg v3): every new data file claims a block of
+        # ``record_count`` fresh row ids from the table's next-row-id
+        # counter — pure metadata, assigned at commit like sequence
+        # numbers (and like them re-stamped on a conflict retry, when the
+        # refreshed metadata carries the concurrent winner's counter).
+        # Blocks are claimed even for files whose rows all carry
+        # materialized ids (rewrites): id waste is bounded and the rule
+        # stays O(1) per file, exactly the spec's trade.
+        next_rid = None
+        if self.metadata.get("row_lineage"):
+            next_rid = int(self.metadata.get("next_row_id", 0))
+            for e in added:
+                if e.content == CONTENT_DATA:
+                    e.first_row_id = next_rid
+                    next_rid += e.record_count
 
         new_manifests: list[str] = []
         removed_rows = removed_files = removed_bytes = 0
@@ -1391,6 +1578,8 @@ class Table:
         metadata_backup = json.dumps(self.metadata)
         if metadata_extra:
             self.metadata.update(metadata_extra)
+        if next_rid is not None:
+            self.metadata["next_row_id"] = next_rid
         schema_id = self.metadata["current_schema_id"]
         if new_schema is not None:
             schema_id += 1
@@ -1486,6 +1675,7 @@ class Table:
         new_manifests: list[str],
         operation: str = "rewrite-manifests",
         summary_extra: dict | None = None,
+        metadata_extra: dict | None = None,
     ) -> int:
         """Metadata-only commit: snapshot N+1 tracks the SAME file set
         through a new manifest-shard layout (Iceberg's rewriteManifests).
@@ -1530,6 +1720,8 @@ class Table:
             delete_manifests=list(parent.delete_manifests),
         )
         metadata_backup = json.dumps(self.metadata)
+        if metadata_extra:
+            self.metadata.update(metadata_extra)
         self.metadata["snapshots"].append(snap.to_dict())
         self.metadata["current_snapshot_id"] = snap_id
         for ref in self.metadata.get("refs", {}).values():

@@ -51,7 +51,7 @@ ENTRY_SCHEMA = (
     "manifest string, path string, record_count long, "
     "file_size_bytes long, partition string, schema_id int, "
     "spec_col string, stats string, sequence_number long, "
-    "content string"
+    "content string, first_row_id long, lineage_cols boolean"
 )
 
 
@@ -119,7 +119,7 @@ def entries_from_manifests(
         cols = [
             "manifest", "path", "record_count", "file_size_bytes",
             "partition", "schema_id", "spec_col", "stats",
-            "sequence_number", "content",
+            "sequence_number", "content", "first_row_id", "lineage_cols",
         ]
         for pdf in batches:
             rows = []
@@ -138,6 +138,8 @@ def entries_from_manifests(
                                 json.dumps(d.get("stats", {})),
                                 d.get("sequence_number", 0),
                                 d.get("content", "data"),
+                                d.get("first_row_id"),
+                                bool(d.get("lineage_cols", False)),
                             )
                         )
             yield pd.DataFrame(rows, columns=cols)
@@ -243,6 +245,7 @@ def scan_planned(
     eq: dict | None = None,
     apply_deletes: bool = True,
     with_position: bool = False,
+    with_lineage: bool = False,
 ) -> DataFrame:
     """``Table.scan`` with DISTRIBUTED file planning: manifest parsing
     and pruning run as a Spark job and only the surviving entries reach
@@ -273,7 +276,7 @@ def scan_planned(
         surv = bloom_prune_df(table, surv, eq)
     rows = surv.select(
         "path", "record_count", "file_size_bytes", "schema_id",
-        "sequence_number",
+        "sequence_number", "first_row_id", "lineage_cols",
     ).collect()
     files = [
         DataFile(
@@ -285,6 +288,10 @@ def scan_planned(
             # scan buckets files by seq to decide which equality-delete
             # files apply to them
             sequence_number=r.sequence_number or 0,  # pre-MoR caches: null
+            # lineage fields likewise: losing lineage_cols would make the
+            # scan synthesize ids a rewrite already re-positioned
+            first_row_id=r.first_row_id,
+            lineage_cols=bool(r.lineage_cols),
         )
         for r in rows
     ]
@@ -300,4 +307,5 @@ def scan_planned(
         files=files,
         apply_deletes=apply_deletes,
         with_position=with_position,
+        with_lineage=with_lineage,
     )
