@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from olake_spark.schema import OLAKE_ID
-from olake_spark.table.format import Table
+from olake_spark.table.format import LAST_UPDATED_SEQ, ROW_ID, Table
 
 CHANGE_TYPE = "_change_type"
 
@@ -50,7 +50,16 @@ def snapshot_changes(
     ``to_snapshot_id`` (inclusive; default: current snapshot). Output is
     the to-snapshot schema plus ``_change_type`` in
     {'insert','update','delete'}; deletes carry the deleted row's last
-    contents."""
+    contents.
+
+    ``key_col=ROW_ID`` ("_row_id", lineage-enabled tables only) diffs by
+    ROW IDENTITY instead of content key: an update that rewrites the
+    business key (impossible to pair by ``_olake_id`` — it would report
+    delete+insert) pairs exactly, and the output carries ``_row_id`` so
+    downstream consumers can apply changes by identity. Requires the
+    change window to be CoW (MERGE default mode): equality-delete MoR
+    updates retire the old id and mint a new one, which identity-diff
+    faithfully reports as delete+insert."""
     to_sid = (
         to_snapshot_id
         if to_snapshot_id is not None
@@ -68,12 +77,20 @@ def snapshot_changes(
         )
     schema = table.schema(to_snap.schema_id if to_snap else None)
     out_cols = [f.name for f in schema.fields]
-    if key_col not in out_cols:
+    by_row_id = key_col == ROW_ID
+    if by_row_id:
+        if not table.row_lineage:
+            raise ValueError(
+                "key_col=ROW_ID needs a lineage-enabled table; create "
+                "with row_lineage=True or call enable_row_lineage() first"
+            )
+    elif key_col not in out_cols:
         raise ValueError(f"key column {key_col!r} not in table schema")
 
-    empty = table.spark.createDataFrame([], schema).withColumn(
-        CHANGE_TYPE, F.lit("insert")
-    )
+    empty = table.spark.createDataFrame([], schema)
+    if by_row_id:
+        empty = empty.withColumn(ROW_ID, F.lit(None).cast("long"))
+    empty = empty.withColumn(CHANGE_TYPE, F.lit("insert"))
     # file delta via the manifest SHARD diff — O(churn) manifest reads,
     # never two O(table) file-list materializations
     # (table/format.snapshot_file_delta)
@@ -138,7 +155,10 @@ def snapshot_changes(
                 snapshot_id=from_snapshot_id,
                 files=affected,
                 with_position=True,
+                with_lineage=by_row_id,
             )
+            if by_row_id:
+                vis = vis.drop(LAST_UPDATED_SEQ)
             parts = []
             if eq_new:
                 keys = table.spark.read.schema("_olake_id string").parquet(
@@ -191,19 +211,23 @@ def snapshot_changes(
         from olake_spark.functions.reformat import coerce_to_schema
         from olake_spark.table.format import project_by_field_id
 
+        extras = [ROW_ID] if by_row_id else None
         snap = table.snapshot(snapshot_id)
         if snap is not None and target_schema_sid is not None:
             m = table.evolution_projection(snap.schema_id, target_schema_sid)
             if m is not None:
-                df = project_by_field_id(df, m)
-        return coerce_to_schema(df, schema)
+                df = project_by_field_id(df, m, extras)
+        return coerce_to_schema(df, schema, extra_cols=extras)
 
     def _side(files, snapshot_id, tag):
         if not files:
             return None
-        df = _to_target(
-            table.scan(snapshot_id=snapshot_id, files=files), snapshot_id
+        df = table.scan(
+            snapshot_id=snapshot_id, files=files, with_lineage=by_row_id
         )
+        if by_row_id:
+            df = df.drop(LAST_UPDATED_SEQ)
+        df = _to_target(df, snapshot_id)
         return df.select(
             F.col(key_col).alias("_k"),
             row_hash.alias(f"_h_{tag}"),
@@ -235,8 +259,13 @@ def snapshot_changes(
             .otherwise(F.lit(None)),  # moved by compaction, not a change
         ).filter(F.col(CHANGE_TYPE).isNotNull())
         row = F.coalesce(F.col("_row_new"), F.col("_row_old"))
+    tail = (
+        [F.col("_k").alias(ROW_ID), F.col(CHANGE_TYPE)]
+        if by_row_id
+        else [F.col(CHANGE_TYPE)]
+    )
     return diff.select(
-        *[row.getField(c).alias(c) for c in out_cols], CHANGE_TYPE
+        *[row.getField(c).alias(c) for c in out_cols], *tail
     )
 
 

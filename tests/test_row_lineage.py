@@ -185,3 +185,88 @@ def test_distributed_planning_parity(spark, ltable):
         .collect()
     }
     assert planned == driver
+
+
+def test_changelog_by_row_id(spark, ltable):
+    from olake_spark.operators.changelog import CHANGE_TYPE, snapshot_changes
+    from olake_spark.schema import OLAKE_ID, olake_id_expr
+
+    s0 = ltable.append(batch(spark, 0, 30, "a"))
+    base = lineage(ltable)
+
+    # a compaction-only window moves every row but changes none:
+    # identity diff must be empty
+    compact(ltable, target_file_bytes=1 << 20)
+    ltable.refresh()
+    assert snapshot_changes(ltable, s0, key_col=ROW_ID).count() == 0
+    s1 = ltable.current_snapshot_id
+
+    upd = batch(spark, 3, 6, "a", tok0=50).withColumn(
+        CDC_DELETED_AT, F.lit(None).cast("timestamp")
+    )
+    ins = batch(spark, 30, 32, "a").withColumn(
+        CDC_DELETED_AT, F.lit(None).cast("timestamp")
+    )
+    dele = batch(spark, 0, 2, "a").withColumn(
+        CDC_DELETED_AT, F.current_timestamp()
+    )
+    merge_into(
+        ltable, upd.unionByName(ins).unionByName(dele),
+        target_file_bytes=1 << 20,
+    )
+    ltable.refresh()
+    rows = snapshot_changes(ltable, s1, key_col=ROW_ID).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r[CHANGE_TYPE], []).append(r)
+    assert len(by_type["update"]) == 3
+    assert {r[ROW_ID] for r in by_type["update"]} == {
+        base[f"doc-{i:05d}"][0] for i in range(3, 6)
+    }
+    assert len(by_type["insert"]) == 2
+    assert all(r[ROW_ID] >= 30 for r in by_type["insert"])
+    assert {r[ROW_ID] for r in by_type["delete"]} == {
+        base[f"doc-{i:05d}"][0] for i in range(0, 2)
+    }
+
+    # key-rewriting update (doc_id itself changes, same _row_id): the
+    # content-key diff can only say delete+insert; the identity diff
+    # pairs it as ONE update
+    s2 = ltable.current_snapshot_id
+    target_rid = lineage(ltable)["doc-00010"][0]
+    cur = ltable.scan(with_lineage=True)
+    mutated = (
+        cur.withColumn(
+            "doc_id",
+            F.when(F.col("doc_id") == "doc-00010", "doc-99999").otherwise(
+                F.col("doc_id")
+            ),
+        )
+        .withColumn(OLAKE_ID, olake_id_expr("doc_id"))
+        .withColumn(
+            LAST_UPDATED_SEQ,
+            F.when(
+                F.col("doc_id") == "doc-99999", F.lit(None).cast("long")
+            ).otherwise(F.col(LAST_UPDATED_SEQ)),
+        )
+    )
+    outs = ltable.write_data_files(mutated)
+    ltable.commit(
+        "replace",
+        added=outs,
+        removed_paths={f.path for f in ltable.files()},
+    )
+    ident = snapshot_changes(ltable, s2, key_col=ROW_ID).collect()
+    assert [r[CHANGE_TYPE] for r in ident] == ["update"]
+    assert ident[0][ROW_ID] == target_rid and ident[0].doc_id == "doc-99999"
+    by_key = snapshot_changes(ltable, s2).collect()
+    assert sorted(r[CHANGE_TYPE] for r in by_key) == ["delete", "insert"]
+
+
+def test_changelog_row_id_requires_lineage(spark, tmp_path):
+    from olake_spark.operators.changelog import snapshot_changes
+
+    t = Table.create(spark, str(tmp_path / "plain"))
+    sid = t.append(batch(spark, 0, 5))
+    with pytest.raises(ValueError, match="lineage"):
+        snapshot_changes(t, sid, key_col=ROW_ID)
