@@ -289,11 +289,16 @@ def _objectid_canon(spark, sf_dir):
 
 def _snapshot_changelog(spark, sf_dir):
     # Row-level changelog between two snapshots (Iceberg changelog /
-    # Delta CDF shape): build a small table from documents, compact
-    # (must produce NO changes), apply a deterministic MERGE batch, and
-    # recover the exact insert/update/delete set from the manifest diff
-    # + one full-outer join. The oracle replays the same change routing
-    # in pure SQL.
+    # Delta CDF shape), diffed by ROW IDENTITY (v3 row lineage): build a
+    # lineage-enabled table from documents, compact (must produce NO
+    # changes), apply a deterministic MERGE batch, and recover the exact
+    # insert/update/delete set by joining the manifest-diff sides on
+    # _row_id. The emitted base_doc_id column certifies lineage without
+    # depending on the (layout-dependent) raw id values: each change row
+    # joins back to the BASE snapshot by _row_id, so updates/deletes
+    # must resolve to their own pre-image doc_id (id preserved across
+    # compaction + CoW merge) and inserts must resolve to NULL (fresh id
+    # never reused). The oracle replays the change routing in pure SQL.
     import shutil
     import tempfile
 
@@ -306,6 +311,7 @@ def _snapshot_changelog(spark, sf_dir):
         with_system_columns,
     )
     from olake_spark.table import Table
+    from olake_spark.table.format import ROW_ID
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
@@ -325,6 +331,7 @@ def _snapshot_changelog(spark, sf_dir):
         root,
         schema=base.schema,
         stats_columns=["doc_id", "source", OLAKE_ID],
+        row_lineage=True,
     )
     t.append(base.repartition(8))
     s1 = t.current_snapshot_id
@@ -347,12 +354,17 @@ def _snapshot_changelog(spark, sf_dir):
         .withColumn(CDC_DELETED_AT, F.lit(None).cast("timestamp"))
     )
     merge_into(t.refresh(), updates.unionByName(deletes).unionByName(inserts))
-    return snapshot_changes(t.refresh(), s1).select(
+    cl = snapshot_changes(t.refresh(), s1, key_col=ROW_ID)
+    base_lin = t.scan(snapshot_id=s1, with_lineage=True).select(
+        ROW_ID, F.col("doc_id").alias("base_doc_id")
+    )
+    return cl.join(base_lin, ROW_ID, "left").select(
         "doc_id",
         F.col(CHANGE_TYPE).alias("change_type"),
         "lang",
         "source",
         "n_chars",
+        "base_doc_id",
     )
 
 
@@ -2013,13 +2025,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT id AS doc_id, 'insert' AS change_type, lang, source,
-                   n_chars
+                   n_chars, CAST(NULL AS VARCHAR) AS base_doc_id
             FROM d WHERE m >= 8
             UNION ALL
-            SELECT id, 'update', 'xx', source, n_chars + 1000
+            SELECT id, 'update', 'xx', source, n_chars + 1000, id
             FROM d WHERE m IN (0, 1)
             UNION ALL
-            SELECT id, 'delete', lang, source, n_chars
+            SELECT id, 'delete', lang, source, n_chars, id
             FROM d WHERE m IN (2, 3)
         """,
         "decontaminate": """

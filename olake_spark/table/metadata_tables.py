@@ -88,6 +88,8 @@ FILES_SCHEMA = T.StructType(
         T.StructField("lower_bounds", T.MapType(T.StringType(), T.StringType())),
         T.StructField("upper_bounds", T.MapType(T.StringType(), T.StringType())),
         T.StructField("null_counts", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("first_row_id", T.LongType()),
+        T.StructField("lineage_cols", T.BooleanType()),
     ]
 )
 
@@ -223,6 +225,8 @@ def file_entry_row(d: dict, content_default: str = "data") -> tuple:
             for c, b in stats.items()
             if b.get("null_count") is not None
         },
+        d.get("first_row_id"),
+        bool(d.get("lineage_cols", False)),
     )
 
 
@@ -264,6 +268,8 @@ def _entries_to_files_df(entries: DataFrame, content_default: str) -> DataFrame:
             F.transform_values(bounds, lambda _, v: v["null_count"]),
             lambda _, v: v.isNotNull(),
         ).alias("null_counts"),
+        "first_row_id",
+        F.coalesce(F.col("lineage_cols"), F.lit(False)).alias("lineage_cols"),
     )
 
 

@@ -270,3 +270,36 @@ def test_changelog_row_id_requires_lineage(spark, tmp_path):
     sid = t.append(batch(spark, 0, 5))
     with pytest.raises(ValueError, match="lineage"):
         snapshot_changes(t, sid, key_col=ROW_ID)
+
+
+def test_cli_enable_row_lineage_and_files_view(spark, tmp_path, capsys):
+    from olake_spark.cli import main
+    from olake_spark.table.metadata_tables import metadata_df
+
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(batch(spark, 0, 20))
+    dest = str(tmp_path / "tbl")
+    assert main(["maintain", "--dest", dest, "--op", "enable-row-lineage",
+                 "--cpus", "8"]) == 0
+    out = capsys.readouterr().out
+    assert '"op": "enable-row-lineage"' in out and '"next_row_id": 20' in out
+    # idempotent second run reports already_enabled
+    assert main(["maintain", "--dest", dest, "--op", "enable-row-lineage",
+                 "--cpus", "8"]) == 0
+    assert '"already_enabled": true' in capsys.readouterr().out
+
+    # files metadata view exposes the lineage fields
+    t = Table.load(spark, dest)
+    fv = metadata_df(t, "files").select(
+        "record_count", "first_row_id", "lineage_cols"
+    ).collect()
+    assert all(r.first_row_id is not None and not r.lineage_cols for r in fv)
+    # disjoint consecutive blocks: sorted bases == cumulative row counts
+    by_base = sorted(fv, key=lambda r: r.first_row_id)
+    run = 0
+    for r in by_base:
+        assert r.first_row_id == run
+        run += r.record_count
+    compact(t, target_file_bytes=1 << 20)
+    fv2 = metadata_df(t.refresh(), "files").collect()
+    assert all(r.lineage_cols for r in fv2)
