@@ -874,6 +874,22 @@ def _run_maintenance_rep(
                 "overwrite"
             ).save()
 
+        # row lineage (v3): enable_lineage is the metadata-only backfill
+        # over the live file set; lineage_scan vs mor_scan_dv is the
+        # read tax of synthesizing _row_id/_last_updated (one broadcast
+        # map join over the same DV-filtered scan); lineage_zorder vs
+        # zorder is the rewrite tax of materializing resolved lineage
+        # through a full re-cluster. Last in the rep so every earlier
+        # leg keeps its r3/r4-comparable workload.
+        with timed("enable_lineage"):
+            table.refresh().enable_row_lineage()
+        with timed("lineage_scan"):
+            table.refresh().scan(with_lineage=True).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        with timed("lineage_zorder"):
+            cluster(table, curve="zorder", target_file_bytes=target)
+
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
