@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from olake_spark.operators.compaction import DEFAULT_TARGET_FILE_BYTES
 from olake_spark.schema import OLAKE_ID, SYSTEM_COLUMNS, olake_id_expr
 from olake_spark.table.format import (
+    CONTENT_EQ_DELETES,
     LAST_UPDATED_SEQ,
     ROW_ID,
     CommitConflict,
@@ -50,6 +51,26 @@ from olake_spark.table.format import (
 )
 
 _FLAG = "_sg_upd"
+
+
+def _apply_assignments(src, flag, exprs, types):
+    """ONE projection applying every assignment, so each expression sees
+    the row's OLD values (standard UPDATE semantics — {a: b, b: a}
+    swaps; sequential withColumn would feed a's new value into b).
+    ``flag``: boolean Column gating per row, or None for every row.
+    Casts only on a genuine type mismatch: Spark refuses identity array
+    casts differing only in containsNull, and the probe select is
+    analysis-only (no job)."""
+    assigned = {}
+    for c, e in exprs.items():
+        probe = src.select(e.alias("_p")).schema[0].dataType
+        val = e if probe.simpleString() == types[c].simpleString() else (
+            e.cast(types[c])
+        )
+        if flag is not None:
+            val = F.when(flag, val).otherwise(F.col(c))
+        assigned[c] = val.alias(c)
+    return src.select(*[assigned.get(c, F.col(c)) for c in src.columns])
 
 
 @dataclass
@@ -68,6 +89,7 @@ def update_where(
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     scope_ranges: dict[str, tuple] | None = None,
     sources: list[str] | None = None,
+    mode: str = "cow",
 ) -> UpdateResult:
     """Rewrite every row matching ``predicate`` with ``assignments``
     applied (each value a Column or SQL expression string, evaluated
@@ -79,7 +101,22 @@ def update_where(
     update targeting one partition prunes to it without scanning the
     table. They are planning hints only — the predicate is still
     applied exactly.
+
+    ``mode='mor'`` applies merge-on-read instead: ONE pass writes the
+    updated rows as new data files and their OLD equality keys as a
+    delete file — O(matched rows) written instead of O(touched files)
+    rewritten, the right shape for a sparse update over a wide key
+    range; ``materialize_deletes`` folds the debt back on the
+    maintenance cadence. Same-commit sequence numbering makes the new
+    rows survive their own delete batch (the MoR-merge rule), and a
+    rewrite landing concurrently is safe in either order (earlier: its
+    outputs still under-sequence our deletes; later: its commit
+    validation sees our delete file and recomputes). Row identity is
+    NOT preserved in this mode — equality deletes retire the old id and
+    the rewrite mints a fresh one, as with MoR MERGE.
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown update_where mode {mode!r}")
     if not assignments:
         raise ValueError("update_where needs at least one assignment")
     bad = [c for c in assignments if c in SYSTEM_COLUMNS]
@@ -109,6 +146,11 @@ def update_where(
     if not candidates:
         return UpdateResult(snapshot_id=None)
 
+    if mode == "mor":
+        return _update_mor(
+            table, snap, pred, exprs, types, candidates, target_file_bytes
+        )
+
     # --- 1. exact touched-file discovery: one narrow scan, predicate
     # pushed down, O(touched) rows to the driver
     per_file = (
@@ -132,22 +174,7 @@ def update_where(
     src = table.scan(
         snapshot_id=snap.snapshot_id, files=touched, with_lineage=lineage
     ).withColumn(_FLAG, pred)
-    assigned: dict[str, Column] = {}
-    for c, e in exprs.items():
-        # cast only on a genuine type mismatch: Spark refuses identity
-        # array casts that differ only in containsNull, and the probe
-        # select is analysis-only (no job)
-        probe = src.select(e.alias("_p")).schema[0].dataType
-        val = e if probe.simpleString() == types[c].simpleString() else (
-            e.cast(types[c])
-        )
-        assigned[c] = F.when(F.col(_FLAG), val).otherwise(F.col(c)).alias(c)
-    # ONE projection applies every assignment, so each expression sees
-    # the row's OLD values (standard UPDATE semantics — {a: b, b: a}
-    # swaps; sequential withColumn would feed a's new value into b)
-    src = src.select(
-        *[assigned.get(c, F.col(c)) for c in src.columns]
-    )
+    src = _apply_assignments(src, F.col(_FLAG), exprs, types)
     if "doc_id" in exprs:
         # second projection: the PK hash derives from the NEW doc_id
         src = src.withColumn(
@@ -201,4 +228,75 @@ def update_where(
         updated_rows=n_updated,
         rewritten_files=len(touched),
         output_files=len(outputs),
+    )
+
+
+def _update_mor(
+    table: Table,
+    snap,
+    pred: Column,
+    exprs: dict[str, Column],
+    types: dict,
+    candidates,
+    target_file_bytes: int,
+) -> UpdateResult:
+    """Merge-on-read apply: new data files for the updated rows + one
+    equality-delete file of their OLD keys, committed together. The
+    shared sequence number makes the new rows survive the delete batch
+    (an equality delete applies only to STRICTLY lower-sequence files)."""
+    from olake_spark.plans.retry import retry_on_backoff
+
+    matched = table.scan(snapshot_id=snap.snapshot_id, files=candidates).filter(
+        pred
+    )
+    # old keys FIRST (narrow pass): with a doc_id assignment the delete
+    # must target the pre-image key
+    keys = (
+        matched.select(OLAKE_ID, "doc_id")
+        .repartitionByRange(1, "doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    del_files = table.write_delete_files(keys, CONTENT_EQ_DELETES)
+    n_updated = sum(f.record_count for f in del_files)
+    if n_updated == 0:
+        return UpdateResult(snapshot_id=None)
+
+    new_rows = _apply_assignments(matched, None, exprs, types)
+    if "doc_id" in exprs:
+        new_rows = new_rows.withColumn(OLAKE_ID, olake_id_expr("doc_id"))
+    tbl_rows = sum(f.record_count for f in candidates) or 1
+    tbl_bytes = sum(f.file_size_bytes for f in candidates)
+    n_bins = max(
+        1,
+        math.ceil(n_updated * (tbl_bytes / tbl_rows) / target_file_bytes),
+    )
+    outputs = table.write_data_files(
+        new_rows.repartitionByRange(
+            n_bins, F.col("source"), F.col("doc_id")
+        ).sortWithinPartitions("source", "doc_id")
+    )
+
+    def attempt() -> int:
+        # no liveness validation needed (delete_where mode='eq'
+        # reasoning): an earlier rewrite's outputs still under-sequence
+        # our deletes; a later one validates against our delete file
+        table.refresh()
+        return table.commit(
+            "overwrite",
+            added=outputs,
+            added_deletes=del_files,
+            summary_extra={
+                "kind": "update-where-mor", "updated-rows": n_updated,
+            },
+        )
+
+    sid = retry_on_backoff(
+        attempt, attempts=4, base_sleep_s=0.2, retry_on=(CommitConflict,)
+    )
+    return UpdateResult(
+        snapshot_id=sid,
+        updated_rows=n_updated,
+        rewritten_files=0,
+        output_files=len(outputs),
+        details={"delete_files": len(del_files)},
     )

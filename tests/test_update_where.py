@@ -186,3 +186,38 @@ def test_cli_dml_verbs(spark, tmp_path, capsys):
     assert main(["maintain", "--dest", dest, "--op", "update-where",
                  "--where", "true", "--set", "garbage",
                  "--cpus", "8"]) == 2
+
+
+def test_mor_mode_matches_cow(spark, tmp_path):
+    from olake_spark.operators.deletes import materialize_deletes
+
+    a = Table.create(spark, str(tmp_path / "cow"))
+    b = Table.create(spark, str(tmp_path / "mor"))
+    for t in (a, b):
+        t.append(batch(spark, 0, 40, "a"))
+        t.append(batch(spark, 40, 60, "b"))
+    assignments = {"tokens": "slice(tokens, 1, 1)", "n_tok": "size(tokens)"}
+    r_cow = update_where(a, "n_tok = 3 AND source = 'a'", assignments,
+                         target_file_bytes=1 << 20)
+    r_mor = update_where(b, "n_tok = 3 AND source = 'a'", assignments,
+                         mode="mor", target_file_bytes=1 << 20)
+    assert r_cow.updated_rows == r_mor.updated_rows == 40
+    assert r_mor.rewritten_files == 0 and r_mor.details["delete_files"] == 1
+    assert rows(a.refresh()) == rows(b.refresh())
+    # MoR debt folds back to identical state
+    materialize_deletes(b, target_file_bytes=1 << 20)
+    assert rows(b.refresh()) == rows(a)
+    assert not b.delete_files()
+
+
+def test_mor_mode_updates_doc_id_by_old_key(spark, tmp_path):
+    t = Table.create(spark, str(tmp_path / "tbl"))
+    t.append(batch(spark, 0, 10))
+    res = update_where(
+        t, "doc_id = 'doc-00004'", {"doc_id": "'doc-moved'"}, mode="mor",
+        target_file_bytes=1 << 20,
+    )
+    assert res.updated_rows == 1
+    vis = rows(t.refresh())
+    assert "doc-moved" in vis and "doc-00004" not in vis
+    assert len(vis) == 10
