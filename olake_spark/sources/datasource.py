@@ -147,6 +147,9 @@ class OlakeBatchReader(DataSourceReader):
         self.apply_deletes = str(
             _get_opt(options, "apply_deletes", "true")
         ).lower() != "false"
+        self.with_lineage = str(
+            _get_opt(options, "with_lineage", "false")
+        ).lower() == "true"
         # auto: per-shard partitions past SCAN_DISTRIBUTED_MIN_SHARDS
         # (same threshold as Table.scan); "true"/"false" force a regime
         self.distributed_planning = str(
@@ -284,6 +287,7 @@ class OlakeBatchReader(DataSourceReader):
             self.target_schema_id,
             self.delete_entries,
             rename_maps=self.rename_maps,
+            with_lineage=self.with_lineage,
         )
 
 
@@ -377,14 +381,23 @@ def _read_data_files(
     target_schema_id: int,
     delete_entries: list[dict],
     rename_maps: dict[int, dict[str, str]] | None = None,
+    with_lineage: bool = False,
 ):
     """Arrow-side equivalent of Table.scan's per-file read: positional
     deletes drop row ordinals, equality deletes anti-join _olake_id for
     delete files with STRICTLY GREATER sequence number, then the batch
-    is aligned to the pinned snapshot's schema."""
+    is aligned to the pinned snapshot's schema.
+
+    ``with_lineage``: resolve ``_row_id`` / ``_last_updated_sequence_
+    number`` exactly like Table.scan — materialized columns where the
+    rewrite wrote them, ``first_row_id + physical row position``
+    synthesis otherwise (positions taken BEFORE the positional-delete
+    mask, so deleted rows' ids stay retired, not reassigned)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+
+    from olake_spark.table.format import LAST_UPDATED_SEQ, ROW_ID
 
     target = _arrow_target(spark_schema)
     eq_dels = [
@@ -451,14 +464,39 @@ def _read_data_files(
         return pos_map.get(rel_path)
 
     for e in entries:
+        import numpy as np
+
         tbl = pq.read_table(os.path.join(root, e.path))
+        pos = np.arange(len(tbl), dtype=np.int64)
         drop = _positions_for(e.path)
         if drop:
-            import numpy as np
-
             mask = np.ones(len(tbl), dtype=bool)
             mask[np.asarray(drop, dtype=np.int64)] = False
             tbl = tbl.filter(pa.array(mask))
+            pos = pos[mask]
+        if with_lineage:
+            if e.first_row_id is not None:
+                synth_rid = pa.array(e.first_row_id + pos, type=pa.int64())
+            else:
+                synth_rid = pa.nulls(len(pos), pa.int64())
+            synth_lus = pa.array(
+                np.full(len(pos), e.sequence_number, dtype=np.int64)
+            )
+            if e.lineage_cols and ROW_ID in tbl.column_names:
+                rid = pc.coalesce(
+                    tbl.column(ROW_ID).cast(pa.int64()), synth_rid
+                )
+                lus = pc.coalesce(
+                    tbl.column(LAST_UPDATED_SEQ).cast(pa.int64()), synth_lus
+                )
+            else:
+                rid, lus = synth_rid, synth_lus
+            for name in (ROW_ID, LAST_UPDATED_SEQ):
+                if name in tbl.column_names:
+                    tbl = tbl.drop_columns(name)
+            tbl = tbl.append_column(ROW_ID, rid).append_column(
+                LAST_UPDATED_SEQ, lus
+            )
         applicable = [
             d
             for d in eq_dels
@@ -476,6 +514,10 @@ def _read_data_files(
             # leak old values through name matching in _align_table
             names = set(tbl.column_names)
             pairs = [(dst, src) for dst, src in m.items() if src in names]
+            if with_lineage:
+                # resolved lineage columns ride through the field-id
+                # projection untouched
+                pairs += [(ROW_ID, ROW_ID), (LAST_UPDATED_SEQ, LAST_UPDATED_SEQ)]
             tbl = tbl.select([src for _, src in pairs]).rename_columns(
                 [dst for dst, _ in pairs]
             )
@@ -851,7 +893,23 @@ class OlakeDataSource(DataSource):
             raise ValueError("olake datasource needs a path: .load(<table root>)")
         table = Table.load(None, os.path.abspath(root))
         snap = _resolve_snapshot(table, self.options)
-        return _nullable(table.schema(snap.schema_id if snap else None))
+        schema = _nullable(table.schema(snap.schema_id if snap else None))
+        if str(_get_opt(self.options, "with_lineage", "false")).lower() == "true":
+            if not table.row_lineage:
+                raise ValueError(
+                    "with_lineage on a table without row lineage; create "
+                    "with row_lineage=True or call enable_row_lineage() first"
+                )
+            from olake_spark.table.format import LAST_UPDATED_SEQ, ROW_ID
+
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField(ROW_ID, T.LongType()),
+                    T.StructField(LAST_UPDATED_SEQ, T.LongType()),
+                ]
+            )
+        return schema
 
     def reader(self, schema: T.StructType) -> OlakeBatchReader:
         return OlakeBatchReader(self.options, schema)
@@ -859,6 +917,11 @@ class OlakeDataSource(DataSource):
     def streamReader(self, schema: T.StructType) -> OlakeStreamReader:
         if _get_opt(self.options, "metadata") is not None:
             raise ValueError("metadata tables are batch-only")
+        if str(_get_opt(self.options, "with_lineage", "false")).lower() == "true":
+            raise ValueError(
+                "with_lineage is batch-only; the changelog stream carries "
+                "row identity via snapshot_changes(key_col=ROW_ID) instead"
+            )
         return OlakeStreamReader(self.options, schema)
 
     def writer(self, schema: T.StructType, overwrite: bool) -> OlakeWriter:

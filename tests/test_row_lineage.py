@@ -303,3 +303,40 @@ def test_cli_enable_row_lineage_and_files_view(spark, tmp_path, capsys):
     compact(t, target_file_bytes=1 << 20)
     fv2 = metadata_df(t.refresh(), "files").collect()
     assert all(r.lineage_cols for r in fv2)
+
+
+def test_datasource_lineage_parity(spark, ltable):
+    from olake_spark.operators.deletes import delete_where
+    from olake_spark.sources.datasource import OlakeDataSource
+
+    spark.dataSource.register(OlakeDataSource)
+    ltable.append(batch(spark, 0, 30, "a"))
+    compact(ltable, target_file_bytes=1 << 20)  # materialized lineage
+    ltable.refresh().append(batch(spark, 30, 45, "b"))  # synthesized
+    delete_where(ltable.refresh(), "doc_id = 'doc-00007'")  # pos-delete
+    ltable.refresh()
+    want = lineage(ltable)
+    got = {
+        r.doc_id: (r[ROW_ID], r[LAST_UPDATED_SEQ])
+        for r in spark.read.format("olake")
+        .option("with_lineage", "true")
+        .load(ltable.root)
+        .select("doc_id", ROW_ID, LAST_UPDATED_SEQ)
+        .collect()
+    }
+    assert got == want and "doc-00007" not in got
+
+    # without the option, materialized lineage columns never leak
+    cols = spark.read.format("olake").load(ltable.root).columns
+    assert ROW_ID not in cols and LAST_UPDATED_SEQ not in cols
+
+    # non-lineage tables refuse the option with a clean error
+    import pytest as _pytest
+
+    plain_root = ltable.root + "_plain"
+    t2 = Table.create(spark, plain_root)
+    t2.append(batch(spark, 0, 5))
+    with _pytest.raises(Exception, match="row lineage"):
+        spark.read.format("olake").option("with_lineage", "true").load(
+            plain_root
+        ).collect()
