@@ -16,9 +16,13 @@ formats whose specs need nothing beyond ``zlib`` (stdlib), ``wave``
 Plus ``encode_png`` (filter-0, any supported color type) so resize
 stages can re-emit real image payloads.
 
-JPEG/video remain honestly out of reach without external libraries —
-the multimodal operators raise ``NotImplementedError`` for those magic
-bytes, exactly where a Pillow/ffmpeg call slots in.
+JPEG (baseline sequential, ITU-T T.81) is handled by the sibling
+``operators/jpeg.py`` codec and re-exported here so callers have one
+import point.  Video is covered for the one container expressible
+with stdlib-only parsing: AVI/MJPEG (RIFF chunks whose '00dc' frames
+are whole baseline JPEGs) — ``encode_avi_mjpeg`` / ``parse_avi_mjpeg``
+below.  Inter-frame codecs (H.264 etc.) remain out of reach without
+ffmpeg and raise ``ValueError`` naming the codec.
 
 Performance note: these run inside ``mapInPandas`` Arrow batches; the
 per-row cost is the codec itself (Sub/Average/Paeth unfiltering is a
@@ -36,19 +40,33 @@ import zlib
 
 import numpy as np
 
+from olake_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+__all__ = [
+    "sniff",
+    "decode_png", "encode_png",
+    "decode_bmp", "encode_bmp",
+    "decode_wav", "encode_wav",
+    "decode_jpeg", "encode_jpeg",
+    "encode_avi_mjpeg", "parse_avi_mjpeg",
+]
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def sniff(payload: bytes) -> str:
-    """Cheap magic-byte format sniff: 'png' | 'bmp' | 'wav' | 'jpeg' |
-    'unknown' (mirrors the Catalyst-side media_metadata sniff)."""
+    """Cheap magic-byte format sniff: 'png' | 'bmp' | 'wav' | 'avi' |
+    'jpeg' | 'unknown' (mirrors the Catalyst-side media_metadata
+    sniff)."""
     if payload[:8] == _PNG_SIG:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
     return "unknown"
@@ -220,3 +238,100 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(s.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------- AVI / MJPEG
+# Minimal AVI 1.0 (RIFF 'AVI ') container with a single MJPG video
+# stream — the one video format where every frame is an independent
+# baseline JPEG, so stdlib chunk-walking + operators/jpeg.py covers
+# bytes->pixels end to end.  Layout per the public msdn AVI RIFF spec:
+# RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'
+# '00dc'...) idx1).
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], fps: int = 25, width: int = 0, height: int = 0
+) -> bytes:
+    """JPEG frame payloads -> AVI/MJPEG bytes.  width/height default to
+    the first frame's decoded size (headers only; frames are stored
+    verbatim)."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    if not (width and height):
+        first = decode_jpeg(frames[0])
+        height, width = first.shape[:2]
+    us_per_frame = max(1_000_000 // max(fps, 1), 1)
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<10I",
+        us_per_frame, max_bytes * max(fps, 1), 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, width, height,
+    ) + b"\x00" * 16  # dwReserved[4]
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHII", 0, 0, 0, 0, 1)  # scale=1
+        + struct.pack("<IIIiI", max(fps, 1), 0, len(frames), max_bytes, 0xFFFFFFFF)
+        + struct.pack("<I", 0) + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER, biCompression='MJPG'
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_body))  # offset of '00dc' within movi
+        movi_body += _riff_chunk(b"00dc", f)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, len(f))  # AVIIF_KEYFRAME
+        for off, f in zip(offsets, frames)
+    )
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_mjpeg(payload: bytes) -> tuple[int, list[bytes]]:
+    """AVI bytes -> (microseconds-per-frame, [jpeg frame bytes...]).
+
+    Walks RIFF chunks with stdlib struct only; accepts '00dc'/'00db'
+    video chunks.  Non-MJPG streams raise ValueError naming the codec
+    (the ffmpeg seam)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF signature")
+    us_per_frame = 40_000  # 25 fps default if avih is absent
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal us_per_frame
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_end = min(pos + 8 + size, end)
+            if fourcc == b"LIST":
+                walk(buf, pos + 12, data_end)  # skip list type fourcc
+            elif fourcc == b"avih":
+                us_per_frame = struct.unpack("<I", buf[pos + 8 : pos + 12])[0] or us_per_frame
+            elif fourcc == b"strh":
+                if buf[pos + 8 : pos + 12] == b"vids":
+                    codec = buf[pos + 12 : pos + 16]
+                    if codec not in (b"MJPG", b"mjpg"):
+                        raise ValueError(
+                            f"unsupported AVI video codec {codec!r}: only "
+                            "MJPG decodes natively; others require ffmpeg"
+                        )
+            elif fourcc in (b"00dc", b"00db") and size:
+                frames.append(buf[pos + 8 : data_end])
+            pos = pos + 8 + size + (size & 1)  # chunks pad to even
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return us_per_frame, frames

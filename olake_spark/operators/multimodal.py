@@ -3,13 +3,15 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct — the Spark-side schema, partition behavior, UDF
 signatures, and Arrow batch shapes are real and tested.  Decode is REAL
-for PNG / BMP / WAV via the dependency-free codecs in
-``operators/codecs.py`` (stdlib zlib/wave + numpy — all five PNG
-scanline filters, 24-bit BMP, PCM-16 WAV), used when ``fake=False``;
-image resize re-encodes real PNG bytes.  JPEG and video stay honestly
-out of reach without Pillow/ffmpeg and raise ``NotImplementedError``
-exactly where those calls slot in; ``fake=True`` keeps the
-deterministic byte-stats features used by the SQL-oracled
+for PNG / BMP / WAV / baseline JPEG / AVI-MJPEG video via the
+dependency-free codecs in ``operators/codecs.py`` + ``operators/
+jpeg.py`` (stdlib zlib/wave/struct + numpy — all five PNG scanline
+filters, 24-bit BMP, PCM-16 WAV, T.81 baseline Huffman JPEG, RIFF
+chunk walk), used when ``fake=False``; image resize re-encodes real
+PNG/JPEG bytes and ``sample_frames`` extracts real JPEG frames from
+AVI containers.  Inter-frame video codecs (H.264 etc.) raise
+``ValueError`` naming the codec — the ffmpeg seam; ``fake=True``
+keeps the deterministic byte-stats features used by the SQL-oracled
 ``media_profile`` query.
 
 Scale design: payload bytes never pass through Python except inside
@@ -72,17 +74,17 @@ def decode_stub(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
     features (the SQL-oracle-able path).  ``fake=False``: REAL decode —
     PNG/BMP -> (width, height, [channels, pixel mean, pixel std, pixel
     max]); WAV -> (n_samples, n_channels, [rate, mean |x|, rms, peak]);
-    JPEG/video raise NotImplementedError (need Pillow/ffmpeg)."""
+    Unknown formats raise NotImplementedError."""
     if not fake:
         from olake_spark.operators import codecs
 
         kind = codecs.sniff(payload)
-        if kind in ("png", "bmp"):
-            arr = (
-                codecs.decode_png(payload)
-                if kind == "png"
-                else codecs.decode_bmp(payload)
-            )
+        if kind in ("png", "bmp", "jpeg"):
+            arr = {
+                "png": codecs.decode_png,
+                "bmp": codecs.decode_bmp,
+                "jpeg": codecs.decode_jpeg,
+            }[kind](payload)
             h, w = arr.shape[:2]
             ch = arr.shape[2] if arr.ndim == 3 else 1
             px = arr.astype(np.float64)
@@ -98,9 +100,19 @@ def decode_stub(payload: bytes, fake: bool) -> tuple[int, int, np.ndarray]:
                 dtype=np.float32,
             )
             return int(s.shape[0]), int(s.shape[1]), feat
+        if kind == "avi":
+            us_per_frame, jpegs = codecs.parse_avi_mjpeg(payload)
+            first = codecs.decode_jpeg(jpegs[0])
+            h, w = first.shape[:2]
+            px = first.astype(np.float64)
+            feat = np.array(
+                [len(jpegs), 1e6 / us_per_frame, px.mean(), px.std()],
+                dtype=np.float32,
+            )
+            return w, h, feat
         raise NotImplementedError(
-            f"cannot decode {kind!r}: PNG/BMP/WAV decode natively "
-            "(operators/codecs.py); JPEG/video require Pillow/ffmpeg"
+            f"cannot decode {kind!r}: PNG/BMP/WAV/JPEG/AVI-MJPEG decode "
+            "natively (operators/codecs.py, operators/jpeg.py)"
         )
     a = np.frombuffer(payload, dtype=np.uint8)
     h = int(a[:4].sum()) % 480 + 16 if len(a) else 16
@@ -142,9 +154,10 @@ def resize_images(
 ) -> DataFrame:
     """Resize stage: one output row per input, payload replaced by the
     re-encoded image.  ``fake=False``: REAL nearest-neighbor resize of
-    PNG/BMP payloads, re-encoded as PNG (operators/codecs.py); other
-    formats raise NotImplementedError.  ``fake=True``: deterministic
-    byte subsample to width*height bytes (the oracle-able path)."""
+    PNG/BMP/JPEG payloads — PNG/BMP re-encode as PNG, JPEG re-encodes
+    as JPEG (operators/codecs.py); other formats raise
+    NotImplementedError.  ``fake=True``: deterministic byte subsample
+    to width*height bytes (the oracle-able path)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from olake_spark.operators import codecs
@@ -155,24 +168,30 @@ def resize_images(
                 if not fake:
                     b = bytes(payload)
                     kind = codecs.sniff(b)
-                    if kind not in ("png", "bmp"):
+                    if kind not in ("png", "bmp", "jpeg"):
                         raise NotImplementedError(
-                            f"cannot resize {kind!r}: PNG/BMP resize "
-                            "natively; JPEG requires Pillow"
+                            f"cannot resize {kind!r}: PNG/BMP/JPEG "
+                            "resize natively (operators/codecs.py)"
                         )
-                    arr = (
-                        codecs.decode_png(b)
-                        if kind == "png"
-                        else codecs.decode_bmp(b)
-                    )
+                    arr = {
+                        "png": codecs.decode_png,
+                        "bmp": codecs.decode_bmp,
+                        "jpeg": codecs.decode_jpeg,
+                    }[kind](b)
                     yi = np.arange(height) * arr.shape[0] // height
                     xi = np.arange(width) * arr.shape[1] // width
+                    small = arr[yi][:, xi]
+                    out_bytes = (
+                        codecs.encode_jpeg(small)
+                        if kind == "jpeg"
+                        else codecs.encode_png(small)
+                    )
                     rows.append(
                         {
                             "media_id": mid,
                             "width": width,
                             "height": height,
-                            "payload": codecs.encode_png(arr[yi][:, xi]),
+                            "payload": out_bytes,
                         }
                     )
                     continue
@@ -197,18 +216,38 @@ def sample_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = True
 ) -> DataFrame:
     """Frame-sampling stage: one input video row fans out to N frame
-    rows (the 1->N mapInPandas shape an ffmpeg keyframe extractor
-    uses). Stub frames = deterministic payload slices; frame count
-    derives from payload size."""
+    rows (the 1->N mapInPandas shape a keyframe extractor uses).
+    ``fake=False``: REAL extraction from AVI/MJPEG containers — each
+    emitted payload is one whole baseline-JPEG frame, ts_ms from the
+    container's frame period, sampled at >= every_ms spacing up to
+    max_frames.  Other containers raise ValueError (the ffmpeg seam).
+    ``fake=True``: deterministic payload slices; frame count derives
+    from payload size."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from olake_spark.operators import codecs
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if not fake:
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg — not in this container"
-                    )
+                    us_per_frame, jpegs = codecs.parse_avi_mjpeg(bytes(payload))
+                    # emit every ceil(every_ms / frame_period)-th frame
+                    stride = max(round(every_ms * 1000 / us_per_frame), 1)
+                    for out_idx, src_idx in enumerate(
+                        range(0, len(jpegs), stride)
+                    ):
+                        if out_idx >= max_frames:
+                            break
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": out_idx,
+                                "ts_ms": src_idx * us_per_frame // 1000,
+                                "payload": jpegs[src_idx],
+                            }
+                        )
+                    continue
                 b = bytes(payload)
                 n_frames = min(max(len(b) // 16, 1), max_frames)
                 step = max(len(b) // n_frames, 1)

@@ -1,6 +1,7 @@
-"""Dependency-free PNG/BMP/WAV codecs: encoder/decoder round-trips,
-all five PNG scanline filters against an independent forward-filter
-reference, and the real (fake=False) multimodal decode/resize stages."""
+"""Dependency-free PNG/BMP/WAV/JPEG codecs: encoder/decoder
+round-trips, all five PNG scanline filters against an independent
+forward-filter reference, and the real (fake=False) multimodal
+decode/resize/frame-sample stages (JPEG tests in test_jpeg.py)."""
 
 import struct
 import zlib
@@ -10,17 +11,22 @@ import pytest
 
 from olake_spark.operators.codecs import (
     decode_bmp,
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_avi_mjpeg,
     encode_bmp,
+    encode_jpeg,
     encode_png,
     encode_wav,
+    parse_avi_mjpeg,
     sniff,
 )
 from olake_spark.operators.multimodal import (
     decode_stub,
     extract_features,
     resize_images,
+    sample_frames,
 )
 
 
@@ -138,15 +144,19 @@ def test_wav_roundtrip_stereo():
     np.testing.assert_array_equal(out, samples)
 
 
-def test_decode_stub_real_paths_and_jpeg_refusal():
+def test_decode_stub_real_paths_and_unknown_refusal():
     img = np.full((6, 8, 3), 100, dtype=np.uint8)
     w, h, feat = decode_stub(encode_png(img), fake=False)
     assert (w, h) == (8, 6)
     assert feat[0] == 3.0 and feat[1] == pytest.approx(100.0)
     rate_feat = decode_stub(encode_wav(8000, np.ones((100, 1), np.int16)), fake=False)
     assert rate_feat[0] == 100 and rate_feat[1] == 1 and rate_feat[2][0] == 8000.0
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_stub(b"\xff\xd8\xff\xe0fakejpeg", fake=False)
+    # real JPEG now decodes (operators/jpeg.py)
+    jw, jh, jfeat = decode_stub(encode_jpeg(img, quality=95), fake=False)
+    assert (jw, jh) == (8, 6)
+    assert jfeat[1] == pytest.approx(100.0, abs=2.0)
+    with pytest.raises(NotImplementedError, match="unknown"):
+        decode_stub(b"\x00\x01not-a-media-payload", fake=False)
 
 
 def test_spark_extract_and_resize_real(spark):
@@ -173,3 +183,40 @@ def test_spark_extract_and_resize_real(spark):
     yi = np.arange(4) * 16 // 4
     xi = np.arange(6) * 12 // 6
     np.testing.assert_array_equal(out, img_png[yi][:, xi])
+
+
+def test_spark_jpeg_extract_resize_real(spark):
+    img = np.full((24, 32), 77, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("j", bytearray(encode_jpeg(img, quality=95)))],
+        "media_id string, payload binary",
+    )
+    feat = extract_features(df, fake=False).collect()[0]
+    assert (feat.width, feat.height) == (32, 24)
+    assert abs(feat.feat[1] - 77.0) < 1.5  # pixel mean survives the codec
+    resized = resize_images(df, 8, 8, fake=False).collect()[0]
+    out = decode_jpeg(bytes(resized.payload))  # stays JPEG, resized
+    assert out.shape == (8, 8)
+    assert abs(float(out.mean()) - 77.0) < 1.5
+
+
+def test_spark_sample_frames_real_avi(spark):
+    # 10 fps, 12 frames => 1200 ms of video; every_ms=300 -> frames 0,3,6,9
+    frames = [
+        encode_jpeg(np.full((8, 8), 20 * i, dtype=np.uint8), quality=90)
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        [("v", bytearray(encode_avi_mjpeg(frames, fps=10)))],
+        "media_id string, payload binary",
+    )
+    rows = sorted(
+        sample_frames(df, every_ms=300, max_frames=3, fake=False).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, r.ts_ms) for r in rows] == [(0, 0), (1, 300), (2, 600)]
+    for r, src in zip(rows, (0, 3, 6)):
+        np.testing.assert_array_equal(
+            decode_jpeg(bytes(r.payload)),
+            np.full((8, 8), 20 * src, dtype=np.uint8),
+        )
