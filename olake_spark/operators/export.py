@@ -1,0 +1,150 @@
+"""Training-data export: seeded deterministic global shuffle into
+token-balanced shards.
+
+The last stage of a curation pipeline hands data to a dataloader, which
+wants (a) a reproducible global shuffle — same seed, same order, no
+matter how the corpus was partitioned or how many executors ran — and
+(b) N shards of roughly equal token mass so data-parallel workers
+finish epochs together (public practice: the shard-per-worker layouts
+of Pile/C4/Dolma-style pipelines; reference analog: none — OLake stops
+at table rows, this extends its sequences table like
+``operators/packing.py`` does).
+
+Scale design, in the house style of ``operators/sampling.py``:
+
+* Every placement is a pure function of (seed, key): shard id and
+  within-shard order both derive from JVM-side ``md5`` expressions
+  (no UDF, no ``rand()``), so task retries, reruns, and different
+  input partitionings all produce byte-identical shards.
+* ONE hash exchange total. Shard assignment is a narrow projection;
+  the within-shard position comes from a window partitioned by the
+  shard id, which Catalyst plans as a single exchange + per-partition
+  sort. There is NO global sort: at 100 TB a seeded ``orderBy(rand)``
+  is a full-table range sort, while N independent shard sorts are
+  embarrassingly parallel and AQE-sizable.
+* Token balance is by expectation, not coordination: with thousands of
+  documents per shard the maximum relative token imbalance concentrates
+  around sqrt(shards/docs) (law of large numbers), which the
+  ``shard_stats`` audit makes observable; exact bin-balancing would
+  need a global sort for a <1% gain at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash64(key: Column, salt: str) -> Column:
+    """Deterministic nonnegative 63-bit int from (salt, key) — md5-based
+    like sampling.uniform_hash so every placement is oracle-expressible."""
+    h = F.md5(F.concat(F.lit(salt + "|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Assign every row a shard in [0, n_shards) and a 0-based position
+    within its shard — the (seed, key)-deterministic global shuffle.
+
+    The result is independent of the input's row order and partitioning:
+    shard = h(seed, key) mod n_shards; order within a shard is by an
+    independent hash h'(seed, key), ties broken by the key itself.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.col(key_col)
+    shard = F.pmod(_hash64(key, f"{seed}|shard"), F.lit(n_shards)).cast("int")
+    order = _hash64(key, f"{seed}|order")
+    win = Window.partitionBy(shard_col).orderBy(F.col("_shuffle_ord"), key)
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("_shuffle_ord", order)
+        .withColumn(pos_col, F.row_number().over(win) - F.lit(1))
+        .drop("_shuffle_ord")
+    )
+
+
+def shard_stats(
+    sharded: DataFrame,
+    shard_col: str = "shard",
+    n_tok_col: str | None = "n_tok",
+) -> DataFrame:
+    """Per-shard audit: rows, tokens, and each shard's token share
+    relative to a perfectly balanced split (1.0 = exact balance)."""
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if n_tok_col is not None:
+        aggs.append(F.sum(n_tok_col).cast("long").alias("tokens"))
+    per = sharded.groupBy(F.col(shard_col).alias("shard")).agg(*aggs)
+    if n_tok_col is not None:
+        total = Window.partitionBy()
+        per = per.withColumn(
+            "balance",
+            F.round(
+                F.col("tokens")
+                * F.count(F.lit(1)).over(total)
+                / F.sum("tokens").over(total),
+                6,
+            ),
+        )
+    return per.orderBy("shard")
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    n_tok_col: str | None = "n_tok",
+) -> dict:
+    """Materialize the shuffled shards as ``path/shard=K/`` parquet plus
+    a ``shard_manifest.json`` the dataloader reads (per-shard rows and
+    tokens, seed, shard count).
+
+    One exchange: rows are routed to their shard's writer task by the
+    same hash repartition the window would need anyway, and each task
+    writes its shard pre-sorted by position, so a sequential read of a
+    shard IS the shuffled order.
+    """
+    sharded = shuffle_shards(df, n_shards, seed=seed, key_col=key_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats_rows = shard_stats(
+        sharded, n_tok_col=n_tok_col if n_tok_col in df.columns else None
+    ).collect()  # bounded: one row per shard
+    manifest = {
+        "seed": seed,
+        "n_shards": n_shards,
+        "key_col": key_col,
+        "shards": [r.asDict() for r in stats_rows],
+        "total_rows": int(sum(r["rows"] for r in stats_rows)),
+    }
+    with open(os.path.join(path, "shard_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, default=int)
+    return manifest
+
+
+def read_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """One worker's slice: the shard's rows in shuffled order (partition
+    pruning keeps the scan to that one directory)."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .orderBy("pos")
+    )
