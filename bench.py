@@ -890,6 +890,19 @@ def _run_maintenance_rep(
         with timed("lineage_zorder"):
             cluster(table, curve="zorder", target_file_bytes=target)
 
+        # terminal pipeline stage: seeded shuffle -> token-balanced
+        # shard export (one exchange + per-shard sort + parquet write)
+        from olake_spark.operators.export import write_shards
+
+        with timed("shard_export"):
+            manifest = write_shards(
+                table.refresh().scan().select("doc_id", "tokens", "n_tok"),
+                os.path.join(root, "shards"),
+                n_shards=4 * cpus,
+                seed=42,
+            )
+        maintenance["shard_rows"] = manifest["total_rows"]
+
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
