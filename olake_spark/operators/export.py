@@ -112,21 +112,33 @@ def write_shards(
     a ``shard_manifest.json`` the dataloader reads (per-shard rows and
     tokens, seed, shard count).
 
-    One exchange: rows are routed to their shard's writer task by the
-    same hash repartition the window would need anyway, and each task
-    writes its shard pre-sorted by position, so a sequential read of a
-    shard IS the shuffled order.
+    One exchange: the explicit ``repartition(n_shards, shard)`` below
+    SATISFIES the window's clustered-distribution requirement, so
+    Catalyst plans exchange -> per-partition sort -> window -> write
+    with no second shuffle of the token payload; each task writes its
+    shard(s) pre-sorted by position, so a sequential read of a shard IS
+    the shuffled order.  The manifest stats come from the WRITTEN
+    files (shard + token columns only — parquet column pruning skips
+    the payload), not from re-running the shuffle.
     """
-    sharded = shuffle_shards(df, n_shards, seed=seed, key_col=key_col)
+    key = F.col(key_col)
+    assigned = df.withColumn(
+        "shard",
+        F.pmod(_hash64(key, f"{seed}|shard"), F.lit(n_shards)).cast("int"),
+    ).withColumn("_shuffle_ord", _hash64(key, f"{seed}|order"))
+    win = Window.partitionBy("shard").orderBy(F.col("_shuffle_ord"), key)
     (
-        sharded.repartition(n_shards, F.col("shard"))
-        .sortWithinPartitions("shard", "pos")
+        assigned.repartition(n_shards, F.col("shard"))
+        .withColumn("pos", F.row_number().over(win) - F.lit(1))
+        .drop("_shuffle_ord")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
     )
+    spark = df.sparkSession
+    written = spark.read.parquet(path)
     stats_rows = shard_stats(
-        sharded, n_tok_col=n_tok_col if n_tok_col in df.columns else None
+        written, n_tok_col=n_tok_col if n_tok_col in df.columns else None
     ).collect()  # bounded: one row per shard
     manifest = {
         "seed": seed,
