@@ -327,6 +327,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        if seglen < 2:
+            # a 0/1 segment length can't even cover its own length field;
+            # without this check a corrupt byte pins the walk in place
+            raise ValueError(f"corrupt JPEG segment length {seglen}")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -390,6 +394,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(data, pos, frame, scan, qt, hufftabs, restart_interval):
     h, w, comps = frame
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    if any(hs < 1 or vs < 1 for _, hs, vs, _ in comps):
+        raise ValueError("corrupt JPEG sampling factors")
     hmax = max(hs for _, hs, _, _ in comps)
     vmax = max(vs for _, _, vs, _ in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -397,10 +403,14 @@ def _decode_scan(data, pos, frame, scan, qt, hufftabs, restart_interval):
     planes = {}
     meta = []  # (cid, hs, vs, q, dc_dec, ac_dec)
     for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
         hs, vs, tq = by_id[cs]
         planes[cs] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
         if (0, td) not in hufftabs or (1, ta) not in hufftabs:
             raise ValueError("JPEG scan references missing Huffman table")
+        if tq not in qt:
+            raise ValueError(f"JPEG scan references missing quant table {tq}")
         meta.append((cs, hs, vs, qt[tq].astype(np.float64), hufftabs[(0, td)], hufftabs[(1, ta)]))
     br = _BitReader(data, pos)
     dc_pred = {cs: 0 for cs, *_ in meta}

@@ -108,6 +108,34 @@ def test_avi_mjpeg_roundtrip():
     )
 
 
+def test_corrupt_payloads_raise_fast_never_hang():
+    """Decode inside a 100 TB mapInPandas must fail loudly on corrupt
+    bytes, never loop: every single-byte mutation / truncation of a
+    valid stream either still decodes or raises a bounded error."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = encode_jpeg(img, quality=80)
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        b = bytearray(good)
+        i = int(rng.integers(2, len(b)))  # keep SOI so it's "a JPEG"
+        b[i] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(b))
+        except (ValueError, IndexError, struct.error):
+            pass
+    for cut in range(2, len(good), 7):
+        try:
+            decode_jpeg(good[:cut])
+        except (ValueError, IndexError, struct.error):
+            pass
+    # the specific hang shape: a zero segment length must raise, not spin
+    b = bytearray(good)
+    dqt = b.find(b"\xff\xdb")
+    b[dqt + 2 : dqt + 4] = b"\x00\x00"
+    with pytest.raises(ValueError, match="segment length"):
+        decode_jpeg(bytes(b))
+
+
 def test_avi_non_mjpg_codec_refused():
     frames = [encode_jpeg(np.full((8, 8), 10, dtype=np.uint8))]
     avi = bytearray(encode_avi_mjpeg(frames, fps=25))
