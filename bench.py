@@ -903,6 +903,20 @@ def _run_maintenance_rep(
             )
         maintenance["shard_rows"] = manifest["total_rows"]
 
+        # autopilot steady-state probe: the "does this table need work?"
+        # decision is metadata-only (snapshot summaries + entries frame)
+        # — this leg is the per-table cost of a fleet-wide health sweep
+        from olake_spark.operators.autopilot import (
+            MaintenancePolicy,
+            inspect_health,
+            plan_actions,
+        )
+
+        with timed("auto_plan"):
+            pol = MaintenancePolicy(target_file_bytes=target)
+            plan = plan_actions(inspect_health(table, pol), pol)
+        maintenance["auto_planned_ops"] = [a.op for a in plan]
+
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -133,6 +133,43 @@ class AutoMaintainResult:
         }
 
 
+_PROP_FIELDS = {
+    "maintenance.target-file-bytes": ("target_file_bytes", int),
+    "maintenance.small-file-ratio": ("small_file_ratio", float),
+    "maintenance.min-small-files": ("min_small_files", int),
+    "maintenance.max-delete-files": ("max_delete_files", int),
+    "maintenance.max-delete-ratio": ("max_delete_ratio", float),
+    "maintenance.max-manifest-shards": ("max_manifest_shards", int),
+    "maintenance.manifest-target-entries": ("manifest_target_entries", int),
+    "maintenance.max-snapshots": ("max_snapshots", int),
+    "maintenance.expire-keep-last": ("expire_keep_last", int),
+    "maintenance.cluster-curve": ("cluster_curve", str),
+    "maintenance.cluster-scope": ("cluster_scope", str),
+    "maintenance.recluster-churn": ("recluster_churn", float),
+}
+
+
+def policy_from_table(
+    table: Table, overrides: dict | None = None
+) -> MaintenancePolicy:
+    """Policy seeded from the table's own ``maintenance.*`` properties
+    (``table.set_properties``), so each table in a fleet carries its
+    maintenance contract with it — the caller's ``overrides`` (e.g. CLI
+    flags) beat properties, properties beat defaults."""
+    kw: dict = {}
+    props = table.properties
+    for prop, (field_name, cast) in _PROP_FIELDS.items():
+        if prop in props:
+            try:
+                kw[field_name] = cast(props[prop])
+            except ValueError as e:
+                raise ValueError(
+                    f"bad table property {prop}={props[prop]!r}: {e}"
+                ) from e
+    kw.update(overrides or {})
+    return MaintenancePolicy(**kw)
+
+
 def _last_cluster(table: Table, snap: Snapshot) -> tuple[Snapshot | None, int]:
     """Walk the parent chain from ``snap`` to the most recent curve
     rewrite; returns it (or None) plus the rows appended since. Pure
@@ -321,8 +358,11 @@ def auto_maintain(
     plans nothing (``converged=True``) or when a pass makes no progress
     (every action skipped — nothing left that the ops consider worth
     rewriting). ``max_passes=1`` is the cron-cadence mode; pass a larger
-    value for run-to-convergence maintenance windows."""
-    policy = policy or MaintenancePolicy()
+    value for run-to-convergence maintenance windows.
+
+    With ``policy=None`` the policy comes from the table's own
+    ``maintenance.*`` properties (``policy_from_table``)."""
+    policy = policy or policy_from_table(table)
     health = inspect_health(table, policy)
     planned = plan_actions(health, policy)
     out = AutoMaintainResult(health=health, planned=planned, dry_run=dry_run)

@@ -508,6 +508,39 @@ class Table:
         return dict(self.metadata.get("refs", {}))
 
     @property
+    def properties(self) -> dict[str, str]:
+        """Table properties (Iceberg TBLPROPERTIES analog): free-form
+        string config carried in table metadata, versioned like any
+        other metadata change. Namespaced keys configure engine
+        behavior — ``maintenance.*`` seeds the autopilot policy
+        (olake_spark.operators.autopilot.policy_from_table)."""
+        return dict(self.metadata.get("properties", {}))
+
+    def set_properties(self, props: dict[str, str | None]) -> int:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES — metadata-only commit:
+        no data or manifest file is touched, and the change rides the
+        same optimistic version claim as every other commit (a racing
+        writer gets CommitConflict, not a lost property). A ``None``
+        value unsets the key; a no-op change commits nothing and
+        returns the current snapshot id."""
+        merged = dict(self.metadata.get("properties", {}))
+        changed = []
+        for k, v in props.items():
+            if v is None:
+                if merged.pop(k, None) is not None:
+                    changed.append(f"unset:{k}")
+            elif merged.get(k) != str(v):
+                merged[k] = str(v)
+                changed.append(f"set:{k}")
+        if not changed:
+            return self.current_snapshot_id
+        return self.commit(
+            "properties",
+            metadata_extra={"properties": merged},
+            summary_extra={"properties": ",".join(sorted(changed))},
+        )
+
+    @property
     def row_lineage(self) -> bool:
         """True when the table tracks Iceberg-v3-style row lineage
         (``Table.create(row_lineage=True)`` or `enable_row_lineage`)."""

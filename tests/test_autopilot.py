@@ -154,3 +154,55 @@ def test_empty_table_plans_nothing(spark, tmp_path):
     t = Table.create(spark, str(tmp_path / "empty"))
     r = auto_maintain(t, _policy())
     assert r.planned == [] and r.executed == []
+
+
+def test_table_properties_and_policy_precedence(spark, tmp_path):
+    from olake_spark.operators.autopilot import policy_from_table
+
+    t = Table.create(spark, str(tmp_path / "ptbl"))
+    t.append(batch(spark, 0, 100))
+    sid0 = t.current_snapshot_id
+    # no-op set commits nothing
+    assert t.set_properties({}) == sid0
+
+    t.set_properties({
+        "maintenance.cluster-curve": "hilbert",
+        "maintenance.max-snapshots": "7",
+        "maintenance.recluster-churn": "0.5",
+        "team": "data-eng",
+    })
+    t.refresh()
+    assert t.properties["maintenance.max-snapshots"] == "7"
+    assert t.properties["team"] == "data-eng"
+
+    # properties survive unrelated commits
+    t.append(batch(spark, 100, 200))
+    t.refresh()
+    assert t.properties["maintenance.cluster-curve"] == "hilbert"
+
+    # defaults < properties < overrides
+    pol = policy_from_table(t)
+    assert pol.cluster_curve == "hilbert"
+    assert pol.max_snapshots == 7
+    assert pol.recluster_churn == 0.5
+    assert pol.min_small_files == MaintenancePolicy().min_small_files
+    pol = policy_from_table(t, {"cluster_curve": "zorder"})
+    assert pol.cluster_curve == "zorder" and pol.max_snapshots == 7
+
+    # unset
+    t.set_properties({"team": None})
+    t.refresh()
+    assert "team" not in t.properties
+    assert t.properties["maintenance.cluster-curve"] == "hilbert"
+
+    # auto_maintain with policy=None reads the table's own contract
+    r = auto_maintain(t, dry_run=True)
+    assert any(
+        a.op == "cluster" and a.kwargs["curve"] == "hilbert"
+        for a in r.planned
+    )
+
+    with pytest.raises(ValueError, match="maintenance.max-snapshots"):
+        t.set_properties({"maintenance.max-snapshots": "lots"})
+        t.refresh()
+        policy_from_table(t)
