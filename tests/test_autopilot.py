@@ -206,3 +206,37 @@ def test_table_properties_and_policy_precedence(spark, tmp_path):
         t.set_properties({"maintenance.max-snapshots": "lots"})
         t.refresh()
         policy_from_table(t)
+
+
+def test_cli_auto_fleet_sweep(spark, tmp_path, capsys):
+    """One invocation sweeps N tables; per-table policy from properties;
+    a broken root is reported without aborting the sweep."""
+    import json
+
+    from olake_spark.cli import main
+
+    roots = []
+    for name in ("t1", "t2"):
+        t = Table.create(spark, str(tmp_path / name))
+        t.append(batch(spark, 0, 600).repartition(10))
+        roots.append(t.root)
+    Table.load(spark, roots[0]).set_properties(
+        {"maintenance.min-small-files": "5"}
+    )
+    bad = str(tmp_path / "nope")
+
+    rc = main(["maintain", "--dest", ",".join(roots + [bad]),
+               "--op", "auto", "--max-passes", "2", "--cpus", "8",
+               "--target-bytes", str(1 << 20)])
+    assert rc == 3  # the bad root is an error, the sweep still ran
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+             if x.startswith("{")]
+    maint = [d for d in lines if d["type"] == "MAINTENANCE"]
+    fleet = [d for d in lines if d["type"] == "FLEET"][0]
+    assert {d["dest"] for d in maint} == set(roots)
+    assert fleet["ok"] == 2 and fleet["failed"] == [bad]
+    assert all(d["converged"] for d in maint)
+    for root in roots:
+        t = Table.load(spark, root)
+        assert len(t.files()) < 10
+        assert t.scan().count() == 600
