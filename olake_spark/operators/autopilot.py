@@ -85,9 +85,11 @@ class TableHealth:
     rows_since_cluster: int = 0
     last_cluster_kind: str | None = None
     last_cluster_snapshot_id: int | None = None
+    history_truncated: bool = False
+    protect_snapshots: list[int] = field(default_factory=list)
 
     def to_dict(self) -> dict:
-        return dict(self.__dict__)
+        return dict(self.__dict__)  # protect_snapshots stays a list
 
 
 @dataclass
@@ -170,20 +172,49 @@ def policy_from_table(
     return MaintenancePolicy(**kw)
 
 
-def _last_cluster(table: Table, snap: Snapshot) -> tuple[Snapshot | None, int]:
+# rewrite kinds that move bytes WITHOUT adding data — their summary
+# added-rows is rewritten rows, not churn, and must not trigger a
+# recluster of bytes a maintenance pass just touched
+_LAYOUT_KINDS = {
+    "compaction",
+    "materialize-deletes",
+    "remove-dangling-deletes",
+    "write-deletion-vectors",
+    "rewrite-position-deletes",
+}
+
+
+def _last_cluster(
+    table: Table, snap: Snapshot
+) -> tuple[Snapshot | None, int, bool]:
     """Walk the parent chain from ``snap`` to the most recent curve
-    rewrite; returns it (or None) plus the rows appended since. Pure
-    snapshot-summary arithmetic — O(history), no manifest reads."""
+    rewrite; returns (anchor | None, churn rows since, truncated). Pure
+    snapshot-summary arithmetic — O(history), no manifest reads.
+
+    Churn counts NET new rows (added − removed, floored at 0) and skips
+    layout-only rewrite commits entirely, so compaction/materialize
+    passes never inflate it. ``truncated=True`` means the walk hit
+    expired history before finding a curve commit — the table may well
+    have been clustered once, we just can't see it; callers must not
+    read that as "never clustered"."""
     by_id = {s.snapshot_id: s for s in table.snapshots()}
     cur: Snapshot | None = snap
     rows_since = 0
     while cur is not None:
         kind = cur.summary.get("kind")
         if isinstance(kind, str) and kind.startswith("cluster-"):
-            return cur, rows_since
-        rows_since += int(cur.summary.get("added-rows", 0) or 0)
-        cur = by_id.get(cur.parent_id) if cur.parent_id is not None else None
-    return None, rows_since
+            return cur, rows_since, False
+        if not (isinstance(kind, str) and kind in _LAYOUT_KINDS):
+            added = int(cur.summary.get("added-rows", 0) or 0)
+            removed = int(cur.summary.get("removed-rows", 0) or 0)
+            rows_since += max(added - removed, 0)
+        if cur.parent_id is None:
+            return None, rows_since, False
+        nxt = by_id.get(cur.parent_id)
+        if nxt is None:  # parent expired: history ends mid-chain
+            return None, rows_since, True
+        cur = nxt
+    return None, rows_since, False
 
 
 def inspect_health(
@@ -216,7 +247,6 @@ def inspect_health(
         row = (
             entries_from_manifests(table, snap.manifests)
             .agg(
-                F.count("*").alias("n"),
                 F.sum(
                     F.when(F.col("file_size_bytes") < small_bytes, 1)
                     .otherwise(0)
@@ -243,11 +273,17 @@ def inspect_health(
     h.delete_file_count = len(dels)
     h.delete_rows = sum(d.record_count for d in dels)
 
-    last, rows_since = _last_cluster(table, snap)
+    last, rows_since, truncated = _last_cluster(table, snap)
     h.rows_since_cluster = rows_since
+    h.history_truncated = truncated
     if last is not None:
         h.last_cluster_kind = last.summary.get("kind")
         h.last_cluster_snapshot_id = last.snapshot_id
+
+    # snapshots routine expiry must never drop (CDC-out consumer cursors)
+    from olake_spark.operators.expire import protected_changelog_snapshots
+
+    h.protect_snapshots = sorted(protected_changelog_snapshots(table))
     return h
 
 
@@ -273,22 +309,31 @@ def plan_actions(
             {"target_file_bytes": policy.target_file_bytes},
         ))
 
-    clustering = policy.cluster_curve is not None and (
-        health.last_cluster_snapshot_id is None
-        or (
-            health.total_rows > 0
-            and health.rows_since_cluster / health.total_rows
-            >= policy.recluster_churn
-        )
+    churned = (
+        health.total_rows > 0
+        and health.rows_since_cluster / health.total_rows
+        >= policy.recluster_churn
     )
+    never = (
+        health.last_cluster_snapshot_id is None
+        and not health.history_truncated
+    )
+    # truncated history means "clustered at some expired point, maybe":
+    # recluster only on the surviving churn, never on the blind spot —
+    # otherwise every run after expiry trims the anchor would plan a
+    # full O(table) rewrite
+    clustering = policy.cluster_curve is not None and (never or churned)
     if clustering:
-        why = (
-            "never clustered"
-            if health.last_cluster_snapshot_id is None
-            else f"{health.rows_since_cluster} rows appended since "
-                 f"snapshot {health.last_cluster_snapshot_id} "
-                 f"(churn ≥ {policy.recluster_churn:.0%})"
-        )
+        if never:
+            why = "never clustered"
+        elif health.last_cluster_snapshot_id is not None:
+            why = (f"{health.rows_since_cluster} rows appended since "
+                   f"snapshot {health.last_cluster_snapshot_id} "
+                   f"(churn ≥ {policy.recluster_churn:.0%})")
+        else:
+            why = (f"{health.rows_since_cluster} rows appended across "
+                   "surviving history (last curve commit expired; "
+                   f"churn ≥ {policy.recluster_churn:.0%})")
         plan.append(PlannedAction(
             "cluster",
             f"{why}; curve={policy.cluster_curve}",
@@ -324,21 +369,33 @@ def plan_actions(
             {"target_entries": policy.manifest_target_entries},
         ))
 
-    if health.delete_file_count > 0 and not materializing:
+    rewriting = any(a.op in ("compact", "cluster") for a in plan)
+    if health.delete_file_count > 0 and not materializing and rewriting:
+        # only the rewrites THIS plan performs can strand delete files;
+        # steady-state delete debt below the materialize threshold is
+        # healthy and must not keep the plan non-empty forever
         plan.append(PlannedAction(
             "remove_dangling_deletes",
-            f"{health.delete_file_count} delete files below materialize "
-            "threshold; dropping any whose targets are no longer live",
+            f"{health.delete_file_count} delete files live through a "
+            "planned rewrite; dropping any left with no live target",
         ))
 
     # every action above commits a snapshot — count them in
     expected = health.snapshot_count + len(plan)
     if expected > policy.max_snapshots:
+        kwargs: dict = {"keep_last": policy.expire_keep_last}
+        if health.protect_snapshots:
+            # CDC-out consumers' acked cursors (and everything newer)
+            # survive routine expiry — same contract as the expire verb
+            kwargs["protect_snapshot_ids"] = list(health.protect_snapshots)
         plan.append(PlannedAction(
             "expire_snapshots",
             f"{health.snapshot_count} snapshots (+{len(plan)} planned) "
-            f"exceed max_snapshots={policy.max_snapshots}",
-            {"keep_last": policy.expire_keep_last},
+            f"exceed max_snapshots={policy.max_snapshots}"
+            + (f"; protecting changelog cursors "
+               f"{health.protect_snapshots}"
+               if health.protect_snapshots else ""),
+            kwargs,
         ))
     return plan
 
@@ -406,17 +463,27 @@ def _run_pass(
             from olake_spark.operators.clustering import cluster
 
             kwargs = dict(action.kwargs)
-            try:
+            fallback = False
+            if kwargs.get("since_snapshot_id") is None:
                 r = cluster(table, **kwargs)
-            except KeyError:
-                # incremental base expired between cadences → full pass
-                kwargs.pop("since_snapshot_id", None)
-                r = cluster(table, **kwargs)
+            else:
+                try:
+                    r = cluster(table, **kwargs)
+                except KeyError:
+                    # incremental base expired between plan and execute
+                    # → full pass (only this narrow case is retried; a
+                    # KeyError from a full pass is a genuine bug and
+                    # propagates)
+                    kwargs.pop("since_snapshot_id", None)
+                    fallback = True
+                    r = cluster(table, **kwargs)
+            details = {"input_files": r.input_files,
+                       "output_files": r.output_files, "rows": r.rows}
+            if fallback:
+                details["fallback"] = "full pass (incremental base expired)"
             results.append(ActionResult(
                 action.op, action.reason, snapshot_id=r.snapshot_id,
-                skipped=r.skipped,
-                details={"input_files": r.input_files,
-                         "output_files": r.output_files, "rows": r.rows},
+                skipped=r.skipped, details=details,
             ))
         elif action.op == "compact":
             from olake_spark.operators.compaction import compact

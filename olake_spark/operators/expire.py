@@ -96,6 +96,26 @@ def _orphans_distributed(
 _CACHE_BUILD_GRACE_MS = 60 * 60 * 1000
 
 
+def protected_changelog_snapshots(table) -> set[int]:
+    """Changelog consumers' acked cursor (``jobs/changelog-cursor.json``,
+    written by the CLI changelog verb after a successful export).
+    Expiry must never drop the cursor snapshot — ``changes_since``
+    resumes from it — so both the expire verb and the autopilot pass
+    this set as ``protect_snapshot_ids``."""
+    import os as _os
+
+    out: set[int] = set()
+    path = _os.path.join(table.root, "jobs", "changelog-cursor.json")
+    try:
+        if table.io.exists(path):
+            sid = table.io.get_json(path).get("snapshot_id")
+            if sid is not None:
+                out.add(int(sid))
+    except (OSError, ValueError, TypeError, AttributeError):
+        pass
+    return out
+
+
 @dataclass
 class ExpireResult:
     expired_snapshots: list[int] = field(default_factory=list)

@@ -523,21 +523,32 @@ class Table:
         writer gets CommitConflict, not a lost property). A ``None``
         value unsets the key; a no-op change commits nothing and
         returns the current snapshot id."""
-        merged = dict(self.metadata.get("properties", {}))
-        changed = []
-        for k, v in props.items():
-            if v is None:
-                if merged.pop(k, None) is not None:
-                    changed.append(f"unset:{k}")
-            elif merged.get(k) != str(v):
-                merged[k] = str(v)
-                changed.append(f"set:{k}")
-        if not changed:
-            return self.current_snapshot_id
-        return self.commit(
-            "properties",
-            metadata_extra={"properties": merged},
-            summary_extra={"properties": ",".join(sorted(changed))},
+        from olake_spark.plans.retry import retry_on_backoff
+
+        def attempt() -> int:
+            # re-merge from fresh metadata each attempt: a concurrent
+            # commit (append, maintenance) between load and set must
+            # cost a retry, never the property change or theirs
+            self.refresh()
+            merged = dict(self.metadata.get("properties", {}))
+            changed = []
+            for k, v in props.items():
+                if v is None:
+                    if merged.pop(k, None) is not None:
+                        changed.append(f"unset:{k}")
+                elif merged.get(k) != str(v):
+                    merged[k] = str(v)
+                    changed.append(f"set:{k}")
+            if not changed:
+                return self.current_snapshot_id
+            return self.commit(
+                "properties",
+                metadata_extra={"properties": merged},
+                summary_extra={"properties": ",".join(sorted(changed))},
+            )
+
+        return retry_on_backoff(
+            attempt, base_sleep_s=0.05, retry_on=(CommitConflict,)
         )
 
     @property

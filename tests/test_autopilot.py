@@ -240,3 +240,135 @@ def test_cli_auto_fleet_sweep(spark, tmp_path, capsys):
         t = Table.load(spark, root)
         assert len(t.files()) < 10
         assert t.scan().count() == 600
+
+
+def test_churn_ignores_layout_rewrites(spark, tmp_path):
+    """Compaction/materialize commits must not count as recluster churn
+    — maintenance never re-triggers itself."""
+    from olake_spark.operators.compaction import compact
+
+    t = Table.create(spark, str(tmp_path / "churn"))
+    t.append(batch(spark, 0, 2000).repartition(20))
+    pol = _policy(cluster_curve="zorder", max_snapshots=50)
+    auto_maintain(t, pol)  # initial full cluster
+    t.refresh()
+
+    t.append(batch(spark, 2000, 2100).repartition(5))  # 100 rows churn
+    compact(t, target_file_bytes=1 * MB)  # rewrites ~everything
+    t.refresh()
+    h = inspect_health(t, pol)
+    assert h.rows_since_cluster == 100  # compact's rewritten rows excluded
+    assert [a.op for a in plan_actions(h, pol)] != ["cluster"]
+
+    # delete-then-materialize is the worst inflator: still no churn
+    delete_where(t, "doc_id >= 'doc-02000'")
+    from olake_spark.operators.deletes import materialize_deletes
+
+    materialize_deletes(t.refresh(), target_file_bytes=1 * MB)
+    t.refresh()
+    h = inspect_health(t, pol)
+    assert h.rows_since_cluster == 100
+
+
+def test_steady_state_mor_debt_converges(spark, tmp_path):
+    """Delete files below the materialize threshold on an otherwise
+    healthy table: the plan must be empty (no dangling sweep forever)."""
+    t = Table.create(spark, str(tmp_path / "mor"))
+    t.append(batch(spark, 0, 2000))
+    # compact once so no small-file trigger remains
+    r = auto_maintain(t, _policy(max_delete_files=10, max_snapshots=50),
+                      max_passes=3)
+    assert r.converged
+    delete_where(t.refresh(), "doc_id < 'doc-00010'")
+    t.refresh()
+    pol = _policy(max_delete_files=10, max_delete_ratio=0.5,
+                  max_snapshots=50)
+    r = auto_maintain(t, pol)
+    assert r.planned == [] and r.converged
+    assert t.refresh().delete_files()  # debt still there, and that's fine
+
+
+def test_truncated_history_never_full_reclusters(spark, tmp_path):
+    """Expiry trimming the cluster anchor must not read as 'never
+    clustered' — only surviving churn can trigger a (full) recluster."""
+    from olake_spark.operators.expire import expire_snapshots
+
+    t = Table.create(spark, str(tmp_path / "trunc"))
+    t.append(batch(spark, 0, 2000).repartition(10))
+    pol = _policy(cluster_curve="zorder", max_snapshots=50)
+    auto_maintain(t, pol)
+    t.refresh()
+    t.append(batch(spark, 2000, 2100).repartition(2))
+    expire_snapshots(t, keep_last=1)  # trims the cluster anchor
+    t.refresh()
+
+    h = inspect_health(t, pol)
+    assert h.history_truncated and h.last_cluster_snapshot_id is None
+    assert h.rows_since_cluster == 100  # only surviving history counts
+    assert "cluster" not in [a.op for a in plan_actions(h, pol)]
+
+    t.append(batch(spark, 2100, 3200).repartition(2))  # past 25% churn
+    h = inspect_health(t, pol)
+    plan = [a for a in plan_actions(h, pol) if a.op == "cluster"]
+    assert plan and plan[0].kwargs["since_snapshot_id"] is None
+    assert "expired" in plan[0].reason
+
+
+def test_auto_expire_protects_changelog_cursor(spark, tmp_path):
+    """A CDC-out consumer's acked cursor survives autopilot expiry."""
+    import json
+    import os
+
+    t = Table.create(spark, str(tmp_path / "cur"))
+    t.append(batch(spark, 0, 300))
+    cursor_sid = t.current_snapshot_id
+    os.makedirs(os.path.join(t.root, "jobs"), exist_ok=True)
+    with open(os.path.join(t.root, "jobs", "changelog-cursor.json"),
+              "w") as f:
+        json.dump({"snapshot_id": cursor_sid}, f)
+    for i in range(5):
+        t.append(batch(spark, 300 + i * 10, 310 + i * 10))
+
+    pol = _policy(min_small_files=99, max_snapshots=3, expire_keep_last=1)
+    r = auto_maintain(t, pol)
+    expire = [a for a in r.planned if a.op == "expire_snapshots"][0]
+    assert expire.kwargs["protect_snapshot_ids"] == [cursor_sid]
+    t.refresh()
+    assert cursor_sid in {s.snapshot_id for s in t.snapshots()}
+
+
+def test_set_properties_retries_concurrent_commit(spark, tmp_path):
+    """A commit landing between load and set_properties costs a retry,
+    not the property change."""
+    t = Table.create(spark, str(tmp_path / "race"))
+    t.append(batch(spark, 0, 100))
+    stale = Table.load(spark, t.root)
+    t.append(batch(spark, 100, 200))  # advances VERSION under `stale`
+    stale.set_properties({"team": "x"})
+    t.refresh()
+    assert t.properties["team"] == "x"
+    assert t.scan().count() == 200  # nobody's commit was lost
+
+
+def test_cli_flag_edge_cases(spark, tmp_path, capsys):
+    import json
+
+    from olake_spark.cli import main
+
+    t = Table.create(spark, str(tmp_path / "cli"))
+    for i in range(4):
+        t.append(batch(spark, i * 50, (i + 1) * 50))
+
+    # explicit --keep-last 0 must not silently become 2
+    rc = main(["maintain", "--dest", t.root, "--op", "expire",
+               "--keep-last", "0", "--cpus", "8"])
+    assert rc == 0
+    t.refresh()
+    assert len(t.snapshots()) == 1  # only the current snapshot survives
+
+    # malformed --properties pair is rejected, not silently committed
+    rc = main(["maintain", "--dest", t.root, "--op", "set-properties",
+               "--properties", "comment=hot table, do not touch",
+               "--cpus", "8"])
+    assert rc == 2
+    assert "do not touch" not in json.dumps(t.refresh().properties)
