@@ -372,3 +372,39 @@ def test_cli_flag_edge_cases(spark, tmp_path, capsys):
                "--cpus", "8"])
     assert rc == 2
     assert "do not touch" not in json.dumps(t.refresh().properties)
+
+
+def test_auto_maintain_resumes_after_crash(spark, tmp_path):
+    """A run killed between actions re-plans on restart and converges to
+    the same state an uninterrupted run reaches — each action rides its
+    own ledger/commit idempotence, and the planner is pure metadata."""
+    from olake_spark.operators.deletes import materialize_deletes
+
+    def build(name):
+        t = Table.create(spark, str(tmp_path / name))
+        for i in range(4):
+            t.append(batch(spark, i * 500, (i + 1) * 500).repartition(8))
+        delete_where(t, "doc_id < 'doc-00050'")
+        return t.refresh()
+
+    pol = _policy()
+    # reference run: uninterrupted
+    ref = build("ref")
+    auto_maintain(ref, pol, max_passes=4)
+    ref.refresh()
+
+    # crashed run: execute only the first planned action, then "die"
+    t = build("crash")
+    plan = plan_actions(inspect_health(t, pol), pol)
+    assert plan[0].op == "materialize_deletes"
+    materialize_deletes(t, **plan[0].kwargs)
+    # restart: a fresh auto_maintain picks up from current metadata
+    r = auto_maintain(t.refresh(), pol, max_passes=4)
+    assert r.converged
+    # the restart must not re-plan the completed action
+    assert "materialize_deletes" not in [a.op for a in r.planned]
+
+    t.refresh()
+    assert visible(t) == visible(ref)
+    assert t.delete_files() == [] and ref.delete_files() == []
+    assert len(t.snapshots()) <= pol.max_snapshots
