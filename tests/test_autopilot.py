@@ -408,3 +408,38 @@ def test_auto_maintain_resumes_after_crash(spark, tmp_path):
     assert visible(t) == visible(ref)
     assert t.delete_files() == [] and ref.delete_files() == []
     assert len(t.snapshots()) <= pol.max_snapshots
+
+
+def test_inspect_health_distributed_past_64_shards(spark, tmp_path):
+    """Past SCAN_DISTRIBUTED_MIN_SHARDS the small-file census runs as an
+    entries-frame aggregate (no driver file list) — verify it against
+    the driver-side truth on a 70-shard metadata plane."""
+    import olake_spark.table.format as fmt
+    from olake_spark.table.format import DataFile
+
+    old_max = fmt.MANIFEST_MAX_ENTRIES
+    fmt.MANIFEST_MAX_ENTRIES = 3  # tiny shards -> many manifests
+    try:
+        t = Table.create(spark, str(tmp_path / "wide"))
+        nid = 0
+        for c in range(70):
+            added = []
+            for _ in range(3):
+                added.append(DataFile(
+                    path=f"data/p/{nid:05d}.parquet",
+                    record_count=10,
+                    file_size_bytes=(nid % 7 + 1) * 300_000,
+                ))
+                nid += 1
+            t.commit("append", added=added)
+    finally:
+        fmt.MANIFEST_MAX_ENTRIES = old_max
+
+    assert len(t.snapshot().manifests) >= fmt.SCAN_DISTRIBUTED_MIN_SHARDS
+    pol = _policy(target_file_bytes=1 * MB)  # small = < 750 KB
+    h = inspect_health(t, pol)
+    files = t.files()
+    truth = [f for f in files if f.file_size_bytes < 0.75 * MB]
+    assert h.total_files == len(files) == 210
+    assert h.small_files == len(truth) > 0
+    assert h.small_file_bytes == sum(f.file_size_bytes for f in truth)
