@@ -66,6 +66,7 @@ class MaintenancePolicy:
     cluster_curve: str | None = None  # opt-in: 'zorder' | 'hilbert'
     cluster_scope: str = "global"
     recluster_churn: float = 0.25  # recluster when appended rows / total ≥
+    bloom_columns: list[str] | None = None  # opt-in point-lookup pruning
 
 
 @dataclass
@@ -148,6 +149,10 @@ _PROP_FIELDS = {
     "maintenance.cluster-curve": ("cluster_curve", str),
     "maintenance.cluster-scope": ("cluster_scope", str),
     "maintenance.recluster-churn": ("recluster_churn", float),
+    "maintenance.bloom-columns": (
+        "bloom_columns",
+        lambda v: sorted(c.strip() for c in v.split(",") if c.strip()),
+    ),
 }
 
 
@@ -380,6 +385,17 @@ def plan_actions(
             "planned rewrite; dropping any left with no live target",
         ))
 
+    if policy.bloom_columns and (materializing or rewriting):
+        # rewrites replace file paths, stranding their bloom coverage
+        # (blob rows key on path; outputs are unpruned until the next
+        # build) — an incremental refresh is O(rewritten files)
+        plan.append(PlannedAction(
+            "refresh_blooms",
+            "a planned rewrite replaces data-file paths; restoring "
+            f"bloom coverage on {policy.bloom_columns}",
+            {"columns": list(policy.bloom_columns)},
+        ))
+
     # every action above commits a snapshot — count them in
     expected = health.snapshot_count + len(plan)
     if expected > policy.max_snapshots:
@@ -504,6 +520,17 @@ def _run_pass(
                 skipped=r.skipped,
                 details={"shards_before": r.old_shards,
                          "shards_after": r.new_shards},
+            ))
+        elif action.op == "refresh_blooms":
+            from olake_spark.table.blooms import build_bloom_blobs
+
+            entry = build_bloom_blobs(
+                table, columns=action.kwargs["columns"], incremental=True
+            )
+            results.append(ActionResult(
+                action.op, action.reason,
+                snapshot_id=table.current_snapshot_id,
+                details={"datasets": len(entry.get("paths", []))},
             ))
         elif action.op == "remove_dangling_deletes":
             from olake_spark.operators.deletes import remove_dangling_deletes

@@ -443,3 +443,36 @@ def test_inspect_health_distributed_past_64_shards(spark, tmp_path):
     assert h.total_files == len(files) == 210
     assert h.small_files == len(truth) > 0
     assert h.small_file_bytes == sum(f.file_size_bytes for f in truth)
+
+
+def test_bloom_refresh_after_rewrite(spark, tmp_path):
+    """With maintenance.bloom-columns set, a rewrite plan restores bloom
+    coverage on the rewritten paths (incremental build)."""
+    from olake_spark.table.blooms import bloom_prune, build_bloom_blobs
+
+    t = Table.create(spark, str(tmp_path / "btbl"))
+    t.append(batch(spark, 0, 2000).repartition(20))
+    build_bloom_blobs(t, ["doc_id"])
+    t.set_properties({"maintenance.bloom-columns": "doc_id"})
+    t.refresh()
+
+    pol = policy_from_table_helper(t)
+    r = auto_maintain(t, pol, max_passes=3)
+    ops = [e.op for e in r.executed]
+    assert "compact" in ops and "refresh_blooms" in ops
+    assert ops.index("compact") < ops.index("refresh_blooms")
+    t.refresh()
+    # every post-rewrite file is bloom-covered: a miss probe prunes ALL
+    keep = bloom_prune(t, t.files(), {"doc_id": "doc-99999"})
+    assert keep == []
+    # and a healthy table stops re-planning the refresh
+    assert auto_maintain(t, pol, dry_run=True).planned == []
+
+
+def policy_from_table_helper(t):
+    from olake_spark.operators.autopilot import policy_from_table
+
+    return policy_from_table(t, dict(
+        target_file_bytes=1 * MB, min_small_files=4,
+        max_delete_files=1, max_snapshots=50, expire_keep_last=2,
+    ))
