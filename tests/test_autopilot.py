@@ -476,3 +476,78 @@ def policy_from_table_helper(t):
         target_file_bytes=1 * MB, min_small_files=4,
         max_delete_files=1, max_snapshots=50, expire_keep_last=2,
     ))
+
+
+def test_plan_actions_invariants_property():
+    """Planner invariants over randomized health states (pure function,
+    no Spark): dependency order fixed, no duplicate ops, cluster and
+    compact mutually exclusive, dangling sweep only beside a rewrite,
+    empty plan for a healthy table."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from olake_spark.operators.autopilot import TableHealth
+
+    ORDER = ["materialize_deletes", "cluster", "compact",
+             "rewrite_manifests", "remove_dangling_deletes",
+             "refresh_blooms", "expire_snapshots"]
+
+    health_st = st.builds(
+        TableHealth,
+        snapshot_id=st.integers(1, 10**6),
+        total_files=st.integers(0, 10**6),
+        total_rows=st.integers(0, 10**9),
+        total_bytes=st.integers(0, 10**12),
+        small_files=st.integers(0, 10**5),
+        small_file_bytes=st.integers(0, 10**10),
+        manifest_shards=st.integers(1, 10**4),
+        snapshot_count=st.integers(1, 10**3),
+        delete_file_count=st.integers(0, 10**3),
+        delete_rows=st.integers(0, 10**7),
+        rows_since_cluster=st.integers(0, 10**9),
+        last_cluster_snapshot_id=st.none() | st.integers(1, 10**6),
+        history_truncated=st.booleans(),
+        protect_snapshots=st.lists(st.integers(1, 10**6), max_size=3),
+    )
+    policy_st = st.builds(
+        MaintenancePolicy,
+        target_file_bytes=st.sampled_from([1 * MB, 64 * MB, 128 * MB]),
+        min_small_files=st.integers(1, 64),
+        max_delete_files=st.integers(1, 64),
+        max_delete_ratio=st.floats(0.01, 0.9),
+        max_manifest_shards=st.integers(1, 64),
+        max_snapshots=st.integers(2, 200),
+        expire_keep_last=st.integers(1, 10),
+        cluster_curve=st.none() | st.sampled_from(["zorder", "hilbert"]),
+        recluster_churn=st.floats(0.05, 0.95),
+        bloom_columns=st.none() | st.just(["doc_id"]),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(h=health_st, p=policy_st)
+    def check(h, p):
+        plan = plan_actions(h, p)
+        ops = [a.op for a in plan]
+        assert len(ops) == len(set(ops))
+        assert [o for o in ORDER if o in ops] == ops  # fixed order
+        assert not ("cluster" in ops and "compact" in ops)
+        rewrite = {"compact", "cluster"} & set(ops)
+        if "remove_dangling_deletes" in ops:
+            assert rewrite and "materialize_deletes" not in ops
+        if "refresh_blooms" in ops:
+            assert p.bloom_columns and (
+                rewrite or "materialize_deletes" in ops)
+        if "cluster" in ops:
+            assert p.cluster_curve is not None
+        assert all(a.reason for a in plan)
+        # every kwargs value must survive JSON round-trip (CLI contract)
+        import json
+        json.dumps([a.kwargs for a in plan])
+
+    check()
+
+    # healthy table: explicitly empty
+    healthy = TableHealth(snapshot_id=1, total_files=10, total_rows=1000,
+                          total_bytes=10**9, small_files=0,
+                          manifest_shards=1, snapshot_count=2)
+    assert plan_actions(healthy, MaintenancePolicy()) == []
