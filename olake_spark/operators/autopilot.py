@@ -452,6 +452,52 @@ def auto_maintain(
             break
         plan = plan_actions(inspect_health(table, policy), policy)
     out.converged = not plan
+    if out.executed:
+        _journal(table, out)
+    return out
+
+
+def _journal(table: Table, out: AutoMaintainResult) -> None:
+    """Audit trail for fleet operators: every auto_maintain run that
+    executed work drops one JSON file under ``jobs/autopilot/`` (one
+    file per run — append-only by construction, so concurrent runs and
+    retries never clobber each other; healthy no-op probes write
+    nothing). Best-effort: a journal write failure never fails the
+    maintenance that already committed."""
+    import json
+    import os
+    import time
+
+    try:
+        prefix = os.path.join(table.root, "jobs", "autopilot")
+        table.io.ensure_prefix(prefix)
+        name = f"run-{int(time.time() * 1000)}-{os.getpid()}.json"
+        table.io.put_json(
+            os.path.join(prefix, name),
+            {"ts_ms": int(time.time() * 1000), **out.to_dict()},
+        )
+    except OSError:
+        pass
+
+
+def maintenance_history(table: Table, limit: int = 50) -> list[dict]:
+    """The table's auto-maintenance journal, newest first (bounded by
+    ``limit``). Each entry is one executed auto_maintain run:
+    health snapshot, plan with reasons, per-action results, passes,
+    convergence."""
+    import os
+
+    prefix = os.path.join(table.root, "jobs", "autopilot")
+    try:
+        names = sorted(table.io.list(prefix), reverse=True)[:limit]
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        try:
+            out.append(table.io.get_json(os.path.join(prefix, n)))
+        except (OSError, ValueError):
+            continue
     return out
 
 

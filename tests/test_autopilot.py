@@ -551,3 +551,34 @@ def test_plan_actions_invariants_property():
                           total_bytes=10**9, small_files=0,
                           manifest_shards=1, snapshot_count=2)
     assert plan_actions(healthy, MaintenancePolicy()) == []
+
+
+def test_maintenance_journal(spark, tmp_path):
+    """Runs that executed work are journaled (newest first); healthy
+    no-op probes write nothing."""
+    from olake_spark.operators.autopilot import maintenance_history
+
+    t = Table.create(spark, str(tmp_path / "jtbl"))
+    for i in range(4):
+        t.append(batch(spark, i * 500, (i + 1) * 500).repartition(8))
+    delete_where(t, "doc_id < 'doc-00050'")
+    t.refresh()
+    assert maintenance_history(t) == []
+
+    pol = _policy()
+    auto_maintain(t, pol, max_passes=4)
+    hist = maintenance_history(t)
+    assert len(hist) == 1
+    entry = hist[0]
+    assert entry["converged"] is True
+    assert entry["executed"] and entry["planned"]
+    assert entry["health"]["delete_rows"] == 50
+    assert {e["op"] for e in entry["executed"]} >= {
+        "materialize_deletes", "compact"}
+
+    # healthy probe: no new journal entry
+    auto_maintain(t, pol)
+    assert len(maintenance_history(t)) == 1
+    # dry run: never journaled
+    auto_maintain(t, pol, dry_run=True)
+    assert len(maintenance_history(t)) == 1
