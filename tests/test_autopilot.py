@@ -582,3 +582,23 @@ def test_maintenance_journal(spark, tmp_path):
     # dry run: never journaled
     auto_maintain(t, pol, dry_run=True)
     assert len(maintenance_history(t)) == 1
+
+
+def test_cli_history_verb(spark, tmp_path, capsys):
+    import json
+
+    from olake_spark.cli import main
+
+    t = Table.create(spark, str(tmp_path / "htbl"))
+    t.append(batch(spark, 0, 600).repartition(10))
+    auto_maintain(t, _policy(max_snapshots=50), max_passes=2)
+
+    rc = main(["maintain", "--dest", t.root, "--op", "history",
+               "--cpus", "8"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+             if x.startswith("{")]
+    hist = [d for d in lines if d["type"] == "HISTORY"]
+    assert len(hist) == 1 and hist[0]["executed"]
+    assert [d for d in lines if d["type"] == "MAINTENANCE"][0]["runs"] == 1
+
