@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 from olake_spark.table.format import (
     MANIFEST_MAX_ENTRIES,
     SCAN_DISTRIBUTED_MIN_SHARDS,
+    CommitConflict,
     Snapshot,
     Table,
 )
@@ -446,9 +447,9 @@ def auto_maintain(
     for pass_no in range(max_passes):
         if not plan:
             break
-        progressed = _run_pass(table, plan, pass_no, out)
+        progressed, aborted = _run_pass(table, plan, pass_no, out)
         out.passes = pass_no + 1
-        if not progressed:
+        if not progressed and not aborted:
             break
         plan = plan_actions(inspect_health(table, policy), policy)
     out.converged = not plan
@@ -508,101 +509,116 @@ def _run_pass(
     out: AutoMaintainResult,
 ) -> bool:
     progressed = False
+    aborted = False
     results: list[ActionResult] = []
     for action in plan:
         table.refresh()
-        if action.op == "materialize_deletes":
-            from olake_spark.operators.deletes import materialize_deletes
+        try:
+            if action.op == "materialize_deletes":
+                from olake_spark.operators.deletes import materialize_deletes
 
-            r = materialize_deletes(table, **action.kwargs)
-            results.append(ActionResult(
-                action.op, action.reason, snapshot_id=r.snapshot_id,
-                skipped=r.snapshot_id is None,
-                details={"rewritten_files": r.rewritten_files,
-                         "removed_delete_files": r.removed_delete_files},
-            ))
-        elif action.op == "cluster":
-            from olake_spark.operators.clustering import cluster
+                r = materialize_deletes(table, **action.kwargs)
+                results.append(ActionResult(
+                    action.op, action.reason, snapshot_id=r.snapshot_id,
+                    skipped=r.snapshot_id is None,
+                    details={"rewritten_files": r.rewritten_files,
+                             "removed_delete_files": r.removed_delete_files},
+                ))
+            elif action.op == "cluster":
+                from olake_spark.operators.clustering import cluster
 
-            kwargs = dict(action.kwargs)
-            fallback = False
-            if kwargs.get("since_snapshot_id") is None:
-                r = cluster(table, **kwargs)
-            else:
-                try:
+                kwargs = dict(action.kwargs)
+                fallback = False
+                if kwargs.get("since_snapshot_id") is None:
                     r = cluster(table, **kwargs)
-                except KeyError:
-                    # incremental base expired between plan and execute
-                    # → full pass (only this narrow case is retried; a
-                    # KeyError from a full pass is a genuine bug and
-                    # propagates)
-                    kwargs.pop("since_snapshot_id", None)
-                    fallback = True
-                    r = cluster(table, **kwargs)
-            details = {"input_files": r.input_files,
-                       "output_files": r.output_files, "rows": r.rows}
-            if fallback:
-                details["fallback"] = "full pass (incremental base expired)"
-            results.append(ActionResult(
-                action.op, action.reason, snapshot_id=r.snapshot_id,
-                skipped=r.skipped, details=details,
-            ))
-        elif action.op == "compact":
-            from olake_spark.operators.compaction import compact
+                else:
+                    try:
+                        r = cluster(table, **kwargs)
+                    except KeyError:
+                        # incremental base expired between plan and execute
+                        # → full pass (only this narrow case is retried; a
+                        # KeyError from a full pass is a genuine bug and
+                        # propagates)
+                        kwargs.pop("since_snapshot_id", None)
+                        fallback = True
+                        r = cluster(table, **kwargs)
+                details = {"input_files": r.input_files,
+                           "output_files": r.output_files, "rows": r.rows}
+                if fallback:
+                    details["fallback"] = "full pass (incremental base expired)"
+                results.append(ActionResult(
+                    action.op, action.reason, snapshot_id=r.snapshot_id,
+                    skipped=r.skipped, details=details,
+                ))
+            elif action.op == "compact":
+                from olake_spark.operators.compaction import compact
 
-            r = compact(table, **action.kwargs)
-            results.append(ActionResult(
-                action.op, action.reason, snapshot_id=r.snapshot_id,
-                skipped=r.skipped,
-                details={"input_files": r.input_files,
-                         "output_files": r.output_files, "rows": r.rows},
-            ))
-        elif action.op == "rewrite_manifests":
-            from olake_spark.operators.manifests import rewrite_manifests
+                r = compact(table, **action.kwargs)
+                results.append(ActionResult(
+                    action.op, action.reason, snapshot_id=r.snapshot_id,
+                    skipped=r.skipped,
+                    details={"input_files": r.input_files,
+                             "output_files": r.output_files, "rows": r.rows},
+                ))
+            elif action.op == "rewrite_manifests":
+                from olake_spark.operators.manifests import rewrite_manifests
 
-            r = rewrite_manifests(table, **action.kwargs)
-            results.append(ActionResult(
-                action.op, action.reason, snapshot_id=r.snapshot_id,
-                skipped=r.skipped,
-                details={"shards_before": r.old_shards,
-                         "shards_after": r.new_shards},
-            ))
-        elif action.op == "refresh_blooms":
-            from olake_spark.table.blooms import build_bloom_blobs
+                r = rewrite_manifests(table, **action.kwargs)
+                results.append(ActionResult(
+                    action.op, action.reason, snapshot_id=r.snapshot_id,
+                    skipped=r.skipped,
+                    details={"shards_before": r.old_shards,
+                             "shards_after": r.new_shards},
+                ))
+            elif action.op == "refresh_blooms":
+                from olake_spark.table.blooms import build_bloom_blobs
 
-            entry = build_bloom_blobs(
-                table, columns=action.kwargs["columns"], incremental=True
-            )
-            results.append(ActionResult(
-                action.op, action.reason,
-                snapshot_id=table.current_snapshot_id,
-                details={"datasets": len(entry.get("paths", []))},
-            ))
-        elif action.op == "remove_dangling_deletes":
-            from olake_spark.operators.deletes import remove_dangling_deletes
+                entry = build_bloom_blobs(
+                    table, columns=action.kwargs["columns"], incremental=True
+                )
+                results.append(ActionResult(
+                    action.op, action.reason,
+                    snapshot_id=table.current_snapshot_id,
+                    details={"datasets": len(entry.get("paths", []))},
+                ))
+            elif action.op == "remove_dangling_deletes":
+                from olake_spark.operators.deletes import remove_dangling_deletes
 
-            n = remove_dangling_deletes(table)
-            table.refresh()
-            results.append(ActionResult(
-                action.op, action.reason,
-                snapshot_id=table.current_snapshot_id if n else None,
-                skipped=n == 0, details={"removed_delete_files": n},
-            ))
-        elif action.op == "expire_snapshots":
-            from olake_spark.operators.expire import expire_snapshots
+                n = remove_dangling_deletes(table)
+                table.refresh()
+                results.append(ActionResult(
+                    action.op, action.reason,
+                    snapshot_id=table.current_snapshot_id if n else None,
+                    skipped=n == 0, details={"removed_delete_files": n},
+                ))
+            elif action.op == "expire_snapshots":
+                from olake_spark.operators.expire import expire_snapshots
 
-            r = expire_snapshots(table, **action.kwargs)
+                r = expire_snapshots(table, **action.kwargs)
+                results.append(ActionResult(
+                    action.op, action.reason,
+                    skipped=not r.expired_snapshots,
+                    details={"expired": len(r.expired_snapshots),
+                             "deleted_data_files": r.deleted_data_files,
+                             "deleted_manifests": r.deleted_manifests},
+                ))
+            else:  # pragma: no cover - planner/executor share the op set
+                raise ValueError(f"unknown planned op: {action.op}")
+        except (CommitConflict, RuntimeError) as e:
+            # concurrent interference: another maintainer's commit made
+            # this action's plan stale (retries exhausted, or a rewrite
+            # validation abort whose documented contract is "rerun
+            # against the new snapshot"). Stop the pass — the remaining
+            # actions share the stale premises — and let the pass loop
+            # re-inspect and re-plan from fresh metadata.
             results.append(ActionResult(
-                action.op, action.reason,
-                skipped=not r.expired_snapshots,
-                details={"expired": len(r.expired_snapshots),
-                         "deleted_data_files": r.deleted_data_files,
-                         "deleted_manifests": r.deleted_manifests},
+                action.op, action.reason, skipped=True,
+                details={"aborted": f"{type(e).__name__}: {e}"},
             ))
-        else:  # pragma: no cover - planner and executor share the op set
-            raise ValueError(f"unknown planned op: {action.op}")
+            aborted = True
+            break
     for res in results:
         res.details["pass"] = pass_no
         progressed = progressed or not res.skipped
     out.executed.extend(results)
-    return progressed
+    return progressed, aborted

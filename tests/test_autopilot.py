@@ -602,3 +602,48 @@ def test_cli_history_verb(spark, tmp_path, capsys):
     assert len(hist) == 1 and hist[0]["executed"]
     assert [d for d in lines if d["type"] == "MAINTENANCE"][0]["runs"] == 1
 
+
+
+def test_concurrent_auto_maintain_is_safe(spark, tmp_path):
+    """Two auto_maintain runs racing on the same table (fleet crons DO
+    overlap): every commit rides the optimistic version claim, ops
+    retry CommitConflict internally, and commit validation recomputes
+    or aborts cleanly — the table must end consistent either way."""
+    import threading
+
+    from olake_spark.operators.fsck import verify_table
+    from olake_spark.table.format import CommitConflict
+
+    t = Table.create(spark, str(tmp_path / "race2"))
+    for i in range(4):
+        t.append(batch(spark, i * 500, (i + 1) * 500).repartition(8))
+    delete_where(t, "doc_id < 'doc-00050'")
+
+    pol = _policy(max_snapshots=50)  # keep history: expiry racing a
+    # reader-less test adds noise without adding coverage
+    outcomes: dict[int, object] = {}
+
+    def run(tid: int) -> None:
+        handle = Table.load(spark, t.root)
+        try:
+            outcomes[tid] = auto_maintain(handle, pol, max_passes=3)
+        except CommitConflict as e:  # retries exhausted under the storm
+            outcomes[tid] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert len(outcomes) == 2
+    assert any(not isinstance(o, CommitConflict) for o in outcomes.values())
+
+    t.refresh()
+    # whatever interleaving happened: exact surviving rows, no dupes
+    assert visible(t) == {
+        f"doc-{i:05d}": (i, i + 1) for i in range(50, 2000)
+    }
+    rep = verify_table(t, check_footers=True, check_references=True)
+    assert rep.ok, rep.errors
+    # and the table settles: one more run converges
+    assert auto_maintain(t, pol, max_passes=3).converged
