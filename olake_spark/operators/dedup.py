@@ -137,15 +137,16 @@ def minhash_signatures(
     sh_expr = (
         shingles if shingles is not None else word_shingles(text_col, shingle_k)
     )
+    # generated-SQL aggregates: the Column-object loop costs ~100 py4j
+    # round trips per plan build (see simhash) for identical expressions
     exploded = docs.select(F.col(id_col), F.explode(sh_expr).alias("sh"))
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh{seed}")
+        F.expr(f"min(xxhash64(sh, {seed}))").alias(f"mh{seed}")
         for seed in range(num_perm)
     ]
     sigs = exploded.groupBy(id_col).agg(*aggs)
-    return sigs.select(
-        id_col, F.array(*[F.col(f"mh{s}") for s in range(num_perm)]).alias("sig")
-    )
+    arr = ", ".join(f"mh{s}" for s in range(num_perm))
+    return sigs.select(id_col, F.expr(f"array({arr})").alias("sig"))
 
 
 def _bucket_pairs(
@@ -268,16 +269,19 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, id_col, text_col, num_perm, shingle_k, shingles=shingles
     )
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",", *[F.col("sig")[b * r + i].cast("string") for i in range(r)]
-                ),
-                F.lit(b),
+    # generated SQL (see simhash): identical expressions, ~5% of the
+    # py4j plan-construction cost of the Column-object loops
+    band_arr = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64(concat_ws(',', "
+            + ", ".join(
+                f"CAST(sig[{b * r + i}] AS STRING)" for i in range(r)
             )
+            + f"), {b})"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sigs.select(
         F.col(id_col), "sig", F.posexplode(band_arr).alias("band", "bkey")
@@ -353,31 +357,35 @@ def simhash(
     whole near-dup pipeline hash-exact oracle-checkable; bits 60-63 are
     then always zero, an immaterial quality delta for banding)."""
     if word_hash == "xxhash64":
-        wordsh = F.xxhash64(F.col("w"))
+        wordsh = "xxhash64(w)"
     elif word_hash == "md5_60":
-        wordsh = F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast(
-            "long"
-        )
+        wordsh = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
     else:
         raise ValueError(f"word_hash must be 'xxhash64' or 'md5_60', got {word_hash!r}")
+    # the 64 vote aggregates and the 64-term recombine are built as
+    # generated SQL strings: the equivalent Column-object loops cost
+    # ~600 py4j round trips (~1 s of driver wall per invocation) just to
+    # CONSTRUCT the plan — parsing one SQL string is milliseconds, and
+    # the parsed expressions (and results) are identical
     exploded = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).withColumn("h", wordsh)
-    one = F.lit(1).cast("long")
+    ).withColumn("h", F.expr(wordsh))
+    one = "CAST(1 AS BIGINT)"
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h & shiftleft({one}, {b})) != 0 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"b{b}")
         for b in range(bits)
     ]
     agg = exploded.groupBy(id_col).agg(*votes)
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        # shiftleft keeps bit 63 in JVM long range (wraps to sign bit)
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return agg.select(id_col, sim.alias("simhash"))
+    # shiftleft keeps bit 63 in JVM long range (wraps to sign bit)
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN shiftleft({one}, {b}) "
+        f"ELSE {one} * 0 END)"
+        for b in range(bits)
+    )
+    return agg.select(id_col, F.expr(sim).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

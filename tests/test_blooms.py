@@ -170,7 +170,11 @@ def test_incremental_build_stacks_and_covers_new_files(spark, tmp_path):
     assert covered == len(t.files())
     surv = bloom_prune(t, t.files(), {"doc_id": new_key})
     assert 1 <= len(surv) < len(t.files())
-    assert bloom_prune(t, t.files(), {"doc_id": "nope"}) == []
+    # an absent key prunes (nearly) everything despite two generations
+    # of blobs: a bloom false positive fires with probability ~fpp per
+    # file, so a handful of files may legitimately survive the probe —
+    # asserting == [] flakes at roughly n_files * fpp per run
+    assert len(bloom_prune(t, t.files(), {"doc_id": "nope"})) <= 1
     # no new files since -> build is a no-op returning the live entry
     e3 = build_bloom_blobs(t, ["doc_id"], fpp=0.001)
     assert e3["paths"] == e2["paths"]
