@@ -121,6 +121,48 @@ def hll_registers(
     )
 
 
+def _registers_and_nulls(
+    df: DataFrame,
+    columns: list[str],
+    p: int,
+    word_hash: str,
+) -> tuple[dict[str, dict[int, int]], dict[str, int]]:
+    """Registers + per-column null counts in ONE scan job: NULL values
+    keep their (column, register=NULL) group instead of being filtered,
+    and that group's row count IS the null count — ``analyze_table``
+    previously ran a second full-scan aggregation just for nulls."""
+    entries = []
+    for c in columns:
+        col_sql = f"CAST(`{c}` AS STRING)"
+        reg, rank = register_exprs(col_sql, p, word_hash)
+        null_guard = F.col(c).isNull()
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.when(null_guard, F.lit(None).cast("long"))
+                .otherwise(F.expr(reg))
+                .alias("register"),
+                F.when(null_guard, F.lit(0))
+                .otherwise(F.expr(rank).cast("int"))
+                .alias("rank"),
+            )
+        )
+    rows = (
+        df.select(F.inline(F.array(*entries)))
+        .groupBy("column", "register")
+        .agg(F.max("rank").alias("max_rank"), F.count("*").alias("n"))
+        .collect()  # bounded: <= cols x (2^p + 1) rows
+    )
+    regs: dict[str, dict[int, int]] = {c: {} for c in columns}
+    nulls: dict[str, int] = {c: 0 for c in columns}
+    for r in rows:
+        if r["register"] is None:
+            nulls[r["column"]] = int(r["n"])
+        else:
+            regs[r["column"]][int(r["register"])] = int(r["max_rank"])
+    return regs, nulls
+
+
 def hll_estimate(registers: dict[int, int], p: int) -> float:
     """Flajolet et al. HLL estimator with the small-range linear-
     counting correction (the large-range correction is unnecessary at
@@ -259,10 +301,9 @@ def analyze_table(
             }
         else:
             df = table.scan(files=added_files, apply_deletes=False)
-            regs_new = _registers_from_df(
-                hll_registers(df, columns, p, word_hash)
+            regs_new, nulls_new = _registers_and_nulls(
+                df, columns, p, word_hash
             )
-            nulls_new = _null_counts(df, columns)
             regs, nulls = {}, {}
             for c in columns:
                 regs[c] = merge_registers(
@@ -276,9 +317,7 @@ def analyze_table(
         mode = "incremental"
     else:
         df = table.scan()
-        regs = _registers_from_df(hll_registers(df, columns, p, word_hash))
-        nulls = _null_counts(df, columns)
-        regs = {c: regs.get(c, {}) for c in columns}
+        regs, nulls = _registers_and_nulls(df, columns, p, word_hash)
         mode = "full"
 
     doc = {
@@ -341,11 +380,3 @@ def analyze_table(
     return doc
 
 
-def _null_counts(df: DataFrame, columns: list[str]) -> dict[str, int]:
-    row = df.agg(
-        *[
-            F.sum(F.col(c).isNull().cast("long")).alias(c)
-            for c in columns
-        ]
-    ).collect()[0]
-    return {c: int(row[c] or 0) for c in columns}

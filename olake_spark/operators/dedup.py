@@ -194,29 +194,20 @@ def _bucket_pairs(
         F.sort_array(F.collect_list(member)).alias("m"),
         F.first("_rep").alias("_r"),
     )
-    all_pairs = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda x, i: F.transform(
-                F.slice(F.col("m"), i + 2, F.size(F.col("m"))),
-                lambda y: F.struct(
-                    x["i"].alias("id_a"),
-                    y["i"].alias("id_b"),
-                    x[payload].alias("pay_a"),
-                    y[payload].alias("pay_b"),
-                ),
-            ),
-        )
+    # generated SQL (see simhash): nested py4j lambda construction is
+    # the plan-build hot spot; the parsed expressions are identical
+    pay = f"`{payload}`"
+    all_pairs = F.expr(
+        "flatten(transform(m, (x, i) -> "
+        "transform(slice(m, i + 2, size(m)), y -> "
+        "named_struct('id_a', x.i, 'id_b', y.i, "
+        f"'pay_a', x.{pay}, 'pay_b', y.{pay}))))"
     )
     # tail member's id is > every capped member's id (ranked by id), so
     # id_a = rep.i = bucket min < id_b always holds
-    star = F.array(
-        F.struct(
-            F.col("_r.i").alias("id_a"),
-            F.col("m")[0]["i"].alias("id_b"),
-            F.col(f"_r.{payload}").alias("pay_a"),
-            F.col("m")[0][payload].alias("pay_b"),
-        )
+    star = F.expr(
+        "array(named_struct('id_a', _r.i, 'id_b', m[0].i, "
+        f"'pay_a', _r.{pay}, 'pay_b', m[0].{pay}))"
     )
     return (
         grouped.select(

@@ -70,9 +70,12 @@ def test_nulls_excluded_and_counted(spark):
     )
     regs = _regs(df, ["v"])
     assert round(hll_estimate(regs["v"], 12)) == 2
-    from olake_spark.operators.analyze import _null_counts
+    # the fused one-scan path must agree on both registers and nulls
+    from olake_spark.operators.analyze import _registers_and_nulls
 
-    assert _null_counts(df, ["v"]) == {"v": 2}
+    regs2, nulls = _registers_and_nulls(df, ["v"], 12, "xxhash64")
+    assert regs2 == regs
+    assert nulls == {"v": 2}
 
 
 def test_analyze_persists_and_incremental_matches_full(spark, tmp_path):
