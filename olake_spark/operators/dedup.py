@@ -106,7 +106,9 @@ def decontaminate(
     ).select(F.xxhash64("_sh").alias("_h")).distinct()
     if broadcast_benchmark:
         bsh = F.broadcast(bsh)
-    dsh = docs.select(
+    from olake_spark.operators.text import fan_out_small_scan
+
+    dsh = fan_out_small_scan(docs).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_k)).alias("_sh"),
     ).select(id_col, F.xxhash64("_sh").alias("_h"))
@@ -256,7 +258,10 @@ def minhash_lsh_pairs(
     verifying, O(candidates) shingle-set intersections — with every
     per-bucket quantity capped by ``max_bucket``.
     """
+    from olake_spark.operators.text import fan_out_small_scan
+
     r = num_perm // bands
+    docs = fan_out_small_scan(docs)
     sigs = minhash_signatures(
         docs, id_col, text_col, num_perm, shingle_k, shingles=shingles
     )
@@ -358,7 +363,9 @@ def simhash(
     # ~600 py4j round trips (~1 s of driver wall per invocation) just to
     # CONSTRUCT the plan — parsing one SQL string is milliseconds, and
     # the parsed expressions (and results) are identical
-    exploded = docs.select(
+    from olake_spark.operators.text import fan_out_small_scan
+
+    exploded = fan_out_small_scan(docs).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).withColumn("h", F.expr(wordsh))
     one = "CAST(1 AS BIGINT)"
@@ -664,6 +671,9 @@ def repeated_ngram_stats(
     if strategy == "auto":
         n_docs = approx_rows if approx_rows is not None else docs.count()
         strategy = "window" if n_docs <= window_max_rows else "join"
+    from olake_spark.operators.text import fan_out_small_scan
+
+    docs = fan_out_small_scan(docs)
     grams = docs.select(
         F.col(id_col), F.explode(ngrams_col(text_col, n)).alias("gram")
     )
@@ -719,8 +729,13 @@ def drop_repeated_spans(
     removed with one hash-set ``array_except`` (the arrays are
     materialized once per row; Spark evaluates higher-order functions
     interpreted, so each is referenced a single time)."""
-    from olake_spark.operators.text import ngrams_col, words_col
+    from olake_spark.operators.text import (
+        fan_out_small_scan,
+        ngrams_col,
+        words_col,
+    )
 
+    docs = fan_out_small_scan(docs)
     base = docs.select(F.col(id_col), words_col(text_col).alias("_w"))
     grams = docs.select(
         F.col(id_col),

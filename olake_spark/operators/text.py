@@ -29,6 +29,25 @@ def words_col(text: str | Column = "text") -> Column:
     return F.split(c, " ")
 
 
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin fan-out of an under-partitioned input before a
+    per-row-heavy stage (explode/HOF metrics/regex): a small corpus in
+    ONE unsplittable parquet row group otherwise runs the whole map
+    stage on a single task while every other core idles (guide §2.5,
+    input skew). Scale-adaptive, not a local[32] constant: the probe is
+    the plan's actual partition count vs the session's parallelism, so
+    any real corpus scan (>= cores partitions) passes through untouched
+    and never pays the exchange. Row values are unchanged — only
+    placement — so deterministic aggregates/windows downstream are
+    unaffected; do NOT use in front of scan-order-dependent sampling
+    (semantic_dedup's codebook, ANN builds)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if target > 1 and df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 def token_count(text: str | Column = "text") -> Column:
     """Whitespace token count — the cheap proxy used for sequence-length
     accounting before real tokenization."""
@@ -243,6 +262,7 @@ def repetition_stats(
     (measured 3x on the bigram path). At 10^12 docs this is the
     cheapest filter in the curation funnel and should run first."""
     w, bg = "_rs_w", "_rs_bg"
+    docs = fan_out_small_scan(docs)
     staged = docs.withColumn(w, words_col(text_col)).withColumn(
         bg, ngrams_from_words(F.col(w), 2)
     )
@@ -298,6 +318,7 @@ def c4_page_filter(
     c = F.col(text_col)
     lines = "_c4_lines"
     kept = "_c4_kept"
+    docs = fan_out_small_scan(docs)
     staged = docs.withColumn(lines, F.split(c, "\n")).withColumn(
         kept,
         F.filter(
@@ -345,6 +366,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tokens in ``text_clean`` even when patterns overlap (an IP inside an
     email address counts once, as the email). Pure regexp expressions —
     single codegen'd scan."""
+    docs = fan_out_small_scan(docs)
     cur = F.col(text_col)
     counts = []
     for k in PII_ORDER:
@@ -361,7 +383,7 @@ def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text analysis: all metrics as extra columns. The word
     array is staged once (see the *_of variants' interpreted-HOF note) —
     the unstaged form split the text ~10x per row across the metrics."""
-    staged = docs.withColumn("_ad_w", words_col(text_col))
+    staged = fan_out_small_scan(docs).withColumn("_ad_w", words_col(text_col))
     w = F.col("_ad_w")
     return staged.select(
         *docs.columns,

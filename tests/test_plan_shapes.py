@@ -261,10 +261,22 @@ def test_text_quality_ops_are_single_scan_no_shuffle(spark):
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # a well-partitioned corpus (the 100 TB case) passes through with no
+    # shuffle: fan_out_small_scan must no-op once the scan has enough
+    # partitions for the session's cores
+    wide = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint()
+    for op in (repetition_stats, pii_scrub, c4_page_filter, analyze_documents):
+        plan = _plan(op(wide))
+        assert "Exchange" not in plan, op.__name__
+    # an under-partitioned input (one small unsplittable file) gets
+    # exactly one round-robin fan-out before the per-row stage, so the
+    # map work spreads across cores instead of one task
     for op in (repetition_stats, pii_scrub, c4_page_filter, analyze_documents):
         plan = _plan(op(docs))
         assert plan.count("Scan parquet") == 1, op.__name__
-        assert "Exchange" not in plan, op.__name__
+        assert plan.count("Exchange RoundRobinPartitioning") == 1, op.__name__
 
 
 def test_repeated_ngrams_window_strategy_single_scan(spark):
