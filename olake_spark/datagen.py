@@ -6,13 +6,11 @@ Zipf-skewed ``source`` (the hot-key axis) and log-normal ``n_tok``.
 
 Everything is a pure function of the row id via counter-based SplitMix64
 hashing, so the data is identical regardless of partitioning, executor
-count, or run order — generation is `spark.range` + `mapInPandas`
-(Arrow-batched numpy; no per-row Python in the hot loop).
+count, or run order — generation is `spark.range` + `mapInArrow`
+(numpy straight into Arrow buffers; no per-row Python in the hot loop).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
