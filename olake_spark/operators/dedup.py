@@ -369,19 +369,48 @@ def simhash(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).withColumn("h", F.expr(wordsh))
     one = "CAST(1 AS BIGINT)"
-    votes = [
+    if bits % 2:
+        # odd widths keep the one-sum-per-bit form
+        votes = [
+            F.expr(
+                f"sum(CASE WHEN (h & shiftleft({one}, {b})) != 0 "
+                "THEN 1 ELSE -1 END)"
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+        agg = exploded.groupBy(id_col).agg(*votes)
+        sim = " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN shiftleft({one}, {b}) "
+            f"ELSE {one} * 0 END)"
+            for b in range(bits)
+        )
+        return agg.select(id_col, F.expr(sim).alias("simhash"))
+    # two 32-bit set-bit counters per aggregate: p_b accumulates
+    # (count of bit b) + (count of bit b+bits/2 << 32) in one bigint —
+    # carry-free because a per-doc word count is far below 2^31 (a
+    # Spark string caps at 2 GB ~ 2^30 words). Halving the aggregate
+    # count matters twice: a 64-sum hash aggregate's generated update
+    # method exceeds HotSpot's JIT huge-method limit and runs as
+    # interpreted bytecode (measured: codegen OFF was no slower), and
+    # each when/sum is an agg-buffer slot. The per-bit vote is
+    # recovered exactly: sum(+-1) > 0  <=>  2*count_set > n_words.
+    half = bits // 2
+    lanes = [
         F.expr(
-            f"sum(CASE WHEN (h & shiftleft({one}, {b})) != 0 "
-            "THEN 1 ELSE -1 END)"
-        ).alias(f"b{b}")
-        for b in range(bits)
+            f"sum((shiftrightunsigned(h, {b}) & 1) + "
+            f"shiftleft(shiftrightunsigned(h, {b + half}) & 1, 32))"
+        ).alias(f"p{b}")
+        for b in range(half)
     ]
-    agg = exploded.groupBy(id_col).agg(*votes)
+    lanes.append(F.expr("count(*)").alias("n"))
+    agg = exploded.groupBy(id_col).agg(*lanes)
     # shiftleft keeps bit 63 in JVM long range (wraps to sign bit)
     sim = " + ".join(
-        f"(CASE WHEN b{b} > 0 THEN shiftleft({one}, {b}) "
-        f"ELSE {one} * 0 END)"
-        for b in range(bits)
+        f"(CASE WHEN 2 * (p{b} & 4294967295) > n "
+        f"THEN shiftleft({one}, {b}) ELSE {one} * 0 END) + "
+        f"(CASE WHEN 2 * shiftrightunsigned(p{b}, 32) > n "
+        f"THEN shiftleft({one}, {b + half}) ELSE {one} * 0 END)"
+        for b in range(half)
     )
     return agg.select(id_col, F.expr(sim).alias("simhash"))
 
