@@ -230,27 +230,44 @@ def snapshot_changes(
         df = _to_target(df, snapshot_id)
         return df.select(
             F.col(key_col).alias("_k"),
-            row_hash.alias(f"_h_{tag}"),
-            F.struct(*out_cols).alias(f"_row_{tag}"),
+            row_hash.alias("_h"),
+            F.struct(*out_cols).alias("_row"),
+            F.lit(tag).alias("_s"),
         )
 
-    old = _side(removed, from_snapshot_id, "old")
+    old = _side(removed, from_snapshot_id, 0)
     if killed is not None:
         k_proj = _to_target(killed, from_snapshot_id).select(
             F.col(key_col).alias("_k"),
-            row_hash.alias("_h_old"),
-            F.struct(*out_cols).alias("_row_old"),
+            row_hash.alias("_h"),
+            F.struct(*out_cols).alias("_row"),
+            F.lit(0).alias("_s"),
         )
         old = k_proj if old is None else old.unionByName(k_proj)
-    new = _side(added, to_sid, "new")
+    new = _side(added, to_sid, 1)
     if old is None:
         diff = new.withColumn(CHANGE_TYPE, F.lit("insert"))
-        row = F.col("_row_new")
+        row = F.col("_row")
     elif new is None:
         diff = old.withColumn(CHANGE_TYPE, F.lit("delete"))
-        row = F.col("_row_old")
+        row = F.col("_row")
     else:
-        j = old.join(new, "_k", "full_outer")
+        # the two-sided diff as ONE union + hash aggregation instead of
+        # a full-outer sort-merge join: same shuffled bytes, one
+        # exchange instead of two and no sort of either side. Keys are
+        # unique per side (the MERGE invariant this operator already
+        # requires), so first(... ignorenulls) is deterministic — at
+        # most one old and one new row exist per key.
+        u = old.unionByName(new)
+        first_of = lambda s, c: F.first(  # noqa: E731
+            F.when(F.col("_s") == s, F.col(c)), ignorenulls=True
+        )
+        j = u.groupBy("_k").agg(
+            first_of(0, "_h").alias("_h_old"),
+            first_of(1, "_h").alias("_h_new"),
+            first_of(0, "_row").alias("_row_old"),
+            first_of(1, "_row").alias("_row_new"),
+        )
         diff = j.withColumn(
             CHANGE_TYPE,
             F.when(F.col("_h_old").isNull(), F.lit("insert"))
