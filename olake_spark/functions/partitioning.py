@@ -61,6 +61,27 @@ def salts_for_bins(n_bins: int) -> list[int]:
     return salts  # type: ignore[return-value]
 
 
+def _bin_tree_sql(key_name: str, vals: list[int]) -> str:
+    """The nested-when binary-search tree of ``bin_expr`` as ONE
+    generated SQL string for INTEGER boundaries: the Column-object
+    recursion costs ~0.25 s of py4j round trips per ~100 boundaries
+    (paid by every cluster rewrite); parsing the equivalent CASE text
+    is milliseconds. Integer literals embed verbatim — no escaping
+    hazards, which is why the string-boundary path keeps the Column
+    form."""
+
+    def tree(lo: int, hi: int) -> str:
+        if lo == hi:
+            return str(lo)
+        mid = (lo + hi) // 2
+        return (
+            f"(CASE WHEN `{key_name}` < {vals[mid]} "
+            f"THEN {tree(lo, mid)} ELSE {tree(mid + 1, hi)} END)"
+        )
+
+    return tree(0, len(vals))
+
+
 def bin_expr(key: Column, boundaries: list) -> Column:
     """Bin id in [0, len(boundaries)] = count of boundaries <= key,
     as a NESTED-when binary-search tree: O(log #boundaries) codegen'd
@@ -178,8 +199,18 @@ def exact_range_partition(
     if n_bins == 1:
         return df.repartition(1).sortWithinPartitions(*sort_cols)
     salts = salts_for_bins(n_bins)
+    if boundaries and all(not isinstance(b, str) for b in boundaries):
+        # integer boundaries (curve keys): stage the key once and parse
+        # the whole binary-search tree from generated SQL — identical
+        # expression, a fraction of the py4j build cost (_bin_tree_sql)
+        kn = "_bin_key"
+        binned = df.withColumn(kn, key).withColumn(
+            BIN, F.expr(_bin_tree_sql(kn, [int(b) for b in boundaries]))
+        ).drop(kn)
+    else:
+        binned = df.withColumn(BIN, bin_expr(key, boundaries))
     out = (
-        df.withColumn(BIN, bin_expr(key, boundaries))
+        binned
         .withColumn(_SALT, F.element_at(F.lit(salts), F.col(BIN) + 1))
         .repartition(n_bins, F.col(_SALT))
         .sortWithinPartitions(*sort_cols)
