@@ -532,6 +532,16 @@ def near_dup_clusters(
             hop = stepped.select(
                 F.col("_id").alias("_lbl"), F.col("_lbl").alias("_hop")
             )
+            # localCheckpoint, not persist: each round references the
+            # previous round's frame TWICE (stepped + the hop self-join),
+            # so the LOGICAL plan doubles per round even though persist
+            # caches the data — by round ~10 the plan tree is 2^10 x the
+            # pair pipeline and its stringification/canonicalization
+            # OOMs the driver (observed at sf0.1 semantic_dedup).
+            # localCheckpoint materializes the same partitions AND cuts
+            # the lineage, keeping every round's plan O(1). Trade-off:
+            # a lost executor can no longer recompute a round (standard
+            # for iterative label propagation; re-run the clustering).
             new_labels = (
                 stepped.join(hop, "_lbl", "left")
                 .select(
@@ -540,7 +550,7 @@ def near_dup_clusters(
                         F.col("_lbl"), F.coalesce("_hop", "_lbl")
                     ).alias("_lbl"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.join(

@@ -498,6 +498,28 @@ def test_near_dup_clusters_match_union_find(spark):
     assert len(kept) == len(set(want.values()))
 
 
+def test_near_dup_clusters_plan_stays_bounded(spark):
+    """Each propagation round references the previous round's frame
+    twice, so without lineage truncation the LOGICAL plan doubles per
+    round — a long-diameter graph (many rounds) used to OOM the driver
+    stringifying a 2^rounds plan tree at sf0.1 (semantic_dedup). The
+    localCheckpoint per round must keep the result plan O(1)."""
+    from olake_spark.operators.dedup import near_dup_clusters
+
+    n = 300  # chain of diameter 299 -> ~log2(299) doubling rounds
+    ids = [f"c{i:04d}" for i in range(n)]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id string")
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        "id_a string, id_b string",
+    )
+    out = near_dup_clusters(docs, pairs)
+    reps = {r.cluster_rep for r in out.collect()}
+    assert reps == {ids[0]}  # one chain, min-id representative
+    plan = out._jdf.queryExecution().toString()
+    assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+
+
 def test_semantic_dedup_matches_numpy_oracle(spark):
     """semantic_dedup vs a full numpy oracle: same codebook/assignment
     replicated driver-side, exact all-pairs-within-cell cosine, python
